@@ -1,0 +1,269 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Four families, all pure DataFrame transforms with JVM-side expressions
+(no Python UDFs in the hot path), each mirrored by ANSI SQL for the
+DuckDB oracle (worker_spark.queries.dedup):
+
+* exact        — content-hash groupBy, min-id survivor
+* n-gram Jaccard — word-shingle overlap pairs (exact near-dup measure)
+* MinHash + LSH  — shingle -> 16-perm minhash signature -> 4x4 bands ->
+                   bucket join for candidates -> Jaccard verify
+* SimHash      — 32-bit token-hash sign-sum fingerprint; near-dups share
+                 a signature byte (pigeonhole for hamming <= 3 over 4 bands)
+
+Scale notes: every stage is a hash-shuffle on a derived key (content hash,
+shingle, band key, byte band) — no cross join ever materializes the full
+pair space. Candidate pairs are bounded by bucket co-occupancy, the standard
+LSH trade-off; band/row counts (4x4 over 16 perms) follow the usual
+s-curve so ~0.5+ Jaccard pairs are found w.h.p. At 100 TB the same plan
+holds: shingling is a generator-explode (no driver state), signatures are
+a single groupBy, and band joins are equi-joins AQE can handle.
+
+The shingle hash is engine-portable: ``conv(substr(md5(sh),1,14),16,10)``
+(56 bits, exact in BIGINT/DOUBLE-free integer math) reduced mod the
+Mersenne prime 2^31-1; permutations are fixed affine maps (A_i*y+B_i) mod P.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+# Fixed affine permutation constants (public-domain primes/odds; any fixed
+# coprime-ish constants work — determinism across engines is what matters).
+MINHASH_A = (
+    1103515245, 1103577, 2416435, 99991, 7919, 104729, 1299709, 15485863,
+    32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939,
+    160481183,
+)
+MINHASH_B = (
+    12345, 67890, 111, 222, 333, 4444, 55555, 666666,
+    777, 888, 999, 1234567, 7654321, 2468, 13579, 97531,
+)
+assert len(MINHASH_A) == N_PERM and len(MINHASH_B) == N_PERM
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 content hash, min-id survivor, duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + off) for off in range(n)]
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs sharing >=1 shingle, with exact Jaccard similarity
+    over distinct word n-grams; keeps pairs with jaccard >= threshold.
+    Pair generation is shingle-equi-join (never a cross join)."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def _shingle_base_hash() -> F.Column:
+    """56-bit base hash of the current ``shingle`` column, mod P."""
+    x = F.conv(F.substring(F.col("shingle"), 1, 14), 16, 10).cast("long")
+    return F.pmod(x, F.lit(MERSENNE_P))
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document MinHash signature: columns mh_0..mh_{N_PERM-1}."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    hashed = sh.withColumn("shingle", F.md5(F.col("shingle"))).withColumn(
+        "y", _shingle_base_hash()
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(MINHASH_A[i]) * F.col("y") + F.lit(MINHASH_B[i]), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        for i in range(N_PERM)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature 4x4 and emit distinct candidate pairs sharing
+    any band bucket."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            signatures.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
+    verified with exact shingle Jaccard >= threshold."""
+    sigs = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
+    cands = lsh_candidate_pairs(sigs)
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        cands.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, (F.col("id_b") == F.col("sb.id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct word tokens: bit j of the fingerprint is
+    set iff sum over tokens of sign((token_hash >> j) & 1) is positive."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tok = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .withColumn("h14", F.substring(F.md5(F.col("token")), 1, 14))
+        .withColumn("x", F.pmod(F.conv(F.col("h14"), 16, 10).cast("long"), F.lit(4294967296)))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col("id"), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
+    4-byte band pigeonhole (distance <=3 over 4 bands => one band equal)."""
+    fps = simhash(docs, id_col=id_col, text_col=text_col)
+    bands = []
+    for k in range(4):
+        bands.append(
+            fps.select(
+                "id",
+                "simhash",
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255)).alias("byte"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

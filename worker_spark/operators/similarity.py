@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_neighbors`` — brute-force exact cosine: query set x candidate
+  set with the dot product computed JVM-side via ``zip_with`` +
+  ``aggregate`` (no Python in the hot path). The baseline/oracle path.
+* ``lsh_ann_neighbors`` — random-hyperplane LSH: fixed signed-projection
+  signature -> bucket equi-join -> exact cosine verify inside buckets.
+  The 100 TB scale path: candidate generation is an equi-join on the
+  signature, never a cross join.
+
+Floating point: per-pair arithmetic is IEEE-deterministic; similarities
+are rounded to 6 decimals so the DuckDB oracle (which sums in a different
+order) hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 12
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.0,
+    top_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine similarity of every query against every candidate
+    (query side is expected to be small — it is broadcast), keeping
+    sim >= threshold and optionally the top_k per query.
+
+    Output: (q_id, c_id, cos_sim) with deterministic (rounded sim, id)
+    ranking."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    sims = pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        sims = (
+            sims.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .drop("rnk")
+        )
+    return sims
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    """Fixed random hyperplanes (deterministic; embedded as literals in both
+    the Spark plan and the oracle SQL)."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection signature: bit k = 1 iff dot(vec, plane_k) > 0,
+    packed into a BIGINT."""
+    sig = F.lit(0).cast("long")
+    for k, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(w) for w in plane])
+        bit = F.when(_dot(vec, plane_arr) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_ann_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    planes: list[list[float]] | None = None,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate neighbors: only candidate vectors whose hyperplane
+    signature equals the query's are scored (single-probe LSH)."""
+    planes = planes or hyperplanes()
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    pairs = c.join(F.broadcast(q), "sig").filter(F.col("q_id") != F.col("c_id"))
+    return pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,122 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each operator is a pure
+DataFrame -> DataFrame transform over the ``documents`` table
+(doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT)
+and is expressible as ANSI SQL for the DuckDB oracle
+(worker_spark.queries.textops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language-ID
+# heuristic. Deliberately overlapping (de/en share "in") — the classifier is
+# a vote-count argmax with a deterministic tie order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in"),
+    "es": ("el", "la", "de", "y", "en"),
+    "fr": ("le", "les", "de", "et", "en"),
+}
+LANG_TIE_ORDER: tuple[str, ...] = ("en", "es", "fr")
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """BPE-ish sub-token count: alpha runs + single digits + single
+    non-alnum marks (a cheap, deterministic proxy for tokenizer cost)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).cast("long")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords))).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_CLASS)).cast("long")
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics (token counting operator)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    non_space = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    return docs.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars_calc": n_chars,
+            "n_pieces": bpe_ish_piece_count(t),
+            "n_punct": punct_count(t),
+            "mean_word_len": F.round(F.try_divide(non_space.cast("double"), n_tokens.cast("double")), 6),
+        }
+    )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation sanity +
+    stopword-ratio band, each in [0,1], weighted 0.4/0.3/0.3."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"]))).cast("double")
+    sw_ratio = F.try_divide(sw, n_tokens)
+    punct_ratio = F.try_divide(punct_count(t).cast("double"), F.length(t).cast("double"))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 10.0, F.lit(1.0))
+    sw_score = F.when(
+        F.coalesce(sw_ratio, F.lit(0.0)).between(0.05, 0.6), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = F.round(
+        length_score * 0.4 + punct_score * 0.3 + sw_score * 0.3, 6
+    )
+    return docs.withColumns(
+        {
+            "stopword_ratio": F.round(F.coalesce(sw_ratio, F.lit(0.0)), 6),
+            "quality_score": score,
+        }
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; argmax with deterministic tie order
+    (en > es > fr), 'und' when no votes."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    d = docs
+    for lang, sws in LANG_STOPWORDS.items():
+        d = d.withColumn(
+            f"votes_{lang}",
+            F.size(F.filter(toks, lambda x: x.isin(*sws))).cast("long"),
+        )
+    best = F.greatest(*[F.col(f"votes_{lang}") for lang in LANG_TIE_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_TIE_ORDER:
+        pred = pred.when(F.col(f"votes_{lang}") == best, F.lit(lang))
+    return d.withColumn("pred_lang", pred)
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, punctuation-stripped,
+    whitespace-collapsed text (normalized-content hash)."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return docs.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,179 @@
+"""Deduplication queries over ``documents`` with DuckDB oracles.
+
+The oracle SQL for MinHash/SimHash is *generated from the same constants*
+as the Spark operators (worker_spark.operators.dedup) so the two engines
+compute bit-identical integer hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.operators import dedup as D
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_P = D.MERSENNE_P
+
+# Shared CTEs: word-3-gram distinct shingles per doc (1-based list indexing).
+_SHINGLES_CTE = """
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text)   AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_dupes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: content-hash groupBy with min-id survivor.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """,
+    doc="Word-3-gram Jaccard near-dup pairs via shingle equi-join "
+    "(no cross join); threshold 0.2.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(({D.MINHASH_A[i]} * y + {D.MINHASH_B[i]}) % {_P}) AS mh_{i}"
+        for i in range(D.N_PERM)
+    )
+    band_rows = []
+    for b in range(D.N_BANDS):
+        cols = " || '-' || ".join(
+            f"mh_{b * D.ROWS_PER_BAND + r}::VARCHAR" for r in range(D.ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, {cols} AS bucket FROM sigs")
+    banded = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT % {_P} AS y FROM sh
+    ),
+    sigs AS (
+        SELECT id,
+               {mins}
+        FROM hashed GROUP BY id
+    ),
+    banded AS (
+        {banded}
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash(16 perms) + LSH(4x4 bands) candidate generation, exact "
+    "Jaccard verify >= 0.5. Bucket equi-join only — scales to 100 TB "
+    "without a pair cross join.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+    )
+    bands = "\n        UNION ALL\n        ".join(
+        f"SELECT id, simhash, {k} AS band, (simhash >> {8 * k}) & 255 AS byte FROM fps"
+        for k in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id AS id, u.token
+        FROM toks, UNNEST(t) AS u(token)
+    ),
+    hashed AS (
+        SELECT id, ('0x' || substr(md5(token), 1, 14))::BIGINT % 4294967296 AS x FROM tok
+    ),
+    sums AS (
+        SELECT id,
+               {bit_sums}
+        FROM hashed GROUP BY id
+    ),
+    fps AS (
+        SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    ),
+    banded AS (
+        {bands}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.byte = b.byte AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash near-dup pairs, hamming <= 3, byte-band pigeonhole "
+    "candidate generation.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

@@ -1,0 +1,103 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+Oracle parity: the dot/norm sums are rounded to 6 decimals on both sides
+(cross-engine summation-order noise is ~1e-13, far inside the rounding
+window). The LSH oracle embeds the same hyperplane constants as the Spark
+plan (generated from worker_spark.operators.similarity.hyperplanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.operators import similarity as S
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+# DuckDB exact cosine between two list columns (double math, rounded).
+_COS = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "*  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    sims AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS cos_sim
+        FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM sims
+    )
+    SELECT q_id, c_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="Brute-force exact cosine top-5 neighbors for the query subset "
+    "(vec_id % 20 = 0); JVM-side zip_with/aggregate dot products, "
+    "broadcast query side.",
+)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    from pyspark.sql import Window
+
+    sims = S.cosine_neighbors(queries, emb, threshold=-2.0)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+    )
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes()
+    rows = []
+    for k, plane in enumerate(planes):
+        for pos, w in enumerate(plane, start=1):
+            rows.append(f"({k}, {pos}, {w!r})")
+    values = ",\n            ".join(rows)
+    return f"""
+    WITH planes(k, pos, w) AS (
+        VALUES
+            {values}
+    ),
+    sigs AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS sig
+        FROM (
+            SELECT e.vec_id, p.k,
+                   sum(CAST(e.embedding[p.pos] AS DOUBLE) * p.w) AS d
+            FROM embeddings e JOIN planes p ON TRUE
+            GROUP BY e.vec_id, p.k
+        ) AS e(vec_id, k, d)
+        GROUP BY e.vec_id
+    ),
+    q AS (SELECT s.vec_id, s.sig, e.embedding
+          FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id % 20 = 0),
+    c AS (SELECT s.vec_id, s.sig, e.embedding
+          FROM sigs s JOIN embeddings e USING (vec_id))
+    SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS cos_sim
+    FROM q a JOIN c b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    """
+
+
+@register(
+    "similarity_lsh_ann",
+    _lsh_oracle(),
+    doc="Random-hyperplane LSH ANN: 12-bit signed-projection signature, "
+    "bucket equi-join candidates, exact cosine verify. The 100 TB scale "
+    "path — no cross join.",
+)
+def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.lsh_ann_neighbors(queries, emb, threshold=-2.0)

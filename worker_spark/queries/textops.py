@@ -1,0 +1,145 @@
+"""Text-analysis queries over the ``documents`` table (training-data
+pipeline surface): token counting, quality scoring, language ID,
+fingerprinting. Spark side: worker_spark.operators.text (all JVM-side
+expressions); oracle side: equivalent ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.operators import text as T
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_EN = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+_ES = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["es"])
+_FR = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["fr"])
+
+# DuckDB token list for a document (empty text -> empty list).
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / nullif(len({_TOKS}), 0), 6) AS mean_word_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish piece count + punct "
+    "stats per document (training-data text analysis).",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_pieces", "n_punct", "mean_word_len"
+    )
+
+
+@register(
+    "doc_quality_filter",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS sw,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang,
+               round(coalesce(CAST(sw AS DOUBLE) / nullif(n_tokens, 0), 0), 6) AS stopword_ratio,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0) * 10.0, 1.0)) * 0.3
+                     + (CASE WHEN coalesce(CAST(sw AS DOUBLE) / nullif(n_tokens, 0), 0)
+                              BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality_score
+        FROM scored
+    )
+    SELECT doc_id, lang, stopword_ratio, quality_score
+    FROM q WHERE quality_score >= 0.5
+    """,
+    doc="Heuristic quality scoring (length/punct/stopword bands) + filter — "
+    "training-data quality gate.",
+)
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        T.with_quality_score(d)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "stopword_ratio", "quality_score")
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH votes AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS votes_en,
+               len(list_filter({_TOKS}, t -> t IN ({_ES}))) AS votes_es,
+               len(list_filter({_TOKS}, t -> t IN ({_FR}))) AS votes_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS label_lang,
+           CAST(votes_en AS BIGINT) AS votes_en,
+           CAST(votes_es AS BIGINT) AS votes_es,
+           CAST(votes_fr AS BIGINT) AS votes_fr,
+           CASE
+             WHEN greatest(votes_en, votes_es, votes_fr) <= 0 THEN 'und'
+             WHEN votes_en = greatest(votes_en, votes_es, votes_fr) THEN 'en'
+             WHEN votes_es = greatest(votes_en, votes_es, votes_fr) THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM votes
+    """,
+    doc="Stopword-vote language ID with deterministic argmax tie order.",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.with_lang_id(d).select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        "votes_en",
+        "votes_es",
+        "votes_fr",
+        "pred_lang",
+    )
+
+
+@register(
+    "doc_fingerprint_dupes",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_docs
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+    doc="Normalized-content fingerprint (casefold/strip-punct/collapse-ws "
+    "-> md5) grouped to find duplicate clusters.",
+)
+def q_doc_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        T.with_fingerprint(d)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

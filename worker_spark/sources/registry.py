@@ -1,0 +1,46 @@
+"""Parquet table registry for the driver testdata (TESTDATA.md).
+
+Mirrors the reference's Postgres reads (S6, /root/reference/src/storage.rs:416-441,
+788-915): a scan there is a keyed/streamed SELECT; here it is a parquet scan that
+Catalyst prunes (column pruning + predicate pushdown reach the file reader —
+verified in tests via .explain containing PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read it as raw nanos and convert to a micros timestamp
+        # (exact: the driver generator emits whole-microsecond values).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
