@@ -52,6 +52,9 @@ def main() -> None:
         n = specs[name].run(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop per-query caches (dedup pipelines cache intermediates) so
+        # later queries aren't taxed by stale cache memory
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

@@ -8,8 +8,8 @@ DuckDB oracle (worker_spark.queries.dedup):
 * n-gram Jaccard — word-shingle overlap pairs (exact near-dup measure)
 * MinHash + LSH  — shingle -> 16-perm minhash signature -> 4x4 bands ->
                    bucket join for candidates -> Jaccard verify
-* SimHash      — 32-bit token-hash sign-sum fingerprint; near-dups share
-                 a signature byte (pigeonhole for hamming <= 3 over 4 bands)
+* SimHash      — 48-bit token-hash sign-sum fingerprint; near-dups share
+                 a 12-bit band (pigeonhole for hamming <= 3 over 4 bands)
 
 Scale notes: every stage is a hash-shuffle on a derived key (content hash,
 shingle, band key, byte band) — no cross join ever materializes the full
@@ -47,7 +47,12 @@ MINHASH_B = (
 )
 assert len(MINHASH_A) == N_PERM and len(MINHASH_B) == N_PERM
 
-SIMHASH_BITS = 32
+# 48-bit SimHash (12 hex chars of md5 -> exact in BIGINT); 4 bands x 12 bits.
+# 48 bits gives enough discrimination that byte-band collisions stay rare even
+# on small-vocabulary corpora where token sets overlap heavily.
+SIMHASH_BITS = 48
+SIMHASH_BAND_BITS = 12
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -63,19 +68,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokens are bound to a column *before* the shingle lambda — referencing
+    the split() expression inside ``transform`` would re-split the text per
+    array element (O(tokens^2) regex work per document)."""
+    tokenized = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     sh = F.transform(
         idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + off) for off in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + off) for off in range(n)]),
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
-    )
+    return tokenized.select(
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -89,6 +99,7 @@ def ngram_jaccard_pairs(
     over distinct word n-grams; keeps pairs with jaccard >= threshold.
     Pair generation is shingle-equi-join (never a cross join)."""
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
+    sh.count()  # materialize before the three downstream scans (see minhash)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,10 +133,17 @@ def _shingle_base_hash() -> F.Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document MinHash signature: columns mh_0..mh_{N_PERM-1}."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    """Per-document MinHash signature: columns mh_0..mh_{N_PERM-1}.
+
+    Pass a precomputed (cached) ``shingles`` frame to share the shingling
+    scan with the verify stage (at scale: materialize shingles once)."""
+    sh = shingles if shingles is not None else word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     hashed = sh.withColumn("shingle", F.md5(F.col("shingle"))).withColumn(
         "y", _shingle_base_hash()
     )
@@ -175,9 +193,14 @@ def minhash_lsh_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
     verified with exact shingle Jaccard >= threshold."""
-    sigs = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
+    # Materialize the cache before fanning out: the shingle subtree feeds four
+    # branches of ONE action, and concurrent scans of an unmaterialized
+    # InMemoryRelation each recompute it. (At 100 TB: write shingles to a
+    # temp table instead of caching.)
+    sh.count()
+    sigs = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col, shingles=sh)
     cands = lsh_candidate_pairs(sigs)
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -203,14 +226,17 @@ def minhash_lsh_dedup_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over distinct word tokens: bit j of the fingerprint is
-    set iff sum over tokens of sign((token_hash >> j) & 1) is positive."""
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    tok = (
-        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
-        .withColumn("h14", F.substring(F.md5(F.col("token")), 1, 14))
-        .withColumn("x", F.pmod(F.conv(F.col("h14"), 16, 10).cast("long"), F.lit(4294967296)))
+def simhash(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over distinct word n-gram shingles: bit j of the
+    fingerprint is set iff sum over shingles of sign((hash >> j) & 1) is
+    positive. Shingle features (not bare tokens) keep the fingerprint
+    discriminative on small-vocabulary corpora where most documents share
+    most of the token *set*."""
+    tok = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).withColumn(
+        "x",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, SIMHASH_BITS // 4), 16, 10).cast(
+            "long"
+        ),
     )
     bit_sums = [
         F.sum(
@@ -228,8 +254,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
-    4-byte band pigeonhole (distance <=3 over 4 bands => one band equal)."""
-    fps = simhash(docs, id_col=id_col, text_col=text_col)
+    4x12-bit band pigeonhole (distance <=3 over 4 bands => one band equal)."""
+    fps = simhash(docs, id_col=id_col, text_col=text_col).cache()
+    fps.count()  # single materialization; feeds 4 band branches
     bands = []
     for k in range(4):
         bands.append(
@@ -237,7 +264,9 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = 
                 "id",
                 "simhash",
                 F.lit(k).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255)).alias("byte"),
+                F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                .alias("byte"),
             )
         )
     banded = bands[0]

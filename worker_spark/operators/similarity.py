@@ -55,8 +55,25 @@ def cosine_neighbors(
 
     Output: (q_id, c_id, cos_sim) with deterministic (rounded sim, id)
     ranking."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    # The dot-product stage is CPU-bound with tiny input bytes; a single
+    # parquet file arrives as one partition and would serialize the whole
+    # scoring loop. Spread candidates across cores first (no-op at cluster
+    # scale where the table is already many-partitioned).
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    if candidates.rdd.getNumPartitions() < parallelism:
+        candidates = candidates.repartition(parallelism)
+    # norms are precomputed once per side (not per pair) — at N queries the
+    # naive formulation recomputes the candidate norm N times.
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     sims = pairs.select(
         "q_id",
@@ -64,7 +81,7 @@ def cosine_neighbors(
         F.round(
             F.try_divide(
                 _dot(F.col("q_vec"), F.col("c_vec")),
-                _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
             ),
             6,
         ).alias("cos_sim"),
@@ -120,6 +137,8 @@ def lsh_ann_neighbors(
         F.col(vec_col).alias("c_vec"),
         signature_col(F.col(vec_col), planes).alias("sig"),
     )
+    q = q.withColumn("q_norm", _norm(F.col("q_vec")))
+    c = c.withColumn("c_norm", _norm(F.col("c_vec")))
     pairs = c.join(F.broadcast(q), "sig").filter(F.col("q_id") != F.col("c_id"))
     return pairs.select(
         "q_id",
@@ -127,7 +146,7 @@ def lsh_ann_neighbors(
         F.round(
             F.try_divide(
                 _dot(F.col("q_vec"), F.col("c_vec")),
-                _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
             ),
             6,
         ).alias("cos_sim"),

@@ -133,19 +133,14 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
     )
     bands = "\n        UNION ALL\n        ".join(
-        f"SELECT id, simhash, {k} AS band, (simhash >> {8 * k}) & 255 AS byte FROM fps"
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {D.SIMHASH_BAND_BITS * k}) & {D.SIMHASH_BAND_MASK} AS byte FROM fps"
         for k in range(4)
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ),
-    tok AS (
-        SELECT DISTINCT doc_id AS id, u.token
-        FROM toks, UNNEST(t) AS u(token)
-    ),
+    WITH {_SHINGLES_CTE},
     hashed AS (
-        SELECT id, ('0x' || substr(md5(token), 1, 14))::BIGINT % 4294967296 AS x FROM tok
+        SELECT id, ('0x' || substr(md5(shingle), 1, {D.SIMHASH_BITS // 4}))::BIGINT AS x FROM sh
     ),
     sums AS (
         SELECT id,
@@ -172,7 +167,7 @@ def _simhash_oracle() -> str:
 @register(
     "dedup_simhash",
     _simhash_oracle(),
-    doc="32-bit SimHash near-dup pairs, hamming <= 3, byte-band pigeonhole "
+    doc="48-bit SimHash near-dup pairs, hamming <= 3, 12-bit-band pigeonhole "
     "candidate generation.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
