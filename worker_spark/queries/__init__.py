@@ -39,6 +39,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
-    from worker_spark.queries import dedupq, domain, relational, simq, textops  # noqa: F401
+    from worker_spark.queries import (  # noqa: F401
+        dedupq,
+        domain,
+        relational,
+        simq,
+        syncq,
+        textops,
+    )
 
     return dict(_REGISTRY)

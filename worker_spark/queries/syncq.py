@@ -1,0 +1,136 @@
+"""Sync-machinery queries: the outbox/invalidation operators run against
+the driver's generic tables (oracle-checked), plus a fixture-driven
+end-to-end sync tick (rows-only)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.plans import outbox as OB
+from worker_spark.plans import sync as S
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+
+@register(
+    "outbox_dedup_append",
+    """
+    WITH existing AS (
+        SELECT 'fetch_article' AS job_type,
+               (event_id % 500)::VARCHAR AS job_key,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE ts END AS processed_at
+        FROM events WHERE event_type = 'click'
+    ), incoming AS (
+        SELECT DISTINCT 'fetch_article' AS job_type, user_id::VARCHAR AS job_key
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT i.job_type, i.job_key
+    FROM incoming i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.job_type = i.job_type AND e.job_key = i.job_key
+          AND e.processed_at IS NULL
+    )
+    """,
+    doc="T1 transactional-outbox insert dedup: a job is appended only when "
+    "no unprocessed row shares its (job_type, job_key) "
+    "(src/storage.rs:674-687).",
+)
+def q_outbox_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    existing = e.filter(F.col("event_type") == "click").select(
+        F.lit("fetch_article").alias("job_type"),
+        (F.col("event_id") % 500).cast("string").alias("job_key"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts"))
+        .alias("processed_at"),
+    )
+    incoming = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.lit("fetch_article").alias("job_type"),
+            F.col("user_id").cast("string").alias("job_key"),
+        )
+        .distinct()
+    )
+    return OB.dedup_against_unprocessed(incoming, existing)
+
+
+@register(
+    "reverse_invalidation",
+    """
+    WITH articles AS (
+        SELECT 'no' AS dictionary, o_orderkey AS id,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'pending_fetch' ELSE 'idle' END AS sync_status
+        FROM orders
+    ), links AS (
+        SELECT DISTINCT 'no' AS dictionary, l_orderkey AS article_id, l_partkey AS bibl_id
+        FROM lineitem
+    ), changed AS (
+        SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0
+    )
+    SELECT a.dictionary, a.id
+    FROM articles a
+    WHERE a.sync_status = 'idle'
+      AND EXISTS (SELECT 1 FROM links l JOIN changed c ON l.bibl_id = c.id
+                  WHERE l.dictionary = a.dictionary AND l.article_id = a.id)
+    """,
+    doc="J7 reverse-dependency invalidation: idle articles referencing a "
+    "changed dimension id flip to pending_index "
+    "(src/storage.rs:378-413).",
+)
+def q_reverse_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    articles = o.select(
+        F.lit("no").alias("dictionary"),
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("pending_fetch"))
+        .otherwise(F.lit("idle"))
+        .alias("sync_status"),
+    )
+    links = li.select(
+        F.lit("no").alias("dictionary"),
+        F.col("l_orderkey").alias("article_id"),
+        F.col("l_partkey").alias("bibl_id"),
+    ).distinct()
+    changed = p.filter(F.col("p_partkey") % 97 == 0).select(F.col("p_partkey").alias("id"))
+    return S.invalidation_job(articles, links, changed, "bibl_id")
+
+
+@register(
+    "sync_outbox_tick",
+    None,
+    doc="§3.1 steps 2-8 on the fixture corpus: list-vs-DB diff -> "
+    "fetch_article outbox rows (T1 dedup, monotone ids) -> budgeted FIFO "
+    "drain (T2). Rows-only; stage goldens in tests/test_sync_pipeline.py.",
+)
+def q_sync_outbox_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.schemas import ARTICLE_LIST, JOB_OUTBOX
+
+    lst = spark.createDataFrame(
+        [
+            ("no", 1, "a", 2, "t1"),
+            ("no", 2, "b", 1, "t2"),
+            ("no", 3, "c", 1, "t3"),
+            ("bm", 9, "d", 1, "t9"),
+        ],
+        schema=ARTICLE_LIST,
+    ).select("dictionary", "article_id", "revision", "updated_at")
+    db = spark.createDataFrame(
+        [("no", 1, 1, "t1", "idle"), ("no", 2, 1, "t2", "idle"), ("no", 4, 1, "t4", "idle")],
+        schema="dictionary: string, id: bigint, revision: bigint, updated_at: string, sync_status: string",
+    )
+    outbox = spark.createDataFrame(
+        [(1, "fetch_article", "no:3", "{}", datetime.datetime(2026, 1, 1), None)],
+        schema=JOB_OUTBOX,
+    )
+    diff = S.diff_job(lst, db)
+    new_jobs = S.fetch_jobs_from_diff(diff)
+    merged = OB.append_jobs(outbox, new_jobs)
+    drained = OB.drain_budgeted(merged, "fetch_article", budget=10)
+    return drained.select("id", "job_type", "job_key")
