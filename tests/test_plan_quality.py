@@ -1,0 +1,84 @@
+"""Physical-plan audits: the scale-correctness properties the engine
+relies on at 100 TB must be visible in .explain output at any SF —
+filter pushdown to the parquet scan, column pruning, broadcast joins for
+dimensions, no cartesian products in the join family, map-only extraction
+(no shuffle in the per-article layer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from worker_spark.queries import all_queries
+from worker_spark.sources import load_table
+
+_SPECS = all_queries()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_ORACLE, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select("l_returnflag", "l_quantity")
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _physical(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _physical(_SPECS["revenue_by_nation"].run(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the big fact-fact join (lineitem x orders) must not be a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_and_anti_joins_planned(spark):
+    semi = _physical(_SPECS["orders_with_returns"].run(spark, SF_ORACLE))
+    assert "LeftSemi" in semi
+    anti = _physical(_SPECS["customers_without_orders"].run(spark, SF_ORACLE))
+    assert "LeftAnti" in anti
+
+
+def test_diff_join_is_shuffle_equi_join(spark):
+    plan = _physical(_SPECS["sync_diff_classify"].run(spark, SF_ORACLE))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_extraction_is_map_only(spark):
+    """The per-article extraction layer must not shuffle: one projection
+    over the scan (whole-stage codegen), no Exchange."""
+    from worker_spark.plans.search_documents import extract_article_features
+    from worker_spark.schemas import ARTICLE_DATA
+
+    arts = spark.createDataFrame(
+        [], schema=f"dictionary: string, id: bigint, data: {ARTICLE_DATA.simpleString()}"
+    )
+    feat = extract_article_features(arts, None)
+    plan = _optimized(feat)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_lsh_pipelines_have_no_cross_join(spark):
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "similarity_lsh_ann"]:
+        plan = _physical(_SPECS[name].run(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_events_nanos_timestamp_roundtrip(spark):
+    ts = load_table(spark, SF_ORACLE, "events").select("ts").limit(1).collect()[0]["ts"]
+    assert ts.year >= 2024

@@ -1,0 +1,105 @@
+"""Source-layer tests: S1 positional article-list parsing (goldens from
+/root/reference/src/extraction.rs:780-810), S4/S5 envelope unwrapping,
+S6 JDBC reader configuration, multimodal media plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from worker_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_media_features,
+    fake_decode,
+)
+from worker_spark.sources.article_list import (
+    first_of_array,
+    parse_article_list,
+    read_article_list_json,
+    unwrap_single_key_envelope,
+)
+from worker_spark.sources.jdbc import jdbc_options, jdbc_reader
+
+
+def test_parse_article_list_goldens(spark):
+    rows = [
+        ("no", '[58083, "fjordsting", 2, "2026-04-30 14:55:59.171553"]'),
+        ("no", "[12345]"),
+        ("no", '{"article_id": 1}'),  # not an array -> dropped
+        ("no", "[]"),  # empty array -> dropped (no id)
+    ]
+    df = spark.createDataFrame(rows, schema="dictionary: string, value: string")
+    got = {r["article_id"]: r for r in parse_article_list(df).collect()}
+    assert set(got) == {58083, 12345}
+    full = got[58083]
+    assert full["primary_lemma"] == "fjordsting"
+    assert full["revision"] == 2
+    assert full["updated_at"] == "2026-04-30 14:55:59.171553"
+    bare = got[12345]
+    assert bare["primary_lemma"] == ""
+    assert bare["revision"] == 0
+    assert bare["updated_at"] == ""
+
+
+def test_read_article_list_file(spark, tmp_path):
+    path = str(tmp_path / "article.json")
+    with open(path, "w") as f:
+        json.dump([[58083, "fjordsting", 2, "t"], [12345], "junk", {"a": 1}], f)
+    got = read_article_list_json(spark, path, "nn")
+    rows = {r["article_id"]: r["dictionary"] for r in got.collect()}
+    assert rows == {58083: "nn", 12345: "nn"}
+
+
+def test_envelope_unwrap(spark):
+    df = spark.createDataFrame(
+        [('{"42": {"place_name": "Vik"}}',), ('[{"code": "A"}, {"code": "B"}]',)],
+        schema="value: string",
+    )
+    place = df.select(
+        unwrap_single_key_envelope(
+            F.from_json("value", "map<string, struct<place_name:string>>")
+        ).alias("p")
+    ).collect()[0]["p"]
+    assert place and place["place_name"] == "Vik"
+    first = df.select(
+        first_of_array(F.from_json("value", "array<struct<code:string>>")).alias("f")
+    ).collect()[1]["f"]
+    assert first and first["code"] == "A"
+
+
+def test_jdbc_reader_options(spark):
+    opts = jdbc_options(
+        url="jdbc:postgresql://db:5432/worker",
+        table="articles",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=8,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "10000"
+    # reader construction itself works without a database (.load() would need one)
+    jdbc_reader(spark, url="jdbc:postgresql://db:5432/worker", table="articles")
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:x", "t", partition_column="id")
+
+
+def test_multimodal_stub_and_fake(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc", "en", "s", 3), (1, "defg", "en", "s", 4), (2, "hi", "en", "s", 2)],
+        schema="doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["media_id"]: r for r in extract_media_features(media, fake_decode).collect()}
+    assert feats[0]["media_type"] == "image" and feats[0]["width"] == 4  # 3 % 640 + 1
+    assert feats[1]["media_type"] == "audio" and feats[1]["width"] is None
+    assert feats[2]["media_type"] == "video" and feats[2]["n_frames"] == 3
+    assert feats[0]["byte_checksum"] == (97 + 98 + 99) % 1_000_003
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "image")

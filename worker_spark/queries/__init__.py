@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from worker_spark.queries import (  # noqa: F401
         dedupq,
         domain,
+        multimodalq,
         relational,
         simq,
         syncq,

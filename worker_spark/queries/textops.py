@@ -143,3 +143,27 @@ def q_doc_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+           round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group — the distribution-"
+    "profiling aggregate a data-quality pipeline runs per shard.",
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
