@@ -30,6 +30,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "dedup_embedding_blocked",
+    "multimodal_features",
+    "event_value_percentiles",
+    "reverse_invalidation",
 ]
 
 

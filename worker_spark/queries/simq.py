@@ -101,3 +101,47 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.lsh_ann_neighbors(queries, emb, threshold=-2.0)
+
+
+@register(
+    "dedup_embedding_blocked",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label, {_COS} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, label, cos_sim
+    FROM pairs WHERE cos_sim >= 0.3
+    """,
+    doc="Embedding-cosine near-dup with IVF-style blocking: the label "
+    "column is the coarse-quantizer cell, pairs form only within a cell "
+    "(never a full cross join), exact cosine verifies. The scale path for "
+    "embedding dedup alongside the LSH variant.",
+)
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("q_vec"),
+        S._norm(F.col("embedding")).alias("q_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("c_vec"),
+        S._norm(F.col("embedding")).alias("c_norm"),
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "label",
+        F.round(
+            F.try_divide(
+                S._dot(F.col("q_vec"), F.col("c_vec")), F.col("q_norm") * F.col("c_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.3)

@@ -134,3 +134,53 @@ def q_sync_outbox_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = OB.append_jobs(outbox, new_jobs)
     drained = OB.drain_budgeted(merged, "fetch_article", budget=10)
     return drained.select("id", "job_type", "job_key")
+
+
+@register(
+    "outbox_dashboard",
+    """
+    WITH outbox AS (
+        SELECT event_id AS id, event_type AS job_type,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE ts END AS processed_at
+        FROM events
+    ), now_ref AS (SELECT max(ts) AS now FROM events)
+    SELECT job_type,
+           count(*) FILTER (WHERE processed_at IS NULL) AS n_pending,
+           count(*) FILTER (WHERE processed_at >= (SELECT now FROM now_ref) - INTERVAL 1 HOUR)  AS n_done_hour,
+           count(*) FILTER (WHERE processed_at >= (SELECT now FROM now_ref) - INTERVAL 24 HOURS) AS n_done_day,
+           count(*) AS n_total
+    FROM outbox
+    GROUP BY job_type
+    """,
+    doc="A1/T12 ops dashboard: per-job-type pending / last-hour / last-day "
+    "counts (src/web.rs:638-670), 'now' pinned to the data max for "
+    "determinism.",
+)
+def q_outbox_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    outbox = e.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("job_type"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts"))
+        .alias("processed_at"),
+    )
+    now = e.agg(F.max("ts").alias("now"))
+    return (
+        outbox.crossJoin(F.broadcast(now))
+        .groupBy("job_type")
+        .agg(
+            F.count(F.when(F.col("processed_at").isNull(), 1)).alias("n_pending"),
+            F.count(
+                F.when(
+                    F.col("processed_at") >= F.col("now") - F.expr("INTERVAL 1 HOURS"), 1
+                )
+            ).alias("n_done_hour"),
+            F.count(
+                F.when(
+                    F.col("processed_at") >= F.col("now") - F.expr("INTERVAL 24 HOURS"), 1
+                )
+            ).alias("n_done_day"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
