@@ -27,7 +27,14 @@ from pyspark.sql import types as T
 
 
 class ParquetStateStore:
-    """Directory of parquet state tables with copy-on-write replacement."""
+    """Directory of parquet state tables with copy-on-write replacement.
+
+    CAUTION: ``write(table, ...)`` swaps the table's directory, so any
+    *lazy* DataFrame previously derived from ``read(table)`` becomes
+    invalid (its file listing points at removed files). Re-read after a
+    write, or ``localCheckpoint(eager=True)`` results that must outlive a
+    subsequent write. (A transactional table format removes this hazard —
+    the MERGE-shaped API maps 1:1 onto Delta/Iceberg.)"""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
