@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure extraction primitives —
+the robustness layer the reference's example-based tests lack (SURVEY §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from worker_spark.functions.inline_refs import extract_refs_from_quote
+from worker_spark.functions.json_walk import collect_bibl_ids, find_related_article_ids
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_inline_refs_structural_invariants(s):
+    refs = extract_refs_from_quote(s)
+    data = s.encode("utf-8")
+    for start, end, code, spec in refs:
+        # offsets are valid byte positions spanning '(' .. ')'
+        assert 0 < start < end <= len(data)
+        assert data[start : start + 1] == b"("
+        assert data[end - 1 : end] == b")"
+        # code is non-empty, uppercase-initial, never contains ';' or ')'
+        assert code and code[0].isupper()
+        assert ";" not in code and ")" not in code and " " not in code
+        # spec, when present, is trimmed and non-empty
+        if spec is not None:
+            assert spec == spec.strip() and spec
+        # the code text actually occurs inside the parenthesized span
+        inner = data[start + 1 : end - 1].decode("utf-8", errors="replace")
+        assert code in inner
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_inline_refs_never_at_string_start(s):
+    # the regex requires a preceding character: '(' at byte 0 can't match
+    for start, _, _, _ in extract_refs_from_quote(s):
+        assert start >= 1
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-(2**40), 2**40), st.text(max_size=8)
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.sampled_from(["bibl_id", "article_id", "type_", "a", "b", "items"]),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=25,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200, deadline=None)
+def test_json_walkers_total_and_sane(doc):
+    """The walkers accept ANY JSON shape, never raise, and return ids only
+    from well-typed carriers."""
+    bibl = collect_bibl_ids(doc)
+    assert bibl == sorted(set(bibl))
+    for v in bibl:
+        assert isinstance(v, int) and not isinstance(v, bool)
+    rel = find_related_article_ids(doc)
+    assert len(rel) == len(set(rel))
+
+
+def test_walker_ignores_bool_and_str_ids():
+    doc = {
+        "bibl_id": True,  # JSON bool is not an i64 — the reference's as_i64 rejects it
+        "items": [
+            {"type_": "article_ref", "article_id": "7"},  # string id rejected
+            {"type_": "article_ref", "article_id": 7},
+        ],
+    }
+    assert collect_bibl_ids(doc) == []
+    assert find_related_article_ids(doc) == [7]

@@ -199,7 +199,12 @@ def minhash_lsh_dedup_pairs(
     # InMemoryRelation each recompute it. (At 100 TB: write shingles to a
     # temp table instead of caching.)
     sh.count()
-    sigs = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col, shingles=sh)
+    # signatures feed both sides of the banded self-join — one materialized
+    # copy instead of two groupBy passes
+    sigs = minhash_signatures(
+        docs, n=n, id_col=id_col, text_col=text_col, shingles=sh
+    ).cache()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("sa")
