@@ -243,3 +243,18 @@ def test_walk_udfs_run(spark):
     row = df.collect()[0]
     assert row["bibl"] == [100, 200, 300, 301]
     assert row["rel"] == [5001, 2002]
+
+
+def test_depth_bound_guard():
+    from worker_spark.functions.json_walk import assert_depth_bound, definition_depth
+    from worker_spark.schemas import MAX_DEF_DEPTH
+
+    assert definition_depth({}) == 0
+    assert definition_depth(FX.DEEP_ARTICLE) == 3
+    assert_depth_bound(FX.DEEP_ARTICLE, MAX_DEF_DEPTH)  # within bound
+
+    too_deep = {"body": {"definitions": [{"sub_definitions": [{"sub_definitions": [
+        {"sub_definitions": [{"sub_definitions": [{}]}]}]}]}]}}
+    assert definition_depth(too_deep) == 5
+    with pytest.raises(ValueError, match="exceeds the typed-schema unroll"):
+        assert_depth_bound(too_deep, MAX_DEF_DEPTH)

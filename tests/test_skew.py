@@ -34,3 +34,16 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n == 8  # the hot key's rows land in all salt partitions
+
+
+def test_short_document_shingles_empty(spark):
+    """Documents shorter than the shingle width produce NO shingles
+    (regression: Spark's sequence(0, negative) descends)."""
+    from worker_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one"), (3, ""), (4, "a b c")],
+        schema="doc_id: bigint, text: string",
+    )
+    got = {r["id"]: r["shingle"] for r in word_shingles(docs, n=3).collect()}
+    assert got == {4: "a b c"}

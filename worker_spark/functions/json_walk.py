@@ -88,6 +88,39 @@ def collect_quote_refs(doc: Any) -> list[tuple[int, int, str, str | None, str]]:
     return out
 
 
+def definition_depth(doc: Any) -> int:
+    """Maximum nesting depth of ``sub_definitions`` in an article payload
+    (0 = no definitions)."""
+    defs = (
+        doc.get("body", {}).get("definitions") if isinstance(doc, dict) else None
+    )
+
+    def depth_of(definition: Any) -> int:
+        if not isinstance(definition, dict):
+            return 1
+        subs = definition.get("sub_definitions")
+        if not isinstance(subs, list) or not subs:
+            return 1
+        return 1 + max(depth_of(sd) for sd in subs)
+
+    if not isinstance(defs, list) or not defs:
+        return 0
+    return max(depth_of(d) for d in defs)
+
+
+def assert_depth_bound(doc: Any, max_depth: int) -> None:
+    """Ingest guard for the typed path: the native extraction unrolls
+    ``sub_definitions`` to schemas.MAX_DEF_DEPTH — deeper payloads must be
+    routed to the pandas_udf walkers (or the schema regenerated) instead
+    of silently truncated."""
+    d = definition_depth(doc)
+    if d > max_depth:
+        raise ValueError(
+            f"definition tree depth {d} exceeds the typed-schema unroll "
+            f"bound {max_depth}; use the json_walk UDF path for this payload"
+        )
+
+
 def _loads(s: str | None) -> Any:
     if s is None:
         return None

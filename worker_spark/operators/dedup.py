@@ -78,11 +78,15 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col:
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
     )
     toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + off) for off in range(n)]),
-    )
+    # guard: Spark's sequence(0, negative) DESCENDS — documents shorter than
+    # n tokens must yield no shingles (DuckDB's range() is empty there)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + off) for off in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return tokenized.select(
         "id", F.explode(F.array_distinct(sh)).alias("shingle")
     ).distinct()

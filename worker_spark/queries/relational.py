@@ -733,3 +733,53 @@ def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q22 SQL-API formulation — min-cost supplier per part (decorrelation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH best AS (
+        SELECT l_partkey, min_by(l_suppkey, l_extendedprice ORDER BY l_extendedprice, l_suppkey) AS best_supp
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand,
+           b.best_supp AS cheapest_suppkey,
+           round(s.s_acctbal, 2) AS supp_acctbal
+    FROM part p
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = b.best_supp
+    WHERE p.p_size <= 15
+    """,
+    doc="Min-by-per-group supplier selection (TPC-H Q2 shape) expressed "
+    "through the SQL API over registered temp views — demonstrates the "
+    "SQL surface produces the same Catalyst plans as the DataFrame API.",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, "part", "lineitem", "supplier")
+    # deterministic min_by tie-break: pre-rank in SQL
+    return spark.sql(
+        """
+        WITH best AS (
+            SELECT l_partkey, l_suppkey AS best_supp FROM (
+                SELECT l_partkey, l_suppkey,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY l_extendedprice, l_suppkey) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        )
+        SELECT p.p_partkey, p.p_brand,
+               b.best_supp AS cheapest_suppkey,
+               round(s.s_acctbal, 2) AS supp_acctbal
+        FROM part p
+        JOIN best b ON b.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = b.best_supp
+        WHERE p.p_size <= 15
+        """
+    )

@@ -167,3 +167,80 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "doc_repetition_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bigrams AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ), bg_counts AS (
+        SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ), bg_stats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_count
+        FROM bg_counts GROUP BY doc_id
+    ), tok_stats AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        FROM toks
+    )
+    SELECT ts.doc_id,
+           ts.n_tokens,
+           round(CAST(ts.n_distinct AS DOUBLE) / nullif(ts.n_tokens, 0), 6) AS type_token_ratio,
+           round(CAST(bs.top_bigram_count AS DOUBLE) / nullif(bs.n_bigrams, 0), 6) AS top_bigram_ratio
+    FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
+    """,
+    doc="Repetition quality signals (Gopher-style): type-token ratio and "
+    "most-frequent-bigram mass per document — the repetition gate a "
+    "pretraining pipeline applies before dedup.",
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    tokenized = d.select(F.col("doc_id"), toks.alias("t"))
+    # guard: sequence(0, -1) DESCENDS in Spark, so size<2 must short-circuit
+    # to an empty array rather than produce phantom bigrams
+    bigram_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = tokenized.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    tok_stats = tokenized.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens").cast("double")), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.try_divide(
+                    F.col("top_bigram_count").cast("double"), F.col("n_bigrams").cast("double")
+                ),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )

@@ -26,7 +26,19 @@ TPCH_TABLES = (
 )
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Runtime-settable perf confs applied to whatever session the driver
+    hands us: size-based AQE coalescing (parallelismFirst keeps core-count
+    tiny tasks per stage and costs ~10x scheduling overhead on deep plans
+    over small shuffles — see worker_spark.session)."""
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    except Exception:  # pragma: no cover - conf may be restricted
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
@@ -44,3 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views so pipelines can use the
+    SQL API interchangeably with the DataFrame API (Catalyst produces the
+    same plan either way)."""
+    for n in names or TPCH_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
