@@ -1,16 +1,18 @@
 """Domain-pipeline queries: the reference's own data model run on the
-fixture corpus ported from its unit tests (tests/fixtures.py).
+fixture corpus ported from its unit tests (worker_spark/fixtures.py).
 
-These take fixture inputs (created in-memory — the driver's DuckDB views
-only cover the generic tables), so they are registered WITHOUT oracle SQL:
-the driver records the weaker rows-only check, and the full golden
-assertions live in tests/test_extraction.py and
-tests/test_search_documents.py.
+article_analysis reads the committed fixture parquet (fixture_data/) so
+its DuckDB oracle can replay the extraction over the same nested structs
+(hash-checked). The doc-build and inline-ref queries stay rows-only —
+their oracles would require reimplementing the template interpolation /
+offset regex in SQL — with full golden assertions in
+tests/test_extraction.py and tests/test_search_documents.py.
 """
 
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,25 +117,131 @@ def q_inline_ref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIXTURE_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixture_data",
+    "articles_parquet",
+    "*.parquet",
+)
+
+
+def _analysis_oracle() -> str:
+    """DuckDB twin of analyze_article over the committed fixture parquet:
+    the typed schema makes the reference's $.** scans path-enumerable, so
+    the oracle unnests exactly the carrier paths (older_source,
+    written_form sources, definition-tree place_refs to the unroll depth,
+    dialect sources, article_ref/sub_article items)."""
+    from worker_spark.schemas import MAX_DEF_DEPTH
+
+    def defs_from(depth: int) -> str:
+        clauses = ["UNNEST(a.data.body.definitions) AS t1(d1)"]
+        for k in range(2, depth + 1):
+            clauses.append(f"UNNEST(d{k - 1}.sub_definitions) AS t{k}(d{k})")
+        return ", ".join(clauses)
+
+    bibl_parts = [
+        "SELECT a.dictionary, a.id, u.bibl_id AS v FROM arts a, "
+        "UNNEST(a.data.body.older_source) AS t(u) WHERE u.bibl_id IS NOT NULL",
+        "SELECT a.dictionary, a.id, s.bibl_id AS v FROM arts a, "
+        "UNNEST(a.data.body.written_form) AS t1(wf), UNNEST(wf.forms) AS t2(f), "
+        "UNNEST(f.sources) AS t3(s) WHERE s.bibl_id IS NOT NULL",
+    ]
+    attest_parts = []
+    related_parts = [
+        "SELECT a.dictionary, a.id, it.article_id AS v FROM arts a, "
+        "UNNEST(a.data.body.etymology) AS t1(e), UNNEST(e.items) AS t2(it) "
+        "WHERE it.type_ IN ('article_ref','sub_article') AND it.article_id IS NOT NULL",
+    ]
+    for depth in range(1, MAX_DEF_DEPTH + 1):
+        base = defs_from(depth)
+        bibl_parts.append(
+            f"SELECT a.dictionary, a.id, pr.bibl_id AS v FROM arts a, {base}, "
+            f"UNNEST(d{depth}.elements) AS te(el), UNNEST(el.place_refs) AS tp(pr) "
+            "WHERE pr.bibl_id IS NOT NULL"
+        )
+        attest_parts.append(
+            f"SELECT a.dictionary, a.id, pr.place.place_id AS v FROM arts a, {base}, "
+            f"UNNEST(d{depth}.elements) AS te(el), UNNEST(el.place_refs) AS tp(pr) "
+            "WHERE pr.place.place_id IS NOT NULL"
+        )
+        related_parts.append(
+            f"SELECT a.dictionary, a.id, el.article_id AS v FROM arts a, {base}, "
+            f"UNNEST(d{depth}.elements) AS te(el) "
+            "WHERE el.type_ IN ('article_ref','sub_article') AND el.article_id IS NOT NULL"
+        )
+        related_parts.append(
+            f"SELECT a.dictionary, a.id, it.article_id AS v FROM arts a, {base}, "
+            f"UNNEST(d{depth}.elements) AS te(el), UNNEST(el.quote.items) AS tq(it) "
+            "WHERE it.type_ IN ('article_ref','sub_article') AND it.article_id IS NOT NULL"
+        )
+        related_parts.append(
+            f"SELECT a.dictionary, a.id, it.article_id AS v FROM arts a, {base}, "
+            f"UNNEST(d{depth}.elements) AS te(el), UNNEST(el.items) AS ti(it) "
+            "WHERE it.type_ IN ('article_ref','sub_article') AND it.article_id IS NOT NULL"
+        )
+    dialect_sql = (
+        "SELECT a.dictionary, a.id, s.place_id AS v FROM arts a, "
+        "UNNEST(a.data.body.dialect) AS t1(dd), UNNEST(dd.subcats) AS t2(sc), "
+        "UNNEST(sc.forms) AS t3(f), UNNEST(f.sources) AS t4(s) "
+        "WHERE s.place_id IS NOT NULL"
+    )
+
+    def csv_cte(name: str, parts: list[str]) -> str:
+        union = "\n        UNION ALL\n        ".join(parts)
+        return f"""
+    {name}_raw AS (
+        {union}
+    ),
+    {name} AS (
+        SELECT dictionary, id, string_agg(v::VARCHAR, ',' ORDER BY v) AS csv
+        FROM (SELECT DISTINCT dictionary, id, v FROM {name}_raw)
+        GROUP BY dictionary, id
+    )"""
+
+    return f"""
+    WITH arts AS (
+        SELECT dictionary, id, data FROM read_parquet('{_FIXTURE_PARQUET}')
+    ),{csv_cte("bibl", bibl_parts)},{csv_cte("attest", attest_parts)},{csv_cte("rel", related_parts)},{csv_cte("dia", [dialect_sql])}
+    SELECT a.dictionary, a.id,
+           coalesce(a.data.lemmas[1].lemma, '') AS primary_lemma,
+           coalesce(bibl.csv, '')   AS bibl_ids,
+           coalesce(dia.csv, '')    AS dialect_place_ids,
+           coalesce(attest.csv, '') AS attestation_place_ids,
+           coalesce(rel.csv, '')    AS related_article_ids
+    FROM arts a
+    LEFT JOIN bibl   ON bibl.dictionary = a.dictionary AND bibl.id = a.id
+    LEFT JOIN attest ON attest.dictionary = a.dictionary AND attest.id = a.id
+    LEFT JOIN rel    ON rel.dictionary = a.dictionary AND rel.id = a.id
+    LEFT JOIN dia    ON dia.dictionary = a.dictionary AND dia.id = a.id
+    """
+
+
 @register(
     "article_analysis",
-    None,
-    doc="analyze_article (src/extraction.rs:746-773): primary lemma, "
-    "all-depth bibl ids, dialect/attestation place ids, related article "
-    "ids per article — the per-article analysis record the store job "
-    "persists.",
+    _analysis_oracle(),
+    doc="analyze_article (src/extraction.rs:746-773) over the committed "
+    "fixture parquet: primary lemma, all-depth bibl ids, dialect/"
+    "attestation place ids, related article ids. Id sets emitted as "
+    "sorted CSV for engine-neutral hashing (true insertion order is "
+    "pinned by tests/test_extraction.py goldens).",
 )
 def q_article_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark import extraction as X
 
-    arts, _, _, _, _ = _fixture_frames(spark)
+    arts = spark.read.parquet(os.path.dirname(_FIXTURE_PARQUET))
     d = F.col("data")
+
+    def csv(col):
+        return F.array_join(
+            F.transform(F.array_sort(col), lambda x: x.cast("string")), ","
+        )
+
     return arts.select(
         "dictionary",
         "id",
         X.first_lemma_col(d).alias("primary_lemma"),
-        X.all_bibl_ids_col(d).alias("bibl_ids"),
-        X.dialect_place_ids_col(d).alias("dialect_place_ids"),
-        X.attestation_place_ids_col(d).alias("attestation_place_ids"),
-        X.related_article_ids_col(d).alias("related_article_ids"),
+        csv(X.all_bibl_ids_col(d)).alias("bibl_ids"),
+        csv(X.dialect_place_ids_col(d)).alias("dialect_place_ids"),
+        csv(X.attestation_place_ids_col(d)).alias("attestation_place_ids"),
+        csv(X.related_article_ids_col(d)).alias("related_article_ids"),
     )
