@@ -47,3 +47,44 @@ def test_short_document_shingles_empty(spark):
     )
     got = {r["id"]: r["shingle"] for r in word_shingles(docs, n=3).collect()}
     assert got == {4: "a b c"}
+
+
+def test_multitable_lsh_recall_beats_single_table(spark):
+    """ANN quality metric: recall@10 of multi-table LSH vs the single-
+    signature baseline, against brute-force ground truth at sf0.001."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.similarity import (
+        cosine_neighbors,
+        lsh_ann_neighbors,
+        multitable_lsh_ann_neighbors,
+    )
+    from worker_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def topk(df, k=10):
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+        return df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in topk(cosine_neighbors(queries, emb, threshold=-2.0)).collect()
+    }
+    single = {
+        (r["q_id"], r["c_id"])
+        for r in topk(lsh_ann_neighbors(queries, emb, threshold=-2.0)).collect()
+    }
+    multi = {
+        (r["q_id"], r["c_id"])
+        for r in topk(
+            multitable_lsh_ann_neighbors(queries, emb, n_tables=8, planes_per_table=6)
+        ).collect()
+    }
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    # multi-table must dominate the single 12-bit signature on recall
+    assert recall_multi > recall_single
+    assert recall_multi >= 0.2, f"recall@10 too low: {recall_multi:.3f}"

@@ -151,3 +151,52 @@ def lsh_ann_neighbors(
             6,
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def multitable_lsh_ann_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    threshold: float = -2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table LSH: L independent signature tables of k planes each.
+    Candidate recall is 1-(1-p^k)^L for per-plane agreement p — tune
+    (L, k) to the similarity band of interest. Candidates are the UNION of
+    per-table bucket matches (deduped), then exact-cosine scored. This is
+    the production ANN shape; the single-signature variant remains the
+    oracle-checked baseline."""
+    all_planes = [
+        hyperplanes(planes_per_table, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    for t, planes in enumerate(all_planes):
+        q = q.withColumn(f"sig_{t}", signature_col(F.col("q_vec"), planes))
+        c = c.withColumn(f"sig_{t}", signature_col(F.col("c_vec"), planes))
+    cand_union = None
+    for t in range(n_tables):
+        hits = c.select("c_id", f"sig_{t}").join(
+            F.broadcast(q.select("q_id", f"sig_{t}")), f"sig_{t}"
+        ).select("q_id", "c_id")
+        cand_union = hits if cand_union is None else cand_union.unionByName(hits)
+    cands = cand_union.filter(F.col("q_id") != F.col("c_id")).distinct()
+    scored = (
+        cands.join(q.select("q_id", "q_vec"), "q_id")
+        .join(c.select("c_id", "c_vec"), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

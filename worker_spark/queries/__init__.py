@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodalq,
         relational,
         simq,
+        streamq,
         syncq,
         textops,
     )
