@@ -27,12 +27,7 @@ def test_salted_join_matches_plain_join(spark):
 
 def test_salt_spreads_hot_key(spark):
     fact = spark.createDataFrame([(1, i) for i in range(1000)], schema="key: bigint, v: bigint")
-    n = (
-        with_salt(fact, "key", 8, entropy_col="v")
-        .select("_salt")
-        .distinct()
-        .count()
-    )
+    n = with_salt(fact, 8, entropy_col="v").select("_salt").distinct().count()
     assert n == 8  # the hot key's rows land in all salt partitions
 
 

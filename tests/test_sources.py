@@ -103,3 +103,15 @@ def test_multimodal_stub_and_fake(spark):
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"x", "image")
+
+
+def test_parse_article_list_malformed_id_dropped_under_ansi(spark):
+    """Regression: a non-numeric id element must DROP the row, not abort
+    the job under ANSI mode (try_cast, not cast)."""
+    df = spark.createDataFrame(
+        [("no", '["abc", "lemma"]'), ("no", '[7, "ok", "not-a-number"]')],
+        schema="dictionary: string, value: string",
+    )
+    got = {r["article_id"]: r for r in parse_article_list(df).collect()}
+    assert set(got) == {7}
+    assert got[7]["revision"] == 0  # malformed revision defaults, row kept

@@ -88,3 +88,70 @@ def test_queue_depth_stats_windowing(spark, tmp_path):
     }
     assert rows[("fetch_article", TS)] == 2
     assert rows[("batch_index", TS + datetime.timedelta(minutes=2))] == 1
+
+
+def test_chained_fetch_store_stages(spark, tmp_path):
+    """T2/T10: the fetch stage consumes outbox jobs as a stream and applies
+    the idempotent store job per micro-batch; a second tick with new jobs
+    resumes from the checkpoint and upserts incrementally."""
+    from worker_spark import fixtures as FX
+    from worker_spark.plans.state import ParquetStateStore
+    from worker_spark.schemas import ARTICLE_DATA
+    from worker_spark.sources.fetch_sim import fetch_articles
+    from pyspark.sql import functions as F
+
+    outbox_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    arts_schema = (
+        f"dictionary: string, id: bigint, data: {ARTICLE_DATA.simpleString()}, "
+        "sync_status: string"
+    )
+    store.write("articles", spark.createDataFrame([], schema=arts_schema))
+    corpus = {("no", 1): FX.DEEP_ARTICLE, ("no", 2): FX.DIALECT_SHOW_FILTER}
+
+    def store_batch(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        fetched = fetch_articles(
+            batch_df.select("job_key"), lambda d, i: corpus.get((d, i))
+        )
+        rows = fetched.filter(F.col("found")).select(
+            "dictionary",
+            F.col("article_id").alias("id"),
+            F.from_json("data_json", ARTICLE_DATA).alias("data"),
+            F.lit("pending_index").alias("sync_status"),
+        )
+        store.upsert("articles", rows, keys=["dictionary", "id"])
+
+    _write_outbox_file(spark, outbox_dir, [(1, "fetch_article", "no:1", "{}", TS, None)])
+    q = run_stage(
+        outbox_stream(spark, outbox_dir, max_files_per_trigger=1),
+        "fetch_article",
+        store_batch,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert store.read("articles").count() == 1
+
+    # tick 2: a new job file; checkpoint skips the already-processed file,
+    # and re-upserting no:1 again would be a no-op anyway (idempotent MERGE)
+    _write_outbox_file(
+        spark,
+        outbox_dir,
+        [
+            (2, "fetch_article", "no:2", "{}", TS, None),
+            (3, "fetch_article", "no:1", "{}", TS, None),
+        ],
+    )
+    q2 = run_stage(
+        outbox_stream(spark, outbox_dir, max_files_per_trigger=1),
+        "fetch_article",
+        store_batch,
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    got = {r["id"]: r["sync_status"] for r in store.read("articles").collect()}
+    assert got == {1: "pending_index", 2: "pending_index"}

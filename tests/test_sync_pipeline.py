@@ -297,3 +297,42 @@ def test_gc_processed(spark):
     )
     kept = OB.gc_processed(outbox, older_than_hours=1)
     assert [r["id"] for r in kept.collect()] == [2]
+
+
+def test_gc_keeps_id_high_water_mark(spark):
+    """Regression: GC must never drop the max-id row, or new jobs would
+    reuse previously issued ids after retention cleanup."""
+    old = datetime.datetime(2020, 1, 1)
+    outbox = _outbox(
+        spark,
+        [
+            (5, "fetch_article", "no:5", "{}", TS, old),   # old + processed
+            (9, "fetch_article", "no:9", "{}", TS, old),   # old + processed + MAX id
+        ],
+    )
+    kept = OB.gc_processed(outbox, older_than_hours=1)
+    assert [r["id"] for r in kept.collect()] == [9]
+    # and id assignment continues past it
+    new = spark.createDataFrame(
+        [("fetch_article", "no:1", "{}")],
+        schema="job_type: string, job_key: string, payload: string",
+    )
+    merged = OB.append_jobs(kept, new)
+    assert merged.agg(F.max("id")).collect()[0][0] == 10
+
+
+def test_diff_null_values_still_classified(spark):
+    """Regression: presence is tracked explicitly — NULL revision/status
+    must not flip a row to the wrong side of the diff."""
+    from worker_spark.operators.diff import classify_list_db_diff
+
+    lst = spark.createDataFrame(
+        [(1, None, None)], schema="article_id: bigint, revision: bigint, updated_at: string"
+    )
+    db = spark.createDataFrame(
+        [(2, None, None, None)],
+        schema="article_id: bigint, revision: bigint, updated_at: string, sync_status: string",
+    )
+    got = {r["article_id"]: r["classification"] for r in classify_list_db_diff(lst, db).collect()}
+    assert got[1] == "new"               # all-NULL list row is still list-present
+    assert got[2] == "missing_inflight"  # NULL status is not idle

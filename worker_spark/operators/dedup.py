@@ -22,6 +22,13 @@ a single groupBy, and band joins are equi-joins AQE can handle.
 The shingle hash is engine-portable: ``conv(substr(md5(sh),1,14),16,10)``
 (56 bits, exact in BIGINT/DOUBLE-free integer math) reduced mod the
 Mersenne prime 2^31-1; permutations are fixed affine maps (A_i*y+B_i) mod P.
+
+Cache lifetime: the pipelines cache + materialize their shingle/signature
+intermediates (they feed several branches of one action) and do NOT
+unpersist — the result DataFrame still references them lazily. Callers
+running many pipelines in one session should ``spark.catalog.clearCache()``
+between them (bench.py does); at production scale, write the
+intermediates to a table instead.
 """
 
 from __future__ import annotations
@@ -92,6 +99,53 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col:
     ).distinct()
 
 
+def _jaccard_verify(
+    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Shared exact-Jaccard verification over a (id, shingle) relation:
+    pair intersections via shingle equi-join (restricted to ``candidates``
+    (id_a, id_b) when given), per-doc sizes, jaccard >= threshold.
+    The single source of the jaccard = inter/(a+b-inter) formula and its
+    oracle-matching rounding."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("sa")
+    b = shingles.alias("sb")
+    if candidates is None:
+        inter = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.id") < F.col("sb.id")),
+            )
+            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.join(a, F.col("id_a") == F.col("sa.id"))
+            .join(
+                b,
+                (F.col("id_b") == F.col("sb.id"))
+                & (F.col("sa.shingle") == F.col("sb.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -104,30 +158,7 @@ def ngram_jaccard_pairs(
     Pair generation is shingle-equi-join (never a cross join)."""
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
     sh.count()  # materialize before the three downstream scans (see minhash)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_inter", "jaccard")
-    )
+    return _jaccard_verify(sh, threshold).select("id_a", "id_b", "n_inter", "jaccard")
 
 
 def _shingle_base_hash() -> F.Column:
@@ -210,28 +241,8 @@ def minhash_lsh_dedup_pairs(
     ).cache()
     sigs.count()
     cands = lsh_candidate_pairs(sigs)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        cands.join(a, F.col("id_a") == F.col("sa.id"))
-        .join(b, (F.col("id_b") == F.col("sb.id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_verify(sh, threshold, candidates=cands).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -47,22 +47,26 @@ def classify_list_db_diff(
 
     Returns (key, classification, list_revision, db_revision).
     """
+    # explicit presence markers: inferring side-presence from nullable value
+    # columns (revision/status) misclassifies rows whose values are NULL
     lst = list_df.select(
         F.col(key).alias("k"),
         F.col("revision").alias("l_rev"),
         F.col("updated_at").alias("l_upd"),
+        F.lit(True).alias("l_present"),
     )
     db = db_df.select(
         F.col(key).alias("k"),
         F.col("revision").alias("d_rev"),
         F.col("updated_at").alias("d_upd"),
         F.col("sync_status").alias("d_status"),
+        F.lit(True).alias("d_present"),
     )
     joined = lst.join(db, "k", "full_outer")
 
-    in_list = F.col("l_rev").isNotNull() | F.col("l_upd").isNotNull()
-    in_db = F.col("d_status").isNotNull()
-    idle = F.col("d_status") == "idle"
+    in_list = F.col("l_present").isNotNull()
+    in_db = F.col("d_present").isNotNull()
+    idle = F.coalesce(F.col("d_status") == "idle", F.lit(False))
     # NULL-safe equality: a missing revision on either side is a difference
     # unless missing on both (reference compares Option<i64> == Option<i64>).
     same = F.col("l_rev").eqNullSafe(F.col("d_rev")) & F.col("l_upd").eqNullSafe(

@@ -184,16 +184,19 @@ def multitable_lsh_ann_neighbors(
         ).select("q_id", "c_id")
         cand_union = hits if cand_union is None else cand_union.unionByName(hits)
     cands = cand_union.filter(F.col("q_id") != F.col("c_id")).distinct()
+    # norms once per vector, joined in — not recomputed per candidate pair
+    q_scored = q.select("q_id", "q_vec", _norm(F.col("q_vec")).alias("q_norm"))
+    c_scored = c.select("c_id", "c_vec", _norm(F.col("c_vec")).alias("c_norm"))
     scored = (
-        cands.join(q.select("q_id", "q_vec"), "q_id")
-        .join(c.select("c_id", "c_vec"), "c_id")
+        cands.join(q_scored, "q_id")
+        .join(c_scored, "c_id")
         .select(
             "q_id",
             "c_id",
             F.round(
                 F.try_divide(
                     _dot(F.col("q_vec"), F.col("c_vec")),
-                    _norm(F.col("q_vec")) * _norm(F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
                 ),
                 6,
             ).alias("cos_sim"),

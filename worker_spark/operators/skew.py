@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt", entropy_col: str | None = None) -> DataFrame:
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt", entropy_col: str | None = None) -> DataFrame:
     """Deterministic salt derived from a high-cardinality column (falls
     back to a hash of all columns) — deterministic so retries and the
     DuckDB oracle agree, unlike rand()."""
@@ -40,7 +40,7 @@ def salted_join(
     entropy_col: str | None = None,
 ) -> DataFrame:
     """Equi-join on ``key`` with the shuffle spread over (key, salt)."""
-    salted_fact = with_salt(fact, key, n_salts, entropy_col=entropy_col)
+    salted_fact = with_salt(fact, n_salts, entropy_col=entropy_col)
     salted_dim = explode_salts(dim, n_salts)
     out = salted_fact.join(salted_dim, [key, "_salt"], how)
     return out.drop("_salt")

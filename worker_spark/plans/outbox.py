@@ -128,10 +128,23 @@ def mark_processed(outbox: DataFrame, drained_ids: DataFrame) -> DataFrame:
 
 def gc_processed(outbox: DataFrame, older_than_hours: int = 1) -> DataFrame:
     """T4 GC: drop processed rows older than the retention window
-    (src/outbox.rs:304,430-432)."""
+    (src/outbox.rs:304,430-432).
+
+    Deviation from the reference (which relies on a Postgres sequence):
+    the single highest-id row is always retained as the id high-water
+    mark — assign_ids derives the next id from max(id), and GC'ing the
+    max row would let new jobs reuse previously issued ids, breaking the
+    monotone-id contract mark_processed's idempotence depends on."""
     cutoff = F.current_timestamp() - F.expr(f"INTERVAL {older_than_hours} HOURS")
-    return outbox.filter(
-        F.col("processed_at").isNull() | (F.col("processed_at") >= cutoff)
+    max_id = outbox.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_max_id"))
+    return (
+        outbox.crossJoin(F.broadcast(max_id))
+        .filter(
+            F.col("processed_at").isNull()
+            | (F.col("processed_at") >= cutoff)
+            | (F.col("id") == F.col("_max_id"))
+        )
+        .drop("_max_id")
     )
 
 

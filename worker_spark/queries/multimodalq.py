@@ -26,8 +26,8 @@ from worker_spark.sources import load_table
                     ELSE 'video' END AS media_type,
                text,
                CAST(strlen(text) AS BIGINT) AS n_bytes,
-               list_sum(list_transform(range(1, length(text) + 1),
-                                       i -> unicode(text[i]))) % 1000003 AS checksum
+               coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                                                i -> unicode(text[i]))), 0) % 1000003 AS checksum
         FROM documents
     )
     SELECT media_id, media_type, n_bytes,

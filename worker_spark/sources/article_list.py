@@ -23,11 +23,15 @@ def parse_article_list(raw: DataFrame, json_col: str = "value", dictionary_col: 
     """Parse positional list rows from a DataFrame of JSON-line strings
     (one array per line). Defaults: lemma '' / revision 0 / updated ''."""
     arr = F.from_json(F.col(json_col), "array<string>")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast on
+    # a malformed element would abort the job instead of dropping the row
     parsed = raw.select(
         F.col(dictionary_col).alias("dictionary"),
-        F.try_element_at(arr, F.lit(1)).cast("long").alias("article_id"),
+        F.try_element_at(arr, F.lit(1)).try_cast("long").alias("article_id"),
         F.coalesce(F.try_element_at(arr, F.lit(2)), F.lit("")).alias("primary_lemma"),
-        F.coalesce(F.try_element_at(arr, F.lit(3)).cast("long"), F.lit(0)).alias("revision"),
+        F.coalesce(F.try_element_at(arr, F.lit(3)).try_cast("long"), F.lit(0)).alias(
+            "revision"
+        ),
         F.coalesce(F.try_element_at(arr, F.lit(4)), F.lit("")).alias("updated_at"),
     )
     return parsed.filter(F.col("article_id").isNotNull())
