@@ -53,13 +53,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = specs[name].run(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of two runs: damps host-level noise and reports warm
+        # (JIT-compiled) performance, which is what a long-running cluster
+        # job actually sees
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = specs[name].run(spark, sf_dir).count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # drop per-query caches (dedup pipelines cache intermediates) so
+            # later queries aren't taxed by stale cache memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # drop per-query caches (dedup pipelines cache intermediates) so
-        # later queries aren't taxed by stale cache memory
-        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

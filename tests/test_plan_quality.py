@@ -82,3 +82,43 @@ def test_lsh_pipelines_have_no_cross_join(spark):
 def test_events_nanos_timestamp_roundtrip(spark):
     ts = load_table(spark, SF_ORACLE, "events").select("ts").limit(1).collect()[0]["ts"]
     assert ts.year >= 2024
+
+
+def test_partitioned_articles_prune(spark, tmp_path):
+    """Work/articles tables partitioned by dictionary prune at the file
+    level — the Spark analog of the reference's partial indexes
+    (SURVEY §4: 'partition work tables by status/dictionary')."""
+    out = str(tmp_path / "arts_part")
+    df = spark.createDataFrame(
+        [("no", 1), ("no", 2), ("bm", 3), ("nn", 4)], "dictionary: string, id: bigint"
+    )
+    df.write.partitionBy("dictionary").mode("overwrite").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("dictionary") == "no")
+    plan = _physical(scan)
+    assert "PartitionFilters" in plan and "dictionary" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed fact/link tables co-locate on the join key: the sort-merge
+    join runs without an Exchange on either side (the articles x links
+    co-location story at 100 TB)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS b_articles")
+        spark.sql("DROP TABLE IF EXISTS b_links")
+        arts = spark.range(1000).withColumnRenamed("id", "article_id")
+        links = spark.range(3000).select(
+            (F.col("id") % 1000).alias("article_id"), (F.col("id") % 97).alias("bibl_id")
+        )
+        arts.write.bucketBy(8, "article_id").sortBy("article_id").mode("overwrite").saveAsTable("b_articles")
+        links.write.bucketBy(8, "article_id").sortBy("article_id").mode("overwrite").saveAsTable("b_links")
+        joined = spark.table("b_articles").join(spark.table("b_links"), "article_id")
+        plan = _physical(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() == 3000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_articles")
+        spark.sql("DROP TABLE IF EXISTS b_links")

@@ -191,20 +191,26 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Band the signature 4x4 and emit distinct candidate pairs sharing
-    any band bucket."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(
-            signatures.select(
-                F.col("id"),
+    any band bucket. Banding is a single explode over an inline
+    (band, bucket) array — one scan of the signatures, not one per band."""
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("-", *[c.cast("string") for c in cols]).alias("bucket"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bucket"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.explode(entries).alias("e")
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
@@ -276,22 +282,21 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = 
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
     4x12-bit band pigeonhole (distance <=3 over 4 bands => one band equal)."""
     fps = simhash(docs, id_col=id_col, text_col=text_col).cache()
-    fps.count()  # single materialization; feeds 4 band branches
-    bands = []
-    for k in range(4):
-        bands.append(
-            fps.select(
-                "id",
-                "simhash",
+    fps.count()  # single materialization; feeds both sides of the self-join
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("band"),
                 F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k)
                 .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
                 .alias("byte"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+            for k in range(4)
+        ]
+    )
+    banded = fps.select("id", "simhash", F.explode(entries).alias("e")).select(
+        "id", "simhash", F.col("e.band").alias("band"), F.col("e.byte").alias("byte")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
