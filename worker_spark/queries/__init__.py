@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from worker_spark.queries import (  # noqa: F401
         dedupq,
+        docflat,
         domain,
         multimodalq,
         relational,
