@@ -35,6 +35,7 @@ HEADLINE = [
     "multimodal_features",
     "event_value_percentiles",
     "reverse_invalidation",
+    "doc_build_scale",
 ]
 
 

@@ -457,3 +457,41 @@ def q_search_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in arr_cols:
         out = out.withColumn(c, F.array_join(F.col(c), ","))
     return out
+
+
+@register(
+    "doc_build_scale",
+    None,
+    doc="Domain-pipeline throughput probe: the fixture corpus replicated "
+    "to ~10k articles/sf-unit (distinct ids, same nested payloads) pushed "
+    "through the full extraction + dimension-join document build. "
+    "Rows-only (synthetic replication); its purpose is the BENCH number — "
+    "documents/second through the flagship pipeline.",
+)
+def q_doc_build_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.plans.search_documents import build_search_documents
+    from worker_spark.schemas import CONCEPTS
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.01"
+    copies = max(int(float(sf) * 100_000), 100)  # sf0.1 -> 10_000 copies x 7 arts
+
+    arts = spark.read.parquet(os.path.dirname(_ARTS))
+    big = (
+        arts.crossJoin(F.broadcast(spark.range(copies).select(F.col("id").alias("_rep"))))
+        .withColumn("id", F.col("id") + F.col("_rep") * 1000)
+        .drop("_rep")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bib = spark.read.parquet(os.path.dirname(_BIB))
+    places = spark.read.parquet(os.path.dirname(_PLACES))
+    ap = spark.read.parquet(os.path.dirname(_AP))
+    concepts = spark.createDataFrame(
+        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt")], schema=CONCEPTS
+    )
+    # links replicated to match the replicated article ids
+    ap_big = (
+        ap.crossJoin(F.broadcast(spark.range(copies).select(F.col("id").alias("_rep"))))
+        .withColumn("article_id", F.col("article_id") + F.col("_rep") * 1000)
+        .drop("_rep")
+    )
+    return build_search_documents(big, bib, places, ap_big, concepts)

@@ -104,10 +104,48 @@ def q_reverse_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sync_outbox_tick",
-    None,
+    """
+    WITH list(dictionary, article_id, revision, updated_at) AS (
+        VALUES ('no', 1, 2, 't1'), ('no', 2, 1, 't2'), ('no', 3, 1, 't3'), ('bm', 9, 1, 't9')
+    ), db(dictionary, id, revision, updated_at, sync_status) AS (
+        VALUES ('no', 1, 1, 't1', 'idle'), ('no', 2, 1, 't2', 'idle'), ('no', 4, 1, 't4', 'idle')
+    ), outbox(id, job_type, job_key, processed_at) AS (
+        VALUES (1, 'fetch_article', 'no:3', NULL)
+    ), diff AS (
+        SELECT coalesce(l.dictionary, d.dictionary) AS dictionary,
+               coalesce(l.article_id, d.id) AS article_id,
+               CASE
+                 WHEN d.id IS NULL THEN 'new'
+                 WHEN l.article_id IS NOT NULL AND l.revision = d.revision
+                      AND l.updated_at = d.updated_at THEN 'unchanged'
+                 WHEN l.article_id IS NOT NULL AND d.sync_status = 'idle' THEN 'changed'
+                 WHEN l.article_id IS NOT NULL THEN 'skip_inflight'
+                 ELSE 'missing'
+               END AS classification
+        FROM list l FULL OUTER JOIN db d
+          ON l.dictionary = d.dictionary AND l.article_id = d.id
+    ), new_jobs AS (
+        SELECT 'fetch_article' AS job_type, dictionary || ':' || article_id AS job_key
+        FROM diff WHERE classification IN ('new', 'changed')
+    ), deduped AS (
+        SELECT n.* FROM new_jobs n
+        WHERE NOT EXISTS (SELECT 1 FROM outbox o
+                          WHERE o.job_type = n.job_type AND o.job_key = n.job_key
+                            AND o.processed_at IS NULL)
+    ), appended AS (
+        SELECT CAST((SELECT max(id) FROM outbox)
+               + row_number() OVER (ORDER BY job_type, job_key) AS BIGINT) AS id,
+               job_type, job_key
+        FROM deduped
+        UNION ALL
+        SELECT CAST(id AS BIGINT), job_type, job_key FROM outbox WHERE processed_at IS NULL
+    )
+    SELECT id, job_type, job_key FROM appended ORDER BY id
+    """,
     doc="§3.1 steps 2-8 on the fixture corpus: list-vs-DB diff -> "
     "fetch_article outbox rows (T1 dedup, monotone ids) -> budgeted FIFO "
-    "drain (T2). Rows-only; stage goldens in tests/test_sync_pipeline.py.",
+    "drain (T2). The oracle replays diff+dedup+id assignment in SQL; "
+    "stage goldens in tests/test_sync_pipeline.py.",
 )
 def q_sync_outbox_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.schemas import ARTICLE_LIST, JOB_OUTBOX
