@@ -83,3 +83,39 @@ def test_walker_ignores_bool_and_str_ids():
     }
     assert collect_bibl_ids(doc) == []
     assert find_related_article_ids(doc) == [7]
+
+
+def test_diff_classifier_partition_property(spark):
+    """For ANY list/db tables: every key appears in exactly one output row,
+    the output key set is the union of input key sets, and the fetch set is
+    exactly {new, changed}."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.diff import classify_list_db_diff, to_fetch
+
+    # deterministic pseudo-random inputs derived from a range
+    base = spark.range(200)
+    lst = base.filter(F.col("id") % 3 != 0).select(
+        F.col("id").alias("article_id"),
+        (F.col("id") % 7).alias("revision"),
+        (F.col("id") % 5).cast("string").alias("updated_at"),
+    )
+    db = base.filter(F.col("id") % 4 != 0).select(
+        F.col("id").alias("article_id"),
+        (F.col("id") % 6).alias("revision"),
+        (F.col("id") % 5).cast("string").alias("updated_at"),
+        F.when(F.col("id") % 11 == 0, "pending_fetch").otherwise("idle").alias("sync_status"),
+    )
+    out = classify_list_db_diff(lst, db)
+    rows = out.collect()
+    keys = [r["article_id"] for r in rows]
+    assert len(keys) == len(set(keys)), "a key classified more than once"
+    in_keys = {r["article_id"] for r in lst.collect()} | {
+        r["article_id"] for r in db.collect()
+    }
+    assert set(keys) == in_keys, "output keys != union of input keys"
+    fetch = {r["article_id"] for r in to_fetch(out).collect()}
+    expect = {
+        r["article_id"] for r in rows if r["classification"] in ("new", "changed")
+    }
+    assert fetch == expect
