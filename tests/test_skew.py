@@ -83,3 +83,26 @@ def test_multitable_lsh_recall_beats_single_table(spark):
     # multi-table must dominate the single 12-bit signature on recall
     assert recall_multi > recall_single
     assert recall_multi >= 0.2, f"recall@10 too low: {recall_multi:.3f}"
+
+
+def test_matrix_scorer_matches_hof_scorer(spark):
+    """The numpy/Arrow matrix top-k must produce exactly the same neighbor
+    sets as the JVM higher-order-function formulation."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.similarity import cosine_topk_matrix
+    from worker_spark.queries import all_queries
+    from worker_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    hof = {
+        (r["q_id"], r["c_id"], r["rnk"])
+        for r in all_queries()["similarity_cosine_topk"].run(spark, sf).collect()
+    }
+    mat = {
+        (r["q_id"], r["c_id"], r["rnk"])
+        for r in cosine_topk_matrix(queries, emb, k=5).collect()
+    }
+    assert mat == hof

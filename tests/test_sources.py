@@ -115,3 +115,65 @@ def test_parse_article_list_malformed_id_dropped_under_ansi(spark):
     got = {r["article_id"]: r for r in parse_article_list(df).collect()}
     assert set(got) == {7}
     assert got[7]["revision"] == 0  # malformed revision defaults, row kept
+
+
+def test_parse_articles_json_polymorphic_form(spark):
+    """Raw JSON ingest: the string-or-object dialect form normalizes to the
+    typed schema and the extraction layer sees identical results for both
+    upstream shapes (src/extraction.rs:392-395)."""
+    import json as _json
+
+    from worker_spark import extraction as X
+    from worker_spark import fixtures as FXX
+    from worker_spark.schemas import ARTICLE_DATA
+    from worker_spark.sources.articles_json import parse_articles_json
+
+    raw_obj_form = {
+        "body": {
+            "dialect": [
+                {
+                    "subcats": [
+                        {
+                            "forms": [
+                                {"form": "bare-form", "sources": [{"show": 1, "place_name": "A", "place_id": 1}]},
+                                {"form": {"content": "obj-form"}, "sources": []},
+                                {"form": {"weird": 1}, "sources": []},
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
+    }
+    rows = [
+        ("no", 1, _json.dumps(raw_obj_form)),
+        # the raw upstream encoding of the deep article carries the bare-
+        # string form ("form": "jupor") instead of the normalized dual field
+        ("no", 2, _json.dumps(FXX.DEEP_ARTICLE).replace(
+            '"form": null, "form_content": "jupor"', '"form": "jupor"'
+        )),
+        ("no", 3, "not json at all"),
+        ("no", 4, _json.dumps({})),
+    ]
+    raw = spark.createDataFrame(rows, "dictionary: string, id: bigint, data_json: string")
+    typed = parse_articles_json(raw)
+    assert typed.schema["data"].dataType == ARTICLE_DATA
+
+    got = {
+        r["id"]: r["forms"]
+        for r in typed.select(
+            "id", X.dialect_form_parts_col(F.col("data")).alias("forms")
+        ).collect()
+    }
+    assert got[1] == ["bare-form", "obj-form"]  # weird-shape form dropped
+    assert got[3] == [] and got[4] == []  # unparseable / empty -> defensive empties
+    # end-to-end: full extraction over raw-JSON-ingested data matches the
+    # typed-fixture golden for the deep article
+    deep = typed.filter(F.col("id") == 2).select(
+        X.definition_parts_col(F.col("data")).alias("defs"),
+        X.all_bibl_ids_col(F.col("data")).alias("bibl"),
+        X.dialect_form_parts_col(F.col("data")).alias("dforms"),
+    ).collect()[0]
+    assert deep["defs"] == ["eit djupt ord", "i overført tyding"]
+    assert deep["bibl"] == [100, 200, 300, 301]
+    assert deep["dforms"] == ["jupor"]  # bare-string upstream form survives

@@ -203,3 +203,74 @@ def multitable_lsh_ann_neighbors(
         )
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def cosine_topk_matrix(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k via an Arrow-batched numpy matrix product —
+    the vectorized-Pandas-UDF alternative to the HOF formulation
+    (cosine_neighbors). The query matrix broadcasts to every task; each
+    candidate batch computes sims for ALL queries in one BLAS gemm, then
+    a driver-free final top-k reduces the per-batch candidates.
+
+    Scales as map-only over candidate splits; per-batch output is
+    bounded at |Q| * k rows. Ranking ties break on c_id ascending,
+    matching the HOF implementation."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = candidates.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat.T  # |batch| x |Q|
+            frames = []
+            for qi in range(len(ids)):
+                col = sims[:, qi]
+                mask = c_ids != ids[qi]
+                order = np.lexsort((c_ids[mask], -col[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": ids[qi],
+                            "c_id": c_ids[sel],
+                            "cos_sim": np.round(col[sel], 6),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    if candidates.rdd.getNumPartitions() < parallelism:
+        candidates = candidates.repartition(parallelism)
+    partial = candidates.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+    )
