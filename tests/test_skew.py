@@ -106,3 +106,22 @@ def test_matrix_scorer_matches_hof_scorer(spark):
         for r in cosine_topk_matrix(queries, emb, k=5).collect()
     }
     assert mat == hof
+
+
+def test_matrix_scorer_edge_cases(spark):
+    """Empty query set and zero-norm vectors: empty result / dropped pairs,
+    matching the HOF scorer's try_divide semantics."""
+    from worker_spark.operators.similarity import cosine_topk_matrix
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    empty_q = emb.filter("vec_id < 0")
+    assert cosine_topk_matrix(empty_q, emb, k=3).count() == 0
+
+    out = cosine_topk_matrix(emb, emb, k=3).collect()
+    pairs = {(r["q_id"], r["c_id"]) for r in out}
+    # zero-norm vector 2 never appears on either side of a scored pair
+    assert all(2 not in p for p in pairs)
+    assert (1, 3) in pairs and (3, 1) in pairs

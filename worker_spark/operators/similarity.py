@@ -55,13 +55,7 @@ def cosine_neighbors(
 
     Output: (q_id, c_id, cos_sim) with deterministic (rounded sim, id)
     ranking."""
-    # The dot-product stage is CPU-bound with tiny input bytes; a single
-    # parquet file arrives as one partition and would serialize the whole
-    # scoring loop. Spread candidates across cores first (no-op at cluster
-    # scale where the table is already many-partitioned).
-    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
-    if candidates.rdd.getNumPartitions() < parallelism:
-        candidates = candidates.repartition(parallelism)
+    candidates = _spread(candidates)
     # norms are precomputed once per side (not per pair) — at N queries the
     # naive formulation recomputes the candidate norm N times.
     q = queries.select(
@@ -205,6 +199,27 @@ def multitable_lsh_ann_neighbors(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy side across cores when it arrives under-split
+    (a single parquet file is one partition); no-op at cluster scale."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
+def _topk(df: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: rounded sim desc, c_id asc."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+    )
+
+
 def cosine_topk_matrix(
     queries: DataFrame,
     candidates: DataFrame,
@@ -218,59 +233,63 @@ def cosine_topk_matrix(
     candidate batch computes sims for ALL queries in one BLAS gemm, then
     a driver-free final top-k reduces the per-batch candidates.
 
-    Scales as map-only over candidate splits; per-batch output is
-    bounded at |Q| * k rows. Ranking ties break on c_id ascending,
-    matching the HOF implementation."""
+    Scales as map-only over candidate splits; per-batch output is bounded
+    at |Q| * k rows. Parity with the HOF scorer: sims are rounded to 6
+    decimals BEFORE every ranking step (ties break on c_id ascending) and
+    zero-norm vectors drop out exactly like try_divide -> NULL does."""
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows])
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    sc = candidates.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, q_mat))
-
+    id_type = queries.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("c_id", T.LongType()),
+            T.StructField("q_id", id_type),
+            T.StructField("c_id", id_type),
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _topk(
+            queries.sparkSession.createDataFrame([], schema=out_schema), k
+        )
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_mat = np.where(q_norms > 0, q_mat / q_norms, np.nan)
+    sc = candidates.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
 
     def score(batches):
         ids, mat = bq.value
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_mat @ mat.T  # |batch| x |Q|
+            c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c_mat = np.where(c_norms > 0, c_mat / c_norms, np.nan)
+            sims = np.round(c_mat @ mat.T, 6)  # round BEFORE any ranking
             frames = []
             for qi in range(len(ids)):
                 col = sims[:, qi]
-                mask = c_ids != ids[qi]
+                # drop self-pairs and NaN (zero-norm) pairs — the HOF path
+                # loses them via try_divide -> NULL
+                mask = (c_ids != ids[qi]) & np.isfinite(col)
+                if not mask.any():
+                    continue
                 order = np.lexsort((c_ids[mask], -col[mask]))[:k]
                 sel = np.flatnonzero(mask)[order]
                 frames.append(
                     pd.DataFrame(
-                        {
-                            "q_id": ids[qi],
-                            "c_id": c_ids[sel],
-                            "cos_sim": np.round(col[sel], 6),
-                        }
+                        {"q_id": ids[qi], "c_id": c_ids[sel], "cos_sim": col[sel]}
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
-    if candidates.rdd.getNumPartitions() < parallelism:
-        candidates = candidates.repartition(parallelism)
-    partial = candidates.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "c_id", "cos_sim", "rnk")
+    partial = _spread(candidates).select(id_col, vec_col).mapInPandas(
+        score, schema=out_schema
     )
+    return _topk(partial, k)

@@ -426,8 +426,6 @@ def _doc_oracle() -> str:
     "definition-tree traversal, and the dimension category joins.",
 )
 def q_search_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-
     from worker_spark.plans.search_documents import build_search_documents
     from worker_spark.schemas import CONCEPTS
 
@@ -486,7 +484,8 @@ def q_doc_build_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     places = spark.read.parquet(os.path.dirname(_PLACES))
     ap = spark.read.parquet(os.path.dirname(_AP))
     concepts = spark.createDataFrame(
-        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt")], schema=CONCEPTS
+        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt"), ("nn", "norr.", "norrønt")],
+        schema=CONCEPTS,
     )
     # links replicated to match the replicated article ids
     ap_big = (

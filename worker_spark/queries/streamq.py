@@ -32,35 +32,49 @@ from worker_spark.sources import load_table
     "batch tumbling-window aggregation.",
 )
 def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     events = load_table(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="stream_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    events.write.mode("overwrite").parquet(src_dir)
-
-    stream = spark.readStream.schema(
-        spark.read.parquet(src_dir).schema
-    ).parquet(src_dir)
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 minute"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-    )
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(sink).select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "streaming_event_window_counts: availableNow drain exceeded 300s"
+            )
+        # materialize off the memory sink so the temp view and source/
+        # checkpoint dirs can be dropped before returning
+        result = spark.table(sink).select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        ).localCheckpoint(eager=True)
+        return result
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
