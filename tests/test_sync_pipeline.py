@@ -336,3 +336,13 @@ def test_diff_null_values_still_classified(spark):
     got = {r["article_id"]: r["classification"] for r in classify_list_db_diff(lst, db).collect()}
     assert got[1] == "new"               # all-NULL list row is still list-present
     assert got[2] == "missing_inflight"  # NULL status is not idle
+
+
+def test_drain_budget_watermark():
+    """T2 budget = 3 x concurrency - queue depth, floored at 0
+    (src/outbox.rs:33,120-124)."""
+    assert OB.drain_budget(concurrency=4, queue_depth=0) == 12
+    assert OB.drain_budget(concurrency=4, queue_depth=10) == 2
+    assert OB.drain_budget(concurrency=4, queue_depth=12) == 0
+    assert OB.drain_budget(concurrency=4, queue_depth=99) == 0
+    assert OB.drain_budget(concurrency=1, queue_depth=0, watermark_multiplier=5) == 5

@@ -69,6 +69,15 @@ def append_jobs(outbox: DataFrame, new_jobs: DataFrame) -> DataFrame:
     return outbox.unionByName(stamped.select(*outbox.columns))
 
 
+def drain_budget(
+    concurrency: int, queue_depth: int, watermark_multiplier: int = 3
+) -> int:
+    """T2 backpressure budget (src/outbox.rs:33,120-124): the watermark is
+    ``multiplier x per-stage concurrency``; this tick may dispatch at most
+    ``watermark - current queue depth`` jobs (never negative)."""
+    return max(watermark_multiplier * concurrency - queue_depth, 0)
+
+
 def drain_budgeted(outbox: DataFrame, job_type: str, budget: int) -> DataFrame:
     """T2: FIFO take of up to ``budget`` unprocessed rows of one type
     (src/outbox.rs:176-182). Deterministic ORDER BY id."""
