@@ -346,3 +346,26 @@ def test_drain_budget_watermark():
     assert OB.drain_budget(concurrency=4, queue_depth=12) == 0
     assert OB.drain_budget(concurrency=4, queue_depth=99) == 0
     assert OB.drain_budget(concurrency=1, queue_depth=0, watermark_multiplier=5) == 5
+
+
+def test_snapshot_fingerprint_verification(spark, tmp_path):
+    """S12/S13 integrity: the manifest carries a content fingerprint per
+    table; restore verification passes on intact data and fails when the
+    snapshot is tampered with."""
+    out = str(tmp_path / "fsnaps")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    sid = S.snapshot_publish(str(tmp_path), out, {"t": df}, "2026-02-01T00:00:00")
+    S.verify_snapshot(spark, out, sid)  # intact -> passes
+
+    # fingerprint is order-insensitive: same content reshuffled matches
+    assert S.table_fingerprint(df.orderBy(F.desc("id"))) == S.table_fingerprint(df)
+    # but content changes are detected
+    assert S.table_fingerprint(df.withColumn("v", F.col("v") + 1)) != S.table_fingerprint(df)
+
+    # tamper: drop a row file's worth of data by rewriting the table
+    import os as _os
+
+    tdir = _os.path.join(out, sid, "t")
+    df.limit(50).write.mode("overwrite").parquet(tdir)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        S.verify_snapshot(spark, out, sid)

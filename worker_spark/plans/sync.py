@@ -409,6 +409,43 @@ class SettlednessGate:
         return (now - self._stable_since) >= self.settle_seconds
 
 
+def table_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a table: the sum of 64-bit
+    row hashes over canonicalized (JSON) rows, hex-encoded. The S12/S13
+    integrity check analog of the reference's dump SHA-256
+    (src/snapshot.rs:531-545, verified on restore by
+    docker-scripts/bootstrap.sh:163-200) — computed distributed, no
+    single-stream hashing bottleneck."""
+    total = (
+        df.select(
+            F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+            # DECIMAL(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows (and ANSI mode turns that into a hard error)
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        .agg(F.sum("h").alias("s"))
+        .collect()[0]["s"]
+    )
+    return format(int(total or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def verify_snapshot(spark, out_root: str, snapshot_id: str) -> None:
+    """S13 restore gate: recompute each table's fingerprint from the
+    written parquet and compare with the manifest; raise on mismatch."""
+    target = os.path.join(out_root, snapshot_id)
+    with open(os.path.join(target, "manifest.json")) as f:
+        manifest = json.load(f)
+    for name, meta in manifest["tables"].items():
+        df = spark.read.parquet(os.path.join(target, name))
+        actual = table_fingerprint(df)
+        if actual != meta["fingerprint"]:
+            raise ValueError(
+                f"snapshot {snapshot_id} table {name}: fingerprint mismatch "
+                f"(manifest {meta['fingerprint']}, actual {actual})"
+            )
+
+
 def snapshot_publish(
     store_root: str,
     out_root: str,
@@ -417,15 +454,19 @@ def snapshot_publish(
     retention: int = 3,
 ) -> str:
     """S12 (src/snapshot.rs:303-363,578-651): write each table under
-    ``{out_root}/{snapshot_id}/``, a manifest.json, refresh ``latest``,
-    prune to the newest ``retention`` snapshots (lexical id sort)."""
+    ``{out_root}/{snapshot_id}/``, a manifest.json with row counts and
+    content fingerprints, refresh ``latest``, prune to the newest
+    ``retention`` snapshots (lexical id sort)."""
     snapshot_id = cursor.replace(":", "-").replace("+", "Z")
     target = os.path.join(out_root, snapshot_id)
     manifest: dict[str, object] = {"cursor": cursor, "tables": {}}
     for name, df in tables.items():
         path = os.path.join(target, name)
         df.write.mode("overwrite").parquet(path)
-        manifest["tables"][name] = {"rows": df.count()}  # type: ignore[index]
+        manifest["tables"][name] = {  # type: ignore[index]
+            "rows": df.count(),
+            "fingerprint": table_fingerprint(df),
+        }
     with open(os.path.join(target, "manifest.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     latest = os.path.join(out_root, "latest")
