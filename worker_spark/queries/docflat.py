@@ -11,8 +11,14 @@ DuckDB lacks WITH ORDINALITY), first-occurrence dedup via min(ordinal),
 definition-tree traversal with a composite document-order sort key, and
 the category joins against the bibliography/places fixture parquet.
 
-The rows-only ``article_search_documents`` query keeps the production
-43-column array schema; this flat twin is the correctness proof.
+``article_search_documents`` keeps the production 43-column surface with
+every array field serialized via ``to_json`` — byte-identical between
+Spark's ``to_json(array<string>)`` and DuckDB's ``to_json(list(...))``
+(verified: raw UTF-8, ``\"``/``\\``/control escapes, no whitespace,
+``[]`` for empty) — so the flagship production schema is itself
+hash-checked, not just its CSV-flattened twin. ``doc_build_scale``
+replays the same oracle with the corpus replicated 1000x (the sf0.01
+replication factor) for a full-volume hash check of the throughput probe.
 """
 
 from __future__ import annotations
@@ -72,22 +78,33 @@ def _def_elements_union() -> str:
     return "\n        UNION ALL\n        ".join(parts)
 
 
-def _csv(name: str, rows_sql: str, dedup: bool, sep: str = ",") -> str:
+def _csv(name: str, rows_sql: str, dedup: bool, sep: str = ",", json: bool = False) -> str:
     """CTE producing (dictionary, id, csv) from rows (dictionary,id,ord,v);
-    dedup=True keeps first occurrence per value."""
+    dedup=True keeps first occurrence per value. json=True serializes the
+    ordered list as a JSON array string instead of a separator join —
+    byte-identical to Spark's to_json(array<string>) (verified: UTF-8 kept
+    raw, quotes escaped, no whitespace)."""
     if dedup:
+        agg = (
+            "to_json(list(v ORDER BY fo))::VARCHAR" if json
+            else f"string_agg(v, '{sep}' ORDER BY fo)"
+        )
         return f"""
     {name}_f AS (
         SELECT dictionary, id, v, min(ord) AS fo
         FROM ({rows_sql}) WHERE v IS NOT NULL AND v <> '' GROUP BY 1, 2, 3
     ),
     {name} AS (
-        SELECT dictionary, id, string_agg(v, '{sep}' ORDER BY fo) AS csv
+        SELECT dictionary, id, {agg} AS csv
         FROM {name}_f GROUP BY 1, 2
     )"""
+    agg = (
+        "to_json(list(v ORDER BY ord))::VARCHAR" if json
+        else f"string_agg(v, '{sep}' ORDER BY ord)"
+    )
     return f"""
     {name} AS (
-        SELECT dictionary, id, string_agg(v, '{sep}' ORDER BY ord) AS csv
+        SELECT dictionary, id, {agg} AS csv
         FROM ({rows_sql}) WHERE v IS NOT NULL AND v <> '' GROUP BY 1, 2
     )"""
 
@@ -150,7 +167,7 @@ def _bib_category_rows(cat: str) -> str:
     )
 
 
-def _bib_ctes() -> tuple[str, list[str]]:
+def _bib_ctes(json: bool = False) -> tuple[str, list[str]]:
     """CTEs joining each category's ordered ids against the bibliography
     dimension, emitting per-field first-occurrence-deduped CSVs."""
     ctes, cols = [], []
@@ -162,12 +179,12 @@ def _bib_ctes() -> tuple[str, list[str]]:
                 f"SELECT r.dictionary, r.id, r.ord, b.{field} AS v "
                 f"FROM ({rows}) r JOIN bib b ON b.bid = r.bid"
             )
-            ctes.append(_csv(name, joined, dedup=True))
+            ctes.append(_csv(name, joined, dedup=True, json=json))
             cols.append(name)
     return ",".join(ctes), cols
 
 
-def _place_ctes() -> tuple[str, list[str]]:
+def _place_ctes(json: bool = False) -> tuple[str, list[str]]:
     """Place categories from the article_place link parquet: ids sorted
     numerically within category (the pipeline's deterministic order; the
     union list is sorted per the reference, src/extraction.rs:695-696)."""
@@ -191,12 +208,20 @@ def _place_ctes() -> tuple[str, list[str]]:
                 f"SELECT r.dictionary, r.id, r.place_id AS ord, {expr} AS v "
                 f"FROM ({rows_base}) r JOIN pl p ON p.pid = r.place_id"
             )
-            ctes.append(_csv(name, joined, dedup=True))
+            ctes.append(_csv(name, joined, dedup=True, json=json))
             cols.append(name)
     return ",".join(ctes), cols
 
 
-def _doc_oracle() -> str:
+def _doc_oracle(json_arrays: bool = False, replicate: int | None = None) -> str:
+    """The generated DuckDB replay of the whole document build.
+
+    json_arrays=True serializes every array column as a JSON array string
+    (matching the Spark side's to_json canonicalization) instead of a
+    separator join; replicate=N replays the doc_build_scale corpus
+    replication (id + 1000*rep, rep in [0, N)) inside DuckDB.
+    """
+    j = json_arrays
     els = _def_elements_union()
     resolve = (
         "CASE WHEN si = 1 THEN '' "
@@ -213,12 +238,14 @@ def _doc_oracle() -> str:
             "SELECT a.dictionary, a.id, li AS ord, a.data.lemmas[li].lemma AS v "
             "FROM arts a, UNNEST(range(1, len(a.data.lemmas)+1)) AS t(li)",
             dedup=False,
+            json=j,
         ),
         _csv(
             "suggest_csv",
             "SELECT a.dictionary, a.id, si AS ord, a.data.suggest[si] AS v "
             "FROM arts a, UNNEST(range(1, len(a.data.suggest)+1)) AS t(si)",
             dedup=False,
+            json=j,
         ),
         _csv(
             "inflections_csv",
@@ -230,6 +257,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info)+1)) AS tp(pi), "
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info[pi].inflection)+1)) AS ti(ii)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "paradigm_tags_csv",
@@ -241,6 +269,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info)+1)) AS tp(pi), "
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info[pi].tags)+1)) AS tg(gi)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "inflection_tags_csv",
@@ -253,6 +282,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info[pi].inflection)+1)) AS ti(ii), "
             "UNNEST(range(1, len(a.data.lemmas[li].paradigm_info[pi].inflection[ii].tags)+1)) AS tg(gi)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "pronunciation_csv",
@@ -272,6 +302,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.body.dialect[di].subcats)+1)) AS tsc(si), "
             "UNNEST(range(1, len(a.data.body.dialect[di].subcats[si].forms)+1)) AS tf(fi)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "dialect_places_csv",
@@ -285,6 +316,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.body.dialect[di].subcats[si].forms)+1)) AS tf(fi), "
             "UNNEST(range(1, len(a.data.body.dialect[di].subcats[si].forms[fi].sources)+1)) AS to_(oi)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "etymology_languages_csv",
@@ -296,6 +328,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.body.etymology)+1)) AS te(ei), "
             "UNNEST(range(1, len(a.data.body.etymology[ei].items)+1)) AS ti(ii)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "written_forms_csv",
@@ -306,6 +339,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(a.data.body.written_form)+1)) AS tw(wi), "
             "UNNEST(range(1, len(a.data.body.written_form[wi].forms)+1)) AS tf(fi)",
             dedup=True,
+            json=j,
         ),
         _csv(
             "sub_article_lemmas_csv",
@@ -315,6 +349,7 @@ def _doc_oracle() -> str:
             "UNNEST(range(1, len(el.lemmas)+1)) AS tg(gi) "
             "WHERE el.type_ = 'sub_article'",
             dedup=True,
+            json=j,
         ),
         _csv(
             "definition_csv",
@@ -331,28 +366,29 @@ def _doc_oracle() -> str:
             sep=" ",
         ),
     ]
-    bib_ctes, bib_cols = _bib_ctes()
-    place_ctes, place_cols = _place_ctes()
+    bib_ctes, bib_cols = _bib_ctes(json=j)
+    place_ctes, place_cols = _place_ctes(json=j)
 
+    empty_arr = "'[]'" if j else "''"
     select_cols = [
         "a.dictionary || '_' || a.id::VARCHAR AS doc_id",
         "a.id AS article_id",
         "a.dictionary",
-        "coalesce(lemmas_csv.csv, '') AS lemmas",
-        "coalesce(suggest_csv.csv, '') AS suggest",
-        "coalesce(inflections_csv.csv, '') AS inflections",
-        "coalesce(paradigm_tags_csv.csv, '') AS paradigm_tags",
-        "coalesce(inflection_tags_csv.csv, '') AS inflection_tags",
+        f"coalesce(lemmas_csv.csv, {empty_arr}) AS lemmas",
+        f"coalesce(suggest_csv.csv, {empty_arr}) AS suggest",
+        f"coalesce(inflections_csv.csv, {empty_arr}) AS inflections",
+        f"coalesce(paradigm_tags_csv.csv, {empty_arr}) AS paradigm_tags",
+        f"coalesce(inflection_tags_csv.csv, {empty_arr}) AS inflection_tags",
         "coalesce(hs.v, FALSE) AS has_split_inf",
         "coalesce(etext.csv, '') AS etymology_text",
         "coalesce(pronunciation_csv.csv, '') AS pronunciation_text",
-        "coalesce(dialect_forms_csv.csv, '') AS dialect_forms",
-        "coalesce(dialect_places_csv.csv, '') AS dialect_places",
-        "coalesce(etymology_languages_csv.csv, '') AS etymology_languages",
+        f"coalesce(dialect_forms_csv.csv, {empty_arr}) AS dialect_forms",
+        f"coalesce(dialect_places_csv.csv, {empty_arr}) AS dialect_places",
+        f"coalesce(etymology_languages_csv.csv, {empty_arr}) AS etymology_languages",
         "coalesce(definition_csv.csv, '') AS definition_text",
         "coalesce(example_csv.csv, '') AS example_text",
-        "coalesce(written_forms_csv.csv, '') AS written_forms",
-        "coalesce(sub_article_lemmas_csv.csv, '') AS sub_article_lemmas",
+        f"coalesce(written_forms_csv.csv, {empty_arr}) AS written_forms",
+        f"coalesce(sub_article_lemmas_csv.csv, {empty_arr}) AS sub_article_lemmas",
     ]
     joins = [
         f"LEFT JOIN {n} ON {n}.dictionary = a.dictionary AND {n}.id = a.id"
@@ -364,16 +400,30 @@ def _doc_oracle() -> str:
         ]
     ]
     for n in bib_cols + place_cols:
-        select_cols.append(f"coalesce({n}.csv, '') AS {n}")
+        select_cols.append(f"coalesce({n}.csv, {empty_arr}) AS {n}")
         joins.append(f"LEFT JOIN {n} ON {n}.dictionary = a.dictionary AND {n}.id = a.id")
+
+    if replicate is None:
+        arts_cte = f"SELECT dictionary, id, data FROM read_parquet('{_ARTS}')"
+        ap_cte = f"SELECT dictionary, article_id, place_id, context FROM read_parquet('{_AP}')"
+    else:
+        # doc_build_scale replication: id + 1000*rep, rep in [0, replicate)
+        arts_cte = (
+            f"SELECT dictionary, id + 1000*r AS id, data "
+            f"FROM read_parquet('{_ARTS}'), UNNEST(range({replicate})) AS tr(r)"
+        )
+        ap_cte = (
+            f"SELECT dictionary, article_id + 1000*r AS article_id, place_id, context "
+            f"FROM read_parquet('{_AP}'), UNNEST(range({replicate})) AS tr(r)"
+        )
 
     return f"""
     WITH arts AS (
-        SELECT dictionary, id, data FROM read_parquet('{_ARTS}')
+        {arts_cte}
     ),
     bib AS (SELECT id AS bid, code, author, title, year FROM read_parquet('{_BIB}')),
     pl AS (SELECT id AS pid, place_name, place_name_full, place_type FROM read_parquet('{_PLACES}')),
-    ap AS (SELECT dictionary, article_id, place_id, context FROM read_parquet('{_AP}')),
+    ap AS ({ap_cte}),
     els AS (
         {els}
     ),
@@ -415,6 +465,62 @@ def _doc_oracle() -> str:
 # Spark side
 # --------------------------------------------------------------------------
 
+# the 35 array<string> columns of the production 43-column document schema
+_ARR_COLS = [
+    "lemmas", "suggest", "inflections", "paradigm_tags", "inflection_tags",
+    "dialect_forms", "dialect_places", "etymology_languages", "written_forms",
+    "sub_article_lemmas",
+] + [
+    f"{cat}_{f}s"
+    for cat in ("older_source", "written_form_source", "attestation_source", "bibliography")
+    for f in ("code", "author", "title", "year")
+] + [
+    f"{cat}_{f}s"
+    for cat in ("dialect_place", "attestation_place", "place")
+    for f in ("name", "code", "type")
+]
+
+
+def _json_canon(docs: DataFrame) -> DataFrame:
+    """Serialize every array column as a compact JSON string (driver-
+    canonicalization-safe; byte-identical to the oracle's to_json(list))."""
+    return docs.withColumns(
+        {
+            c: F.to_json(F.coalesce(F.col(c), F.array().cast("array<string>")))
+            for c in _ARR_COLS
+        }
+    )
+
+
+def _fixture_inputs(spark: SparkSession):
+    from worker_spark.schemas import CONCEPTS
+
+    arts = spark.read.parquet(os.path.dirname(_ARTS))
+    bib = spark.read.parquet(os.path.dirname(_BIB))
+    places = spark.read.parquet(os.path.dirname(_PLACES))
+    ap = spark.read.parquet(os.path.dirname(_AP))
+    concepts = spark.createDataFrame(
+        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt"), ("nn", "norr.", "norrønt")],
+        schema=CONCEPTS,
+    )
+    return arts, bib, places, ap, concepts
+
+
+@register(
+    "article_search_documents",
+    _doc_oracle(json_arrays=True),
+    doc="§3.3 reindex flagship: fixture articles x bibliography x places x "
+    "concepts -> the production 43-column search-document table "
+    "(src/meili.rs:187-252), every array field to_json-serialized so the "
+    "production schema itself hash-checks against the generated DuckDB "
+    "replay (plus goldens in tests/test_search_documents.py).",
+)
+def q_article_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.plans.search_documents import build_search_documents
+
+    arts, bib, places, ap, concepts = _fixture_inputs(spark)
+    return _json_canon(build_search_documents(arts, bib, places, ap, concepts))
+
 
 @register(
     "search_documents_flat",
@@ -427,65 +533,43 @@ def _doc_oracle() -> str:
 )
 def q_search_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.plans.search_documents import build_search_documents
-    from worker_spark.schemas import CONCEPTS
 
-    arts = spark.read.parquet(os.path.dirname(_ARTS))
-    bib = spark.read.parquet(os.path.dirname(_BIB))
-    places = spark.read.parquet(os.path.dirname(_PLACES))
-    ap = spark.read.parquet(os.path.dirname(_AP))
-    concepts = spark.createDataFrame(
-        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt"), ("nn", "norr.", "norrønt")],
-        schema=CONCEPTS,
-    )
+    arts, bib, places, ap, concepts = _fixture_inputs(spark)
     docs = build_search_documents(arts, bib, places, ap, concepts)
-    arr_cols = [
-        "lemmas", "suggest", "inflections", "paradigm_tags", "inflection_tags",
-        "dialect_forms", "dialect_places", "etymology_languages", "written_forms",
-        "sub_article_lemmas",
-    ] + [
-        f"{cat}_{f}s"
-        for cat in ("older_source", "written_form_source", "attestation_source", "bibliography")
-        for f in ("code", "author", "title", "year")
-    ] + [
-        f"{cat}_{f}s"
-        for cat in ("dialect_place", "attestation_place", "place")
-        for f in ("name", "code", "type")
-    ]
-    out = docs
-    for c in arr_cols:
-        out = out.withColumn(c, F.array_join(F.col(c), ","))
-    return out
+    return docs.withColumns({c: F.array_join(F.col(c), ",") for c in _ARR_COLS})
+
+
+def _scale_copies(sf_dir: str) -> int:
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.01"
+    return max(int(float(sf) * 100_000), 100)  # sf0.1 -> 10_000 copies x 7 arts
+
+
+# the driver replays oracles at sf0.01 — the oracle replication MUST equal
+# _scale_copies(".../sf0.01")
+_SCALE_ORACLE_COPIES = 1000
+assert _scale_copies("/x/sf0.01") == _SCALE_ORACLE_COPIES
 
 
 @register(
     "doc_build_scale",
-    None,
+    _doc_oracle(json_arrays=True, replicate=_SCALE_ORACLE_COPIES),
     doc="Domain-pipeline throughput probe: the fixture corpus replicated "
     "to ~10k articles/sf-unit (distinct ids, same nested payloads) pushed "
-    "through the full extraction + dimension-join document build. "
-    "Rows-only (synthetic replication); its purpose is the BENCH number — "
+    "through the full extraction + dimension-join document build. The "
+    "DuckDB oracle replays the same 1000x replication (the sf0.01 factor) "
+    "so the full-volume output hash-checks; the BENCH number is "
     "documents/second through the flagship pipeline.",
 )
 def q_doc_build_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.plans.search_documents import build_search_documents
-    from worker_spark.schemas import CONCEPTS
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.01"
-    copies = max(int(float(sf) * 100_000), 100)  # sf0.1 -> 10_000 copies x 7 arts
-
-    arts = spark.read.parquet(os.path.dirname(_ARTS))
+    copies = _scale_copies(sf_dir)
+    arts, bib, places, ap, concepts = _fixture_inputs(spark)
     big = (
         arts.crossJoin(F.broadcast(spark.range(copies).select(F.col("id").alias("_rep"))))
         .withColumn("id", F.col("id") + F.col("_rep") * 1000)
         .drop("_rep")
         .repartition(spark.sparkContext.defaultParallelism)
-    )
-    bib = spark.read.parquet(os.path.dirname(_BIB))
-    places = spark.read.parquet(os.path.dirname(_PLACES))
-    ap = spark.read.parquet(os.path.dirname(_AP))
-    concepts = spark.createDataFrame(
-        [("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt"), ("nn", "norr.", "norrønt")],
-        schema=CONCEPTS,
     )
     # links replicated to match the replicated article ids
     ap_big = (
@@ -493,4 +577,4 @@ def q_doc_build_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("article_id", F.col("article_id") + F.col("_rep") * 1000)
         .drop("_rep")
     )
-    return build_search_documents(big, bib, places, ap_big, concepts)
+    return _json_canon(build_search_documents(big, bib, places, ap_big, concepts))

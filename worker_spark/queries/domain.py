@@ -72,20 +72,6 @@ def _fixture_frames(spark: SparkSession):
 
 
 @register(
-    "article_search_documents",
-    None,
-    doc="§3.3 reindex slice: fixture articles x bibliography x places x "
-    "concepts -> the 45-field search-document table (src/meili.rs:187-252). "
-    "Golden-asserted in tests/test_search_documents.py; rows-only here.",
-)
-def q_article_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from worker_spark.plans.search_documents import build_search_documents
-
-    arts, bib, places, ap, concepts = _fixture_frames(spark)
-    return build_search_documents(arts, bib, places, ap, concepts)
-
-
-@register(
     "inline_ref_parse",
     None,
     doc="F1/F2 inline-reference parsing with byte offsets over the "
