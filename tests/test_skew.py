@@ -44,6 +44,37 @@ def test_short_document_shingles_empty(spark):
     assert got == {4: "a b c"}
 
 
+def test_stop_shingle_df_cap_bounds_candidates(spark):
+    """A shingle shared by every document must NOT drive O(n^2) pair fan-out:
+    with the df cap on, the hot shingle is dropped pre-join, pairs come only
+    from sub-cap shingles, and jaccard is exact over the capped universe."""
+    from worker_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "felles frasen her"  # one 3-gram present in EVERY document
+    docs = spark.createDataFrame(
+        # 60 docs sharing only the hot shingle + 2 true near-dups
+        [(i, f"{common} unik{i} tekst{i} nr{i}") for i in range(60)]
+        + [(100, f"{common} delt tekst her og der"), (101, f"{common} delt tekst her og nu")],
+        schema="doc_id: bigint, text: string",
+    )
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, shingle_df_cap=None)
+    # every pair shares the hot shingle -> full 62*61/2 pair blow-up
+    assert uncapped.count() == 62 * 61 // 2
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, shingle_df_cap=10).cache()
+    rows = capped.collect()
+    # only the true near-dup pair survives: candidate count is bounded by
+    # sub-cap shingle co-occurrence, not corpus size
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(100, 101)}
+    (pair,) = rows
+    # jaccard exact over the capped universe: 6 shingles per doc, the hot
+    # one dropped -> 5 each, 4 shared -> 4/(5+5-4)
+    assert pair["n_inter"] == 4
+    assert pair["jaccard"] == round(4 / 6, 6)
+    spark.catalog.clearCache()
+
+
 def test_multitable_lsh_recall_beats_single_table(spark):
     """ANN quality metric: recall@10 of multi-table LSH vs the single-
     signature baseline, against brute-force ground truth at sf0.001."""

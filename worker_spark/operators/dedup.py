@@ -13,11 +13,17 @@ DuckDB oracle (worker_spark.queries.dedup):
 
 Scale notes: every stage is a hash-shuffle on a derived key (content hash,
 shingle, band key, byte band) — no cross join ever materializes the full
-pair space. Candidate pairs are bounded by bucket co-occupancy, the standard
-LSH trade-off; band/row counts (4x4 over 16 perms) follow the usual
-s-curve so ~0.5+ Jaccard pairs are found w.h.p. At 100 TB the same plan
-holds: shingling is a generator-explode (no driver state), signatures are
-a single groupBy, and band joins are equi-joins AQE can handle.
+pair space. The n-gram Jaccard path additionally caps shingle document
+frequency before its self-join (stop-shingles are the one input that can
+blow up an equi-join; see ngram_jaccard_pairs). Candidate pairs are bounded
+by bucket co-occupancy, the standard LSH trade-off. The 4x4-band/16-perm
+s-curve has its midpoint at (1/4)^(1/4) ~= 0.71: pairs with Jaccard ~0.7+
+are found w.h.p., while a pair at exactly 0.5 is caught with only ~23%
+probability — callers needing high recall at 0.5 should re-band 8x2 over
+the same 16 perms (midpoint ~0.35) at the cost of a wider band join. At
+100 TB the same plan holds: shingling is a generator-explode (no driver
+state), signatures are a single groupBy, and band joins are equi-joins AQE
+can handle.
 
 The shingle hash is engine-portable: ``conv(substr(md5(sh),1,14),16,10)``
 (56 bits, exact in BIGINT/DOUBLE-free integer math) reduced mod the
@@ -152,11 +158,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_df_cap: int | None = 1000,
 ) -> DataFrame:
     """All document pairs sharing >=1 shingle, with exact Jaccard similarity
     over distinct word n-grams; keeps pairs with jaccard >= threshold.
-    Pair generation is shingle-equi-join (never a cross join)."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
+    Pair generation is shingle-equi-join (never a cross join).
+
+    ``shingle_df_cap`` bounds the equi-join fan-out: a shingle occurring in
+    df documents generates O(df^2) candidate rows, so one "stop-shingle"
+    present in 10^5 docs would alone emit 10^10 join rows at scale. Shingles
+    with document frequency > cap are dropped BEFORE the self-join (the
+    standard stop-shingle treatment), and per-doc sizes are computed over
+    the same capped shingle universe, so the reported jaccard is exact over
+    that universe. Ubiquitous shingles carry almost no pair information —
+    near-identical documents still share many sub-cap shingles. Pass
+    ``None`` to disable (exact small-corpus semantics); the per-pair work
+    is then unbounded in the hottest shingle's df."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if shingle_df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > shingle_df_cap)
+            .select("shingle")
+        )
+        # hot set is tiny by construction (<= n_docs/cap distinct shingles
+        # can exceed the cap); left_anti equi-join, AQE broadcasts it
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.cache()
     sh.count()  # materialize before the three downstream scans (see minhash)
     return _jaccard_verify(sh, threshold).select("id_a", "id_b", "n_inter", "jaccard")
 
@@ -233,7 +262,12 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
-    verified with exact shingle Jaccard >= threshold."""
+    verified with exact shingle Jaccard >= threshold.
+
+    Recall note: with 4x4 banding the s-curve midpoint is ~0.71, so the
+    default threshold=0.5 keeps only verified-true pairs but does NOT find
+    all 0.5-Jaccard pairs (~23% each). For near-complete recall either set
+    threshold ~0.7+, or re-band 8x2 (see module docstring)."""
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).cache()
     # Materialize the cache before fanning out: the shingle subtree feeds four
     # branches of ONE action, and concurrent scans of an unmaterialized

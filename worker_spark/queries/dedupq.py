@@ -44,27 +44,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+_NGRAM_DF_CAP = 1000  # stop-shingle document-frequency cap (both engines)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CTE},
+    keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+    ),
+    shc AS (
+        SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ),
+    sizes_c AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
     inter AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.id = id_a
-    JOIN sizes sb ON sb.id = id_b
+    JOIN sizes_c sa ON sa.id = id_a
+    JOIN sizes_c sb ON sb.id = id_b
     WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
     """,
     doc="Word-3-gram Jaccard near-dup pairs via shingle equi-join "
-    "(no cross join); threshold 0.2.",
+    "(no cross join); threshold 0.2. Shingles with document frequency "
+    f"> {_NGRAM_DF_CAP} are dropped pre-join in BOTH engines (stop-shingle "
+    "cap bounding the O(df^2) equi-join fan-out; jaccard is exact over the "
+    "capped shingle universe).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_df_cap=_NGRAM_DF_CAP,
+    )
 
 
 def _minhash_oracle() -> str:

@@ -3,72 +3,19 @@ fixture corpus ported from its unit tests (worker_spark/fixtures.py).
 
 article_analysis reads the committed fixture parquet (fixture_data/) so
 its DuckDB oracle can replay the extraction over the same nested structs
-(hash-checked). The doc-build and inline-ref queries stay rows-only —
-their oracles would require reimplementing the template interpolation /
-offset regex in SQL — with full golden assertions in
-tests/test_extraction.py and tests/test_search_documents.py.
+(hash-checked). inline_ref_codes oracles the SQL-expressible projection of
+the inline-ref parse; only the byte offsets (inline_ref_parse) stay
+rows-only, pinned by the goldens in tests/test_extraction.py.
 """
 
 from __future__ import annotations
 
-import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from worker_spark.queries import register
-from worker_spark.schemas import (
-    ARTICLE_DATA,
-    ARTICLE_PLACE,
-    BIBLIOGRAPHY,
-    CONCEPTS,
-    PLACES,
-)
-
-_TS = datetime.datetime(2026, 1, 1)
-
-
-def _fixture_frames(spark: SparkSession):
-    from worker_spark import fixtures as FX
-
-    arts = spark.createDataFrame(
-        [
-            ("no", 1, FX.DEEP_ARTICLE),
-            ("no", 4, FX.BIBLIOGRAPHY_ARTICLE),
-            ("bm", 2, FX.NOUN_DUAL_PARADIGM),
-            ("bm", 5, FX.ETYMOLOGY_TEMPLATE),
-            ("nn", 3, {}),
-            ("nn", 6, FX.VERB_SPLIT_INF),
-            ("no", 8, FX.DIALECT_SHOW_FILTER),
-        ],
-        schema=f"dictionary: string, id: bigint, data: {ARTICLE_DATA.simpleString()}",
-    )
-    bib = spark.createDataFrame(
-        [(i, c, a, t, y, [], _TS, "idle", _TS) for (i, c, a, t, y) in FX.BIB_ROWS]
-        + [(300, "AttCode", "Att Author", "", "1900", [], _TS, "idle", _TS)],
-        schema=BIBLIOGRAPHY,
-    )
-    places = spark.createDataFrame(
-        [
-            (11, "Nordfjell", "Nordfjell i Fjella", "bygd", None, 0, None, 0, _TS, "idle", _TS),
-            (12, "Sørdal", "", "dal", 11, 1, "4601", 0, _TS, "idle", _TS),
-            (13, "Vestmark", "Vestmark ytre", "mark", None, 0, None, 0, _TS, "idle", _TS),
-        ],
-        schema=PLACES,
-    )
-    article_place = spark.createDataFrame(
-        [
-            ("no", 1, 11, "dialect"),
-            ("no", 1, 12, "dialect"),
-            ("no", 1, 11, "attestation"),
-            ("no", 1, 13, "attestation"),
-            ("no", 8, 11, "dialect"),
-        ],
-        schema=ARTICLE_PLACE,
-    )
-    concepts = spark.createDataFrame([("no", "norr.", "norrønt"), ("bm", "norr.", "norrønt")], schema=CONCEPTS)
-    return arts, bib, places, article_place, concepts
 
 
 @register(
@@ -80,24 +27,100 @@ def _fixture_frames(spark: SparkSession):
     "in tests/test_extraction.py; rows-only here.",
 )
 def q_inline_ref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from worker_spark import fixtures as FX
-    from worker_spark.functions.inline_refs import inline_refs_udf
-
-    quotes = spark.createDataFrame(
-        [("no", 100 + i, q) for i, (q, _) in enumerate(FX.QUOTE_CASES)],
-        schema="dictionary: string, article_id: bigint, quote_content: string",
-    )
-    return quotes.select(
-        "dictionary",
-        "article_id",
-        "quote_content",
-        F.explode(inline_refs_udf("quote_content")).alias("r"),
-    ).select(
+    df = _inline_ref_rows(spark)
+    return df.select(
         "dictionary",
         "article_id",
         "quote_content",
         F.col("r.offset_start").alias("offset_start"),
         F.col("r.offset_end").alias("offset_end"),
+        F.col("r.code").alias("code"),
+        F.col("r.spec").alias("spec"),
+    )
+
+
+def _quote_corpus(spark: SparkSession) -> DataFrame:
+    from worker_spark import fixtures as FX
+
+    return spark.createDataFrame(
+        [("no", 100 + i, q) for i, (q, _) in enumerate(FX.QUOTE_CASES)],
+        schema="dictionary: string, article_id: bigint, quote_content: string",
+    )
+
+
+def _inline_ref_rows(spark: SparkSession) -> DataFrame:
+    from worker_spark.functions.inline_refs import inline_refs_udf
+
+    quotes = _quote_corpus(spark)
+    return quotes.select(
+        "dictionary",
+        "article_id",
+        "quote_content",
+        F.posexplode(inline_refs_udf("quote_content")).alias("ref_ix", "r"),
+    )
+
+
+def _inline_ref_codes_oracle() -> str:
+    """DuckDB replay of the F1/F2 parse minus byte offsets: the candidate
+    regex, ';' segment split, first-space (code, spec) split, and the
+    uppercase-initial code gate are all SQL-expressible; the quote corpus is
+    inlined as VALUES (it is the reference's own literal test corpus)."""
+    from worker_spark import fixtures as FX
+
+    assert not any("'" in q for q, _ in FX.QUOTE_CASES)
+    values = ",\n        ".join(
+        f"('no', {100 + i}, '{q}')" for i, (q, _) in enumerate(FX.QUOTE_CASES)
+    )
+    return f"""
+    WITH quotes(dictionary, article_id, quote_content) AS (
+        VALUES {values}
+    ),
+    inners AS (
+        SELECT dictionary, article_id, quote_content,
+               regexp_extract_all(quote_content, '(?:\\S| )\\(([^)]+)\\)', 1) AS inner_list
+        FROM quotes
+    ),
+    segs AS (
+        SELECT dictionary, article_id, quote_content, mi, si,
+               trim(string_split(inner_list[mi], ';')[si]) AS seg
+        FROM inners,
+             UNNEST(range(1, len(inner_list)+1)) AS tm(mi),
+             UNNEST(range(1, len(string_split(inner_list[mi], ';'))+1)) AS ts(si)
+    ),
+    parsed AS (
+        SELECT dictionary, article_id, quote_content, mi, si,
+               CASE WHEN position(' ' IN seg) = 0 THEN seg
+                    ELSE seg[1:position(' ' IN seg)-1] END AS code,
+               CASE WHEN position(' ' IN seg) = 0 THEN NULL
+                    ELSE nullif(trim(seg[position(' ' IN seg)+1:]), '') END AS spec
+        FROM segs WHERE seg <> ''
+    )
+    SELECT dictionary, article_id, quote_content,
+           (row_number() OVER (PARTITION BY dictionary, article_id
+                               ORDER BY mi, si) - 1)::INT AS ref_ix,
+           code, spec
+    FROM parsed
+    WHERE regexp_matches(code, '^[A-Z]')
+    ORDER BY article_id, ref_ix
+    """
+
+
+@register(
+    "inline_ref_codes",
+    _inline_ref_codes_oracle(),
+    doc="F1/F2 inline-reference parsing, the SQL-expressible projection "
+    "(per-quote ref sequence, code, spec — everything except byte offsets, "
+    "which stay pinned by the tests/test_extraction.py goldens from "
+    "src/extraction.rs:1086-1151): DuckDB replays the candidate regex, "
+    "segment split, first-space code/spec split and uppercase gate.",
+)
+def q_inline_ref_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _inline_ref_rows(spark)
+    return df.select(
+        "dictionary",
+        "article_id",
+        "quote_content",
+        F.col("ref_ix").cast("int").alias("ref_ix"),
         F.col("r.code").alias("code"),
         F.col("r.spec").alias("spec"),
     )
