@@ -117,6 +117,27 @@ def test_parse_article_list_malformed_id_dropped_under_ansi(spark):
     assert got[7]["revision"] == 0  # malformed revision defaults, row kept
 
 
+def test_parse_article_list_json_type_parity(spark):
+    """parse_article_list_entry parity (src/extraction.rs:160-181): the id
+    must be a JSON *integer* (as_i64 — string "123" and float 1.5 drop the
+    row); a string revision coerces to 0, not its numeric value; non-string
+    lemma/updated_at become ''."""
+    df = spark.createDataFrame(
+        [
+            ("no", '["123", "lemma"]'),  # string id -> dropped
+            ("no", "[1.5]"),  # float id -> dropped
+            ("no", '[9, "lem", "7", "t"]'),  # string revision -> 0
+            ("no", "[10, 42, 3, 99]"),  # non-string lemma/updated -> ''
+        ],
+        schema="dictionary: string, value: string",
+    )
+    got = {r["article_id"]: r for r in parse_article_list(df).collect()}
+    assert set(got) == {9, 10}
+    assert got[9]["revision"] == 0
+    assert got[10]["primary_lemma"] == "" and got[10]["updated_at"] == ""
+    assert got[10]["revision"] == 3
+
+
 def test_parse_articles_json_polymorphic_form(spark):
     """Raw JSON ingest: the string-or-object dialect form normalizes to the
     typed schema and the extraction layer sees identical results for both

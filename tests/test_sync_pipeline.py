@@ -273,6 +273,35 @@ def test_state_store_upsert(spark, tmp_path):
     assert got == {1: (1, "idle"), 2: (5, "pending_index"), 3: (1, "idle")}
 
 
+def test_state_store_recovers_lost_swap(spark, tmp_path):
+    """A crash between write()'s two renames leaves the table dir missing
+    but its contents under .old-*. read()/exists() must restore it rather
+    than silently returning an empty (reset) table; an orphaned .tmp-* is
+    an uncommitted write and is rolled back."""
+    import os as _os
+    import shutil as _shutil
+
+    root = str(tmp_path / "state")
+    store = ParquetStateStore(spark, root)
+    a1 = _articles(spark, [("no", 1, 1, "t1", "idle"), ("no", 2, 1, "t2", "idle")])
+    store.write("articles", a1)
+
+    # simulate the crash window: final renamed away, tmp never moved in
+    final = _os.path.join(root, "articles")
+    _os.rename(final, final + ".old-deadbeef")
+    _shutil.copytree(final + ".old-deadbeef", final + ".tmp-cafe0000")
+
+    assert store.exists("articles")  # recovery ran
+    got = {r["id"] for r in store.read("articles").collect()}
+    assert got == {1, 2}
+    leftovers = [n for n in _os.listdir(root) if ".old-" in n or ".tmp-" in n]
+    assert leftovers == []
+
+    # a table that never existed still reads empty (no false recovery)
+    empty = store.read("nonexistent", schema=a1.schema)
+    assert empty.count() == 0
+
+
 def test_sweep_stale(spark):
     old = datetime.datetime(2020, 1, 1)
     arts = spark.createDataFrame(

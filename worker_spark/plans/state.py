@@ -44,12 +44,38 @@ class ParquetStateStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _recover(self, table: str) -> None:
+        """Heal a crash mid-swap. write() swaps via two renames (final ->
+        .old-*, then .tmp-* -> final); a crash between them leaves the
+        table dir missing but its full previous contents intact under
+        .old-*. Restore that dir so a lost swap can never be silently
+        read as an empty (reset) table; once a live dir exists, clear
+        stale .old-*/.tmp-* siblings (an orphan .tmp-* is an uncommitted
+        write and is correctly rolled back)."""
+        final = self._path(table)
+        base = os.path.basename(final)
+        try:
+            siblings = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        olds = sorted(n for n in siblings if n.startswith(f"{base}.old-"))
+        tmps = [n for n in siblings if n.startswith(f"{base}.tmp-")]
+        if not os.path.exists(final) and olds:
+            os.rename(os.path.join(self.root, olds[0]), final)
+            olds = olds[1:]
+        if os.path.exists(final):
+            for n in olds + tmps:
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return os.path.exists(self._path(table))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        self._recover(table)
         path = self._path(table)
         if not os.path.exists(path):
+            # genuinely never created (recovery found no displaced dir)
             if schema is None:
                 raise FileNotFoundError(path)
             return self.spark.createDataFrame([], schema=schema)
@@ -59,7 +85,9 @@ class ParquetStateStore:
         return reader.parquet(path)
 
     def write(self, table: str, df: DataFrame) -> None:
-        """Atomic replace: write to a temp dir, swap directories."""
+        """Atomic replace: write to a temp dir, swap directories. The swap
+        window between the two renames is healed by _recover()."""
+        self._recover(table)
         final = self._path(table)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)

@@ -463,9 +463,15 @@ def snapshot_publish(
     for name, df in tables.items():
         path = os.path.join(target, name)
         df.write.mode("overwrite").parquet(path)
+        # count + fingerprint from the parquet just written, NOT the lazy
+        # input plan: re-executing the plan could see concurrently-swapped
+        # upstream state (or nondeterminism) and publish a manifest that
+        # does not describe the data on disk — and it runs the pipeline
+        # once instead of three times.
+        written = df.sparkSession.read.parquet(path)
         manifest["tables"][name] = {  # type: ignore[index]
-            "rows": df.count(),
-            "fingerprint": table_fingerprint(df),
+            "rows": written.count(),
+            "fingerprint": table_fingerprint(written),
         }
     with open(os.path.join(target, "manifest.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)

@@ -21,18 +21,31 @@ from pyspark.sql import functions as F
 
 def parse_article_list(raw: DataFrame, json_col: str = "value", dictionary_col: str = "dictionary") -> DataFrame:
     """Parse positional list rows from a DataFrame of JSON-line strings
-    (one array per line). Defaults: lemma '' / revision 0 / updated ''."""
-    arr = F.from_json(F.col(json_col), "array<string>")
-    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast on
-    # a malformed element would abort the job instead of dropping the row
+    (one array per line). Defaults: lemma '' / revision 0 / updated ''.
+
+    JSON-type parity with parse_article_list_entry (src/extraction.rs:
+    160-181): the row is parsed as VARIANT and each field is gated on its
+    actual JSON type, because try_variant_get COERCES across types.
+    article_id must be a JSON integer ("123" / 1.5 -> row dropped, like
+    as_i64); revision must be a JSON integer else 0 ("7" -> 0, not 7);
+    lemma/updated_at must be JSON strings else '' (like as_str)."""
+    v = F.try_parse_json(F.col(json_col))
+
+    def el(i: int) -> Column:
+        return F.try_variant_get(v, f"$[{i}]", "variant")
+
+    def as_i64(c: Column) -> Column:
+        return F.when(F.schema_of_variant(c) == "BIGINT", F.try_variant_get(c, "$", "long"))
+
+    def as_str(c: Column) -> Column:
+        return F.when(F.schema_of_variant(c) == "STRING", F.try_variant_get(c, "$", "string"))
+
     parsed = raw.select(
         F.col(dictionary_col).alias("dictionary"),
-        F.try_element_at(arr, F.lit(1)).try_cast("long").alias("article_id"),
-        F.coalesce(F.try_element_at(arr, F.lit(2)), F.lit("")).alias("primary_lemma"),
-        F.coalesce(F.try_element_at(arr, F.lit(3)).try_cast("long"), F.lit(0)).alias(
-            "revision"
-        ),
-        F.coalesce(F.try_element_at(arr, F.lit(4)), F.lit("")).alias("updated_at"),
+        as_i64(el(0)).alias("article_id"),
+        F.coalesce(as_str(el(1)), F.lit("")).alias("primary_lemma"),
+        F.coalesce(as_i64(el(2)), F.lit(0)).alias("revision"),
+        F.coalesce(as_str(el(3)), F.lit("")).alias("updated_at"),
     )
     return parsed.filter(F.col("article_id").isNotNull())
 

@@ -44,12 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
         # rejects; read it as raw nanos and convert to a micros timestamp
         # (exact: the driver generator emits whole-microsecond values).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+        # The legacy conf is scoped to this read and restored — leaving it
+        # set would silently turn every later nanos-timestamp parquet read
+        # on the shared session into bigint columns. (The plan built here
+        # stays valid: the conf is captured at analysis time.)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prior: str | None = spark.conf.get(conf_key)
+        except Exception:
+            prior = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
         return df
     return spark.read.parquet(path)
 
