@@ -39,6 +39,31 @@ HEADLINE = [
 ]
 
 
+# Round-1 anchor (BENCH_r01.json, sf0.1, local[32], host ±30% noise): the
+# regression baseline each later round compares against mechanically.
+R1_ANCHOR = {
+    "pricing_summary": 0.587,
+    "top_revenue_orders": 3.828,
+    "revenue_by_nation": 1.071,
+    "orders_with_returns": 0.566,
+    "customer_any_return": 0.695,
+    "sync_diff_classify": 0.758,
+    "event_journey": 0.251,
+    "outbox_drain_cap": 0.375,
+    "doc_token_stats": 0.248,
+    "dedup_minhash_lsh": 6.289,
+    "dedup_simhash": 4.699,
+    "similarity_cosine_topk": 1.259,
+    "similarity_lsh_ann": 2.036,
+    "dedup_embedding_blocked": 1.813,
+    "multimodal_features": 0.374,
+    "event_value_percentiles": 0.201,
+    "reverse_invalidation": 0.584,
+    "doc_build_scale": 2.84,
+}
+R1_TOTAL = 28.474
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -70,13 +95,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    if abs((float(sf) if sf else 0) - 0.1) < 1e-9:
+        # regression ratios vs the round-1 anchor (only meaningful at the
+        # anchor's scale factor); >1 = slower than round 1
+        out["vs_r1"] = {
+            n: round(t / R1_ANCHOR[n], 2) for n, t in timings.items() if n in R1_ANCHOR
+        }
+        out["total_vs_r1"] = round(total / R1_TOTAL, 3)
     print(json.dumps(out))
     spark.stop()
 

@@ -119,3 +119,34 @@ def test_diff_classifier_partition_property(spark):
         r["article_id"] for r in rows if r["classification"] in ("new", "changed")
     }
     assert fetch == expect
+
+
+def test_sweep_determinism_under_repartitioning(spark):
+    """O2/T4: repeated sweeps must select the SAME batch regardless of the
+    input's physical partitioning — the deterministic (status_changed_at,
+    id) order is what turns the reference's unordered LIMIT into a
+    replayable sweep. Ties on status_changed_at are broken by id, so even
+    a fully tied corpus sweeps identically."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from worker_spark.plans.outbox import stale_pending
+
+    old = datetime.datetime(2020, 1, 1)
+    # 50 stale rows, ALL tied on status_changed_at except two later ones
+    rows = [("no", i, "pending_fetch", old) for i in range(50)] + [
+        ("no", 100, "pending_fetch", old + datetime.timedelta(seconds=1)),
+        ("no", 101, "idle", old),
+    ]
+    base = spark.createDataFrame(
+        rows, schema="dictionary: string, id: bigint, sync_status: string, status_changed_at: timestamp"
+    )
+    batches = []
+    for n_parts, seed in [(1, 0), (7, 1), (32, 2), (3, 3)]:
+        shuffled = base.repartition(n_parts, F.pmod(F.col("id") * (seed + 13), F.lit(n_parts)))
+        got = [r["id"] for r in stale_pending(shuffled, "pending_fetch", limit=20).collect()]
+        batches.append(got)
+    assert all(b == batches[0] for b in batches), batches
+    assert len(batches[0]) == 20 and batches[0] == sorted(batches[0])
+    assert 100 not in batches[0]  # later-stamped row sorts after the tied block

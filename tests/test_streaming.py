@@ -90,6 +90,59 @@ def test_queue_depth_stats_windowing(spark, tmp_path):
     assert rows[("batch_index", TS + datetime.timedelta(minutes=2))] == 1
 
 
+def test_dynamic_budget_backpressure_live(spark, tmp_path):
+    """T2 dynamic budget under a LIVE processing-time trigger: while the
+    simulated downstream queue sits at the watermark, budget is 0 and no
+    row reaches the processor (intake re-enqueues); once the queue drains,
+    the backlog flows through. Every dispatched batch respects the budget
+    in force at its trigger."""
+    import time
+
+    from worker_spark.streaming.pipeline import run_budgeted_stage
+
+    outbox_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    depth = {"v": 6}  # watermark = 2 * 3 = 6 -> budget 0 while lagging
+    dispatched: list[tuple[int, int]] = []  # (n_rows, budget_at_dispatch)
+    processed: list[int] = []
+
+    def process(batch_df, epoch_id):
+        ids = [r["id"] for r in batch_df.select("id").collect()]
+        dispatched.append((len(ids), 6 - depth["v"]))
+        processed.extend(ids)
+
+    _write_outbox_file(
+        spark,
+        outbox_dir,
+        [(i, "fetch_article", f"no:{i}", "{}", TS, None) for i in range(1, 13)],
+    )
+    q = run_budgeted_stage(
+        spark,
+        outbox_dir,
+        "fetch_article",
+        process,
+        ckpt,
+        queue_depth_fn=lambda: depth["v"],
+        concurrency=2,
+        watermark_multiplier=3,
+        processing_time="500 milliseconds",
+    )
+    try:
+        # phase 1: downstream lags at the watermark -> nothing dispatched
+        time.sleep(5)
+        assert processed == [], f"dispatched while blocked: {processed}"
+        # phase 2: downstream drains -> backlog flows through
+        depth["v"] = 0
+        deadline = time.time() + 90
+        while time.time() < deadline and len(set(processed)) < 12:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sorted(set(processed)) == list(range(1, 13))
+    # per-trigger intake never exceeded the budget in force
+    assert all(n <= max(b, 0) for n, b in dispatched), dispatched
+
+
 def test_chained_fetch_store_stages(spark, tmp_path):
     """T2/T10: the fetch stage consumes outbox jobs as a stream and applies
     the idempotent store job per micro-batch; a second tick with new jobs

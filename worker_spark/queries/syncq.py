@@ -222,3 +222,41 @@ def q_outbox_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+@register(
+    "place_crawl_closure",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT o_orderkey // 10 AS parent_id, o_orderkey AS child_id
+        FROM orders
+    ),
+    reach AS (
+        SELECT CAST(s.id AS BIGINT) AS id, 0 AS depth
+        FROM (VALUES (1), (2), (3)) s(id)
+        UNION ALL
+        SELECT e.child_id AS id, r.depth + 1 AS depth
+        FROM reach r JOIN edges e ON e.parent_id = r.id
+        WHERE r.depth < 20
+    )
+    SELECT id, CAST(min(depth) AS INT) AS depth FROM reach GROUP BY id
+    """,
+    doc="E7/§3.2 recursive crawl closure (src/sync_service.rs:924-935): "
+    "BFS join-until-fixpoint over an edge relation, oracle-checked against "
+    "a bounded-depth recursive CTE. The edge set is the decimal-shift tree "
+    "over orderkeys (parent = key div 10) — a real multi-level graph "
+    "deterministically derivable in both engines; depth = first-discovery "
+    "(= shortest-path) level.",
+)
+def q_place_crawl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.plans.crawl import crawl_closure
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.expr("o_orderkey div 10").alias("parent_id"),
+        F.col("o_orderkey").alias("child_id"),
+    ).distinct()
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "id: bigint")
+    return crawl_closure(seeds, edges, max_depth=20).select(
+        "id", F.col("depth").cast("int").alias("depth")
+    )

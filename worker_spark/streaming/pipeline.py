@@ -64,6 +64,58 @@ def run_stage(
     return writer.start()
 
 
+def run_budgeted_stage(
+    spark: SparkSession,
+    outbox_dir: str,
+    job_type: str,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    queue_depth_fn: Callable[[], int],
+    concurrency: int = 4,
+    watermark_multiplier: int = 3,
+    processing_time: str = "1 second",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """T2's DYNAMIC poller budget under a live processing-time trigger
+    (src/outbox.rs:78-211): every micro-batch re-reads the downstream
+    queue depth and dispatches at most ``drain_budget(concurrency,
+    depth)`` rows (FIFO by id); the overflow is re-enqueued as a fresh
+    outbox file, so intake genuinely drops to zero while the downstream
+    stage lags and resumes when it drains — backpressure by feedback, not
+    a static rate limit.
+
+    Re-enqueueing is the file-source analog of the reference leaving
+    undrained rows in the outbox table for the next poll; consumers are
+    idempotent (T10), so the at-least-once handoff is safe. A production
+    deployment would add trigger pacing (the ``processing_time``
+    interval) so a fully-blocked stage re-enqueues at poll frequency,
+    not continuously.
+    """
+    from worker_spark.plans.outbox import drain_budget
+
+    jobs = outbox_stream(spark, outbox_dir, max_files_per_trigger)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.filter(F.col("job_type") == job_type)
+        if rows.isEmpty():
+            return
+        budget = drain_budget(concurrency, queue_depth_fn(), watermark_multiplier)
+        take = rows.orderBy("id").limit(budget)
+        overflow = rows.join(take.select("id"), "id", "left_anti")
+        if not overflow.isEmpty():
+            overflow.write.mode("append").parquet(outbox_dir)
+        if budget > 0 and not take.isEmpty():
+            process_batch(take, epoch_id)
+
+    return (
+        jobs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
 def queue_depth_stats(jobs: DataFrame, window: str = "1 minute") -> DataFrame:
     """T12 stats plane: per-type job arrival counts over tumbling windows
     with a watermark bounding state."""
