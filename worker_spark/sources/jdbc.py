@@ -11,9 +11,11 @@ staged to parquet + MERGE (plain JDBC append cannot express upsert; the
 reference's at-least-once + idempotent-upsert contract requires the MERGE
 path in plans.state).
 
-No database is available in this environment, so this module only builds
-fully-configured readers; reader construction is unit-tested, `.load()`
-is exercised wherever a real JDBC endpoint exists.
+No Postgres is available in this environment, but the read path IS
+integration-tested end-to-end against embedded Apache Derby (on Spark's
+own classpath): tests/test_sources.py round-trips a testdata table
+through a real JDBC write + partitioned read and asserts the partition
+count and filter pushdown into the JDBCRelation scan.
 """
 
 from __future__ import annotations
