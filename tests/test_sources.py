@@ -239,3 +239,35 @@ def test_jdbc_partitioned_read_roundtrip_derby(spark, tmp_path):
     )
     assert "JDBCRelation" in plan and "PushedFilters" in plan
     assert "LessThan(n_nationkey,10)" in plan.replace("N_NATIONKEY", "n_nationkey")
+
+
+def test_rfc3986_encode_and_redaction_goldens(spark):
+    """F8: the encoder must match the Rust urlencoding crate (RFC 3986
+    unreserved set) — not Java's form encoding; F11: redaction keeps the
+    reference's first-'@'-after-scheme quirk."""
+    from worker_spark.functions.urls import redact_url_credentials_col, rfc3986_encode
+
+    enc_cases = {
+        "Fj.Skr III,42": "Fj.Skr%20III%2C42",
+        "a*b~c+d": "a%2Ab~c%2Bd",
+        "å": "%C3%A5",
+        "x/y?z=1&w": "x%2Fy%3Fz%3D1%26w",
+        "plain-safe_chars.09": "plain-safe_chars.09",
+    }
+    df = spark.createDataFrame([(k,) for k in enc_cases], "v: string")
+    got = {r["v"]: r["e"] for r in df.select("v", rfc3986_encode("v").alias("e")).collect()}
+    assert got == enc_cases
+
+    red_cases = {
+        "postgres://user:pw@host:5432/db": "postgres://***@host:5432/db",
+        "postgres://host:5432/db": "postgres://host:5432/db",
+        "host:5432": "host:5432",
+        # reference quirk: first '@' ANYWHERE after the scheme wins
+        "http://host/path@frag": "http://***@frag",
+    }
+    df2 = spark.createDataFrame([(k,) for k in red_cases], "u: string")
+    got2 = {
+        r["u"]: r["r"]
+        for r in df2.select("u", redact_url_credentials_col(F.col("u")).alias("r")).collect()
+    }
+    assert got2 == red_cases

@@ -293,3 +293,132 @@ def cosine_topk_matrix(
         score, schema=out_schema
     )
     return _topk(partial, k)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: (id, cell_id) — each vector assigned to its
+    max-cosine centroid (rounded 6dp; ties -> smaller centroid id).
+
+    Declarative formulation: broadcast the centroid table, score NxK pairs,
+    window-argmax per vector — one broadcast join plus one shuffle on the
+    vector id. For very large K, swap the scoring for the Arrow matrix
+    scorer (cosine_topk_matrix with k=1), which is map-only; the cell
+    assignment contract is identical.
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        _norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vvec"),
+        _norm(F.col(vec_col)).alias("_vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "_vid",
+        "cent_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("_vvec"), F.col("cent_vec")),
+                F.col("_vnorm") * F.col("cent_norm"),
+            ),
+            6,
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy("_vid").orderBy(
+        F.desc_nulls_last("_sim"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_vid").alias(id_col), F.col("cent_id").alias("cell_id"))
+    )
+
+
+def ivf_ann_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroid_every: int = 100,
+    nprobe: int = 2,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic medoid centroids
+    (every ``centroid_every``-th id — a production deployment trains
+    k-means; fixed medoids keep both engines bit-identical), vectors
+    bucketed by nearest centroid, queries probing their ``nprobe`` nearest
+    cells, exact cosine inside the probed cells, top_k per query.
+
+    Scale shape: candidate generation is an equi-join on cell_id — the
+    probed fraction ~ nprobe/K of the corpus per query — never a full
+    cross join; cells are data-partitioned, queries broadcast.
+    """
+    from pyspark.sql import Window
+
+    centroids = candidates.filter(F.col(id_col) % centroid_every == 0)
+    cells = ivf_assign(candidates, centroids, id_col=id_col, vec_col=vec_col)
+
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        _norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    q_scored = q.crossJoin(F.broadcast(c)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("cent_vec")),
+                F.col("q_norm") * F.col("cent_norm"),
+            ),
+            6,
+        ).alias("_sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("_sim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", F.col("cent_id").alias("cell_id"))
+    )
+    cand_ids = (
+        probes.join(cells, "cell_id")
+        .select("q_id", F.col(id_col).alias("c_id"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    cvec = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = cand_ids.join(F.broadcast(q), "q_id").join(cvec, "c_id")
+    sims = pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("cos_sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= top_k)
+        .select("q_id", "c_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -120,3 +120,50 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
     return docs.withColumn("fingerprint", F.md5(norm))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (tfidf = tf * ln(N / df), rounded 6dp; ties -> lexicographic term).
+
+    Shape at scale: one explode (map-side), a (doc, term) count, a term
+    document-frequency count, and a broadcast of the scalar corpus size —
+    two shuffles total, both on bounded keys; the per-doc top-k window
+    shuffles only (doc, term) rows that survive the joins.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )

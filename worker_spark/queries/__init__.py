@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         simq,
         streamq,
         syncq,
+        temporalq,
         textops,
     )
 

@@ -145,3 +145,69 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= 0.3)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    """DuckDB exact cosine between list columns of aliases a/b (rounded)."""
+    return (
+        f"round(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"*  sqrt(list_sum(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+@register(
+    "similarity_ivf_ann",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, c.cent_id, {_cos_expr('e', 'c')} AS sim,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_expr('e', 'c')} DESC NULLS LAST, c.cent_id) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+    ),
+    cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM assign_scored WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    probe_scored AS (
+        SELECT q.q_id, c.cent_id, row_number() OVER (PARTITION BY q.q_id
+               ORDER BY {_cos_expr('q', 'c')} DESC NULLS LAST, c.cent_id) AS rn
+        FROM q JOIN cents c ON TRUE
+    ),
+    probes AS (SELECT q_id, cent_id AS cell_id FROM probe_scored WHERE rn <= 2),
+    cand AS (
+        SELECT DISTINCT p.q_id, cl.vec_id AS c_id
+        FROM probes p JOIN cells cl ON cl.cell_id = p.cell_id
+        WHERE p.q_id <> cl.vec_id
+    ),
+    sims AS (
+        SELECT cand.q_id, cand.c_id, {_cos_expr('qe', 'ce')} AS cos_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.q_id
+        JOIN embeddings ce ON ce.vec_id = cand.c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC NULLS LAST, c_id) AS rnk
+        FROM sims
+    )
+    SELECT q_id, c_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="IVF approximate nearest neighbors: deterministic medoid centroids "
+    "(vec_id % 100), cell assignment by max cosine, nprobe=2 probed cells "
+    "per query, exact cosine top-5 inside the probed cells. Candidate "
+    "generation is a cell-id equi-join (~nprobe/K of the corpus per "
+    "query), never a full scan — the IVF scale path next to the LSH one.",
+)
+def q_similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivf_ann_neighbors(
+        queries, emb, centroid_every=100, nprobe=2, top_k=5
+    )

@@ -260,3 +260,51 @@ def q_place_crawl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_closure(seeds, edges, max_depth=20).select(
         "id", F.col("depth").cast("int").alias("depth")
     )
+
+
+@register(
+    "url_build_redact",
+    """
+    SELECT s_suppkey,
+           'https://ord.uib.no/no/article/' || s_suppkey::VARCHAR || '.json' AS article_url,
+           'https://clarino.uib.no/ordbank-api-prod/bibl?code='
+               || replace(s_name, '#', '%23') AS bibl_url,
+           regexp_replace(
+               CASE WHEN s_suppkey % 3 = 0
+                    THEN 'postgres://worker:' || s_name || '@db.internal:5432/worker'
+                    WHEN s_suppkey % 3 = 1
+                    THEN 'postgres://db.internal:5432/worker'
+                    ELSE 'db.internal:5432' END,
+               '^(.*?://)[^@]*@', '\\1***@') AS redacted_url
+    FROM supplier
+    """,
+    doc="F8/F11 URL building + credential redaction "
+    "(src/uib_client.rs:201-250, src/main.rs:171-180): article fetch URLs, "
+    "percent-encoded bibliography lookup URLs (the supplier-name corpus "
+    "exercises '#' -> %23; the general RFC-3986 encoder is golden-tested), "
+    "and userinfo redaction with no-credential / no-scheme pass-through.",
+)
+def q_url_build_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.functions.urls import (
+        article_url_col,
+        bibl_by_code_url_col,
+        redact_url_credentials_col,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    raw_url = (
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.concat(
+                F.lit("postgres://worker:"), F.col("s_name"), F.lit("@db.internal:5432/worker")
+            ),
+        )
+        .when(F.col("s_suppkey") % 3 == 1, F.lit("postgres://db.internal:5432/worker"))
+        .otherwise(F.lit("db.internal:5432"))
+    )
+    return s.select(
+        "s_suppkey",
+        article_url_col(F.lit("no"), F.col("s_suppkey")).alias("article_url"),
+        bibl_by_code_url_col(F.col("s_name")).alias("bibl_url"),
+        redact_url_credentials_col(raw_url).alias("redacted_url"),
+    )

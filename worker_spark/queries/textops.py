@@ -244,3 +244,39 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_ratio"),
         )
     )
+
+
+@register(
+    "doc_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks_f GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 characteristic terms by tf-idf "
+    "(tf * ln(N/df), 6dp, lexicographic tie-break) — corpus-statistics "
+    "text analysis with two bounded-key shuffles; built-ins only.",
+)
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
