@@ -122,3 +122,56 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_articles")
         spark.sql("DROP TABLE IF EXISTS b_links")
+
+
+def test_asof_join_is_single_shuffle_no_pair_blowup(spark):
+    """The as-of join must plan as union -> ONE exchange (the window's
+    hash partitioning on the key) -> sort + window. No join operator at
+    all — the naive formulation's O(matches) pair materialization must
+    not appear."""
+    plan = _physical(_SPECS["event_asof_attribution"].run(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the carry-forward path itself is join-free: the only joins allowed in
+    # the whole query are none (clicks/views both derive from one scan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The binned range join must run the (key, bin) EQUI-join — Spark's
+    native plan for a pure inequality join is a broadcast-nested-loop,
+    which dies at scale and must not appear."""
+    plan = _physical(_SPECS["event_range_join"].run(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ivf_candidate_generation_is_equi_join(spark):
+    """IVF ANN: candidate generation must be the cell-id EQUI-join, and
+    the only nested-loop shapes allowed are the intentional
+    broadcast-centroid scorings (BuildRight over the small centroid set —
+    the same pattern as the documented brute-force baseline). No
+    CartesianProduct, no non-broadcast nested loop."""
+    plan = _physical(_SPECS["similarity_ivf_ann"].run(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # every nested-loop occurrence is the broadcast(build-right) cross
+    # against the centroid table, never a shuffled/unbroadcast loop
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line, line
+    # the cell-id candidate join and the final vector joins are equi-joins
+    assert "SortMergeJoin [cell_id" in plan or "ShuffledHashJoin [cell_id" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_df_cap_anti_join_planned(spark):
+    """The stop-shingle cap must plan as a (broadcastable) LeftAnti join,
+    not any nested-loop shape."""
+    from worker_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _physical(ngram_jaccard_pairs(docs, shingle_df_cap=1000))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
