@@ -1,0 +1,44 @@
+"""Connected-components operator: convergence, determinism, survivor flags."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from worker_spark.operators.components import cluster_assignments, connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a: bigint, id_b: bigint")
+
+
+def test_chain_converges_to_min_id(spark):
+    # 1-2-3-4-5 chain: diameter 4, needs multiple propagation rounds
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_clusters_and_reversed_edges(spark):
+    # two components; edge direction must not matter
+    e = _edges(spark, [(7, 3), (3, 9), (20, 30), (40, 20)])
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 20, 30: 20, 40: 20}
+
+
+def test_cluster_assignments_sizes_and_survivors(spark):
+    e = _edges(spark, [(10, 11), (11, 12), (50, 51)])
+    rows = cluster_assignments(e).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {10, 11, 12, 50, 51}  # singletons excluded by design
+    assert all(by_doc[d]["cluster_id"] == 10 for d in (10, 11, 12))
+    assert all(by_doc[d]["cluster_size"] == 3 for d in (10, 11, 12))
+    assert all(by_doc[d]["cluster_size"] == 2 for d in (50, 51))
+    assert {d for d, r in by_doc.items() if r["is_survivor"]} == {10, 50}
+
+
+def test_partitioning_invariance(spark):
+    # same labels regardless of input partitioning (shuffled layout)
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(2, 4), (6, 8)]
+    a = connected_components(_edges(spark, pairs))
+    b = connected_components(_edges(spark, pairs).repartition(13, F.col("id_b")))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

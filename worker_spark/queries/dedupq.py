@@ -84,6 +84,68 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_oracle() -> str:
+    """Jaccard pairs (same CTE chain as dedup_ngram_jaccard) -> undirected
+    edges -> recursive reachability -> min-reachable-id = cluster id."""
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+    ),
+    shc AS (
+        SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ),
+    sizes_c AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes_c sa ON sa.id = id_a
+        JOIN sizes_c sb ON sb.id = id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+        SELECT id, id AS comp FROM verts
+        UNION
+        SELECT e.s AS id, r.comp FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    comp AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+           (c.id = c.cluster_id) AS is_survivor
+    FROM comp c JOIN sized s USING (cluster_id)
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    _cluster_oracle(),
+    doc="Near-dup CLUSTERS (not just pairs): distributed connected "
+    "components (iterative min-label propagation, lineage-checkpointed) "
+    "over the word-3-gram Jaccard pair graph; min-id survivor per cluster. "
+    "Oracle replays the closure as a recursive CTE.",
+)
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators import components as C
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_df_cap=_NGRAM_DF_CAP,
+    )
+    return C.cluster_assignments(pairs.select("id_a", "id_b"))
+
+
 def _minhash_oracle() -> str:
     mins = ",\n               ".join(
         f"min(({D.MINHASH_A[i]} * y + {D.MINHASH_B[i]}) % {_P}) AS mh_{i}"
