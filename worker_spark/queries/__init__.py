@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         docflat,
         domain,
         multimodalq,
+        packq,
         relational,
         simq,
         streamq,
