@@ -175,3 +175,22 @@ def test_ngram_df_cap_anti_join_planned(spark):
     plan = _physical(ngram_jaccard_pairs(docs, shingle_df_cap=1000))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    # the sampler must stay a shuffle-free scan+filter: the keep/drop
+    # predicate is pure projection arithmetic, evaluated map-side
+    df = _SPECS["doc_stratified_sample"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_sequence_pack_shuffles_only_slim_columns(spark):
+    # the pack shuffle must move (shard, doc_id, n_tokens), never text
+    df = _SPECS["doc_sequence_pack"].run(spark, SF_ORACLE)
+    opt = _optimized(df)
+    assert "FlatMapGroupsInPandas" in opt or "FlatMapGroupsInArrow" in opt
+    import re
+    m = re.search(r"FlatMapGroupsIn\w+ \[([^\]]*)\]", opt)
+    assert m and "text" not in m.group(1)

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodalq,
         packq,
         relational,
+        sampleq,
         simq,
         streamq,
         syncq,

@@ -1,0 +1,65 @@
+"""Stratified-sampling / data-mixture queries over ``documents``.
+
+Spark side: worker_spark.operators.sampling (map-only md5-bucket predicate).
+Oracle side: the identical bucket arithmetic in DuckDB — md5 prefixes are
+engine-portable, so the exact sampled set is hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from worker_spark.operators import sampling as S
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_RATES = {"en": 0.5, "de": 0.8, "es": 0.9, "zh": 0.7}
+_DEFAULT = 1.0  # fr and anything unseen
+
+_BUCKET = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {S.DENOM}"
+_RATE = (
+    "CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.9 "
+    f"WHEN 'zh' THEN 0.7 ELSE {_DEFAULT} END"
+)
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, {_BUCKET} AS strat_bucket
+    FROM documents
+    WHERE {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
+    """,
+    doc="Deterministic per-language downsampling: md5(doc_id) bucket vs "
+    "stratum rate — map-only, shuffle-free, reproducible across engines "
+    "and cluster layouts (training-data mixture construction).",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.stratified_sample(
+        docs, _RATES, strat_col="lang", id_col="doc_id", default_rate=_DEFAULT
+    ).select("doc_id", "lang", "source", "strat_bucket")
+
+
+@register(
+    "doc_mixture_report",
+    f"""
+    SELECT lang AS stratum,
+           count(*) AS total_rows,
+           sum(CASE WHEN {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
+                    THEN 1 ELSE 0 END) AS sampled_rows,
+           round(CAST({_RATE} AS DOUBLE), 6) AS target_rate,
+           round(CAST(sum(CASE WHEN {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS achieved_rate
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Mixture audit: per-stratum target vs achieved sampling rate in one "
+    "aggregation pass.",
+)
+def q_doc_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.mixture_report(
+        docs, _RATES, strat_col="lang", id_col="doc_id", default_rate=_DEFAULT
+    )
