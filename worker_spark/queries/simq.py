@@ -211,3 +211,40 @@ def q_similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_neighbors(
         queries, emb, centroid_every=100, nprobe=2, top_k=5
     )
+
+
+_QVEC = (
+    "list_transform(embedding, "
+    "x -> CAST(greatest(-128, least(127, floor(x * 64))) AS BIGINT))"
+)
+
+
+@register(
+    "similarity_quantized_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, {_QVEC} AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS c_id, {_QVEC} AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                            i -> qv[i] * cv[i])) AS BIGINT) AS qdot
+        FROM c JOIN q ON q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, qdot,
+               row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, c_id, qdot, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="int8 fixed-point quantized top-10: clamp(floor(x*64)) codes give "
+    "bit-identical integer dot products in both engines (4x smaller "
+    "vectors on the wire at 100 TB; exact-integer hash check).",
+)
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantized_topk(emb.filter(F.col("vec_id") % 100 == 0), emb, k=10)
