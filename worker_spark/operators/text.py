@@ -167,3 +167,59 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    eval_mod: int = 5,
+    n: int = 5,
+    min_shared: int = 2,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set contamination scan: which corpus documents share >=
+    ``min_shared`` distinct word ``n``-grams with a held-out eval split
+    (here: id % eval_mod == 0 — callers supply their real eval ids via a
+    join in production).
+
+    Decontamination is a standard training-data step: training text
+    overlapping benchmark text inflates eval scores. The n-gram equi-join
+    is the same bounded-fan-out shape as the Jaccard dedup path — shingles
+    with corpus-wide document frequency > ``shingle_df_cap`` are dropped
+    pre-join (stop-shingle cap; an n-gram in every boilerplate page would
+    otherwise produce O(df^2) join rows at 100 TB).
+
+    Output: (eval_id, corpus_id, n_shared, contamination_rate) where the
+    rate is n_shared / eval doc's distinct n-gram count.
+    """
+    from worker_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > shingle_df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    ev = sh.filter(F.col("id") % eval_mod == 0)
+    co = sh.filter(F.col("id") % eval_mod != 0)
+    ev_sizes = ev.groupBy(F.col("id").alias("eval_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_grams")
+    )
+    shared = (
+        ev.select(F.col("id").alias("eval_id"), "shingle")
+        .join(co.select(F.col("id").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("eval_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(ev_sizes, "eval_id").select(
+        "eval_id",
+        "corpus_id",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_eval_grams").cast("double"), 6
+        ).alias("contamination_rate"),
+    )

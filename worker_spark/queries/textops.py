@@ -280,3 +280,43 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.operators.text import tfidf_topk
 
     return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_GRAMS5 = (
+    "SELECT DISTINCT doc_id AS id, "
+    "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS shingle "
+    "FROM toks5, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)"
+)
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH toks5 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh_all AS ({_GRAMS5}),
+    keep AS (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000
+    ),
+    sh AS (SELECT sh_all.id, sh_all.shingle FROM sh_all JOIN keep USING (shingle)),
+    ev AS (SELECT * FROM sh WHERE id % 5 = 0),
+    co AS (SELECT * FROM sh WHERE id % 5 <> 0),
+    ev_sizes AS (SELECT id AS eval_id, count(*) AS n_eval_grams FROM ev GROUP BY id),
+    shared AS (
+        SELECT ev.id AS eval_id, co.id AS corpus_id, count(*) AS n_shared
+        FROM ev JOIN co ON ev.shingle = co.shingle
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT s.eval_id, s.corpus_id, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE) / z.n_eval_grams, 6) AS contamination_rate
+    FROM shared s JOIN ev_sizes z ON z.eval_id = s.eval_id
+    """,
+    doc="Benchmark decontamination scan: corpus docs sharing >= 2 distinct "
+    "word-5-grams with the held-out eval split (id % 5 = 0); stop-shingle "
+    "df cap bounds the equi-join fan-out at scale.",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.benchmark_contamination(docs, eval_mod=5, n=5, min_shared=2)
