@@ -36,6 +36,12 @@ HEADLINE = [
     "event_value_percentiles",
     "reverse_invalidation",
     "doc_build_scale",
+    # round-2 additions (no r1 anchor; they join the anchor set in r2)
+    "dedup_cluster_components",
+    "doc_sequence_pack",
+    "doc_stratified_sample",
+    "similarity_quantized_topk",
+    "benchmark_contamination",
 ]
 
 

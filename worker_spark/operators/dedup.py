@@ -355,3 +355,64 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_incremental_pairs(
+    docs: DataFrame,
+    is_new: Column,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW batch and the
+    HISTORICAL corpus only (``is_new`` is a boolean predicate over ``docs``
+    columns). New-vs-new and old-vs-old pairs are excluded — the production
+    shape where each ingest batch is screened against the corpus index.
+
+    At 100 TB the historical side's banded fingerprints live in a parquet
+    index table partitioned by (band, byte); each batch computes its own
+    fingerprints (map-only) and equi-joins that index — the join touches
+    only matching band partitions, never the corpus text. Here both sides
+    derive from one fingerprint pass over ``docs`` (single scan), split by
+    the predicate."""
+    fps = simhash(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col).alias("id"), is_new.alias("is_new")), "id"
+    )
+    fps = fps.cache()
+    fps.count()  # one materialization feeds both sides of the band join
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                .alias("byte"),
+            )
+            for k in range(4)
+        ]
+    )
+    banded = fps.select("id", "simhash", "is_new", F.explode(entries).alias("e")).select(
+        "id", "simhash", "is_new", F.col("e.band").alias("band"), F.col("e.byte").alias("byte")
+    )
+    a = banded.filter(F.col("is_new")).alias("a")
+    b = banded.filter(~F.col("is_new")).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.byte") == F.col("b.byte")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("corpus_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .select(
+            "new_id",
+            "corpus_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -203,7 +203,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _simhash_oracle() -> str:
+def _simhash_band_union(src: str) -> str:
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {D.SIMHASH_BAND_BITS * k}) & {D.SIMHASH_BAND_MASK} AS byte FROM {src}"
+        for k in range(4)
+    )
+
+
+def _simhash_fps_chain() -> str:
+    """CTE chain computing 48-bit fingerprints for every document — shared
+    by the self-join and incremental (new-vs-corpus) oracles."""
     bit_sums = ",\n               ".join(
         f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
         for j in range(D.SIMHASH_BITS)
@@ -211,13 +221,7 @@ def _simhash_oracle() -> str:
     fp = " + ".join(
         f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
     )
-    bands = "\n        UNION ALL\n        ".join(
-        f"SELECT id, simhash, {k} AS band, "
-        f"(simhash >> {D.SIMHASH_BAND_BITS * k}) & {D.SIMHASH_BAND_MASK} AS byte FROM fps"
-        for k in range(4)
-    )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     hashed AS (
         SELECT id, ('0x' || substr(md5(shingle), 1, {D.SIMHASH_BITS // 4}))::BIGINT AS x FROM sh
     ),
@@ -228,9 +232,14 @@ def _simhash_oracle() -> str:
     ),
     fps AS (
         SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
-    ),
+    )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_fps_chain()},
     banded AS (
-        {bands}
+        {_simhash_band_union("fps")}
     ),
     pairs AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
@@ -251,3 +260,40 @@ def _simhash_oracle() -> str:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_incremental_oracle() -> str:
+    return f"""
+    WITH {_simhash_fps_chain()},
+    fnew AS (SELECT * FROM fps WHERE id % 10 >= 8),
+    fold AS (SELECT * FROM fps WHERE id % 10 < 8),
+    bnew AS (
+        {_simhash_band_union("fnew")}
+    ),
+    bold AS (
+        {_simhash_band_union("fold")}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS new_id, b.id AS corpus_id,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bnew a JOIN bold b ON a.band = b.band AND a.byte = b.byte
+    )
+    SELECT new_id, corpus_id, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+@register(
+    "dedup_incremental",
+    _simhash_incremental_oracle(),
+    doc="Incremental dedup: SimHash near-dups between the NEW batch "
+    "(doc_id % 10 >= 8) and the HISTORICAL corpus only — the per-ingest "
+    "screening shape; at scale the corpus side is a banded fingerprint "
+    "index table, never re-fingerprinted.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_incremental_pairs(
+        docs, is_new=(F.col("doc_id") % 10 >= 8), max_hamming=3
+    )
