@@ -208,3 +208,60 @@ def test_chained_fetch_store_stages(spark, tmp_path):
     q2.awaitTermination(180)
     got = {r["id"]: r["sync_status"] for r in store.read("articles").collect()}
     assert got == {1: "pending_index", 2: "pending_index"}
+
+
+def test_stateful_session_timeout_flushes_idle_user(spark, tmp_path):
+    """The event-time timeout must evict an idle user's open session once
+    later batches advance the watermark past session_end + gap — state
+    cannot leak forever for users that stop producing events."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from worker_spark.streaming.sessions import stateful_sessionize
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(1.1)  # distinct mod times => stable file->batch order
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: user 1's only session (2 events, then silence)
+    write_file([(1, ts(0), 1, 1.0), (2, ts(5), 1, 2.0)])
+    # batch 2: user 2 ten hours later — advances the watermark
+    write_file([(3, ts(600), 2, 1.0)])
+    # batch 3: user 2 again — timeout pass runs with the advanced watermark
+    write_file([(4, ts(605), 2, 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = stateful_sessionize(stream, gap_minutes=30, watermark_delay="1 minute")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_timeout_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in spark.table("sess_timeout_test").collect()
+    }
+    # user 1's session was flushed by TIMEOUT (no closing event ever came)
+    assert (1, 2, 3.0) in rows

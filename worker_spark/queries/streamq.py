@@ -78,3 +78,91 @@ def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         spark.catalog.dropTempView(sink)
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_stateful_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    ), final AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS st, max(ts) AS en,
+               sum(value) AS sv
+        FROM numbered GROUP BY user_id, session_id
+    ), lastx AS (
+        SELECT user_id, max(session_id) AS max_sid FROM final GROUP BY user_id
+    )
+    SELECT f.user_id,
+           strftime(f.st, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(f.en, '%Y-%m-%d %H:%M:%S') AS session_end,
+           f.n_events,
+           round(f.sv, 2) AS session_value
+    FROM final f JOIN lastx l
+      ON f.user_id = l.user_id AND f.session_id < l.max_sid
+    """,
+    doc="Custom STATEFUL streaming operator: applyInPandasWithState "
+    "sessionization (per-user open-session state, event-time timeout "
+    "eviction) run as a real availableNow stream over a single-file "
+    "source (one micro-batch => emitted set = every session except each "
+    "user's final open one, which stays in state awaiting the watermark). "
+    "Oracle replays that exact set from the batch lag/running-sum "
+    "sessionization.",
+)
+def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.sessions import stateful_sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    sink = f"sess_out_{uuid.uuid4().hex[:8]}"
+    try:
+        # single file => single micro-batch => deterministic emitted set
+        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        sessions = stateful_sessionize(stream, gap_minutes=30)
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("stateful sessionization stream did not drain")
+        return (
+            spark.table(sink)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+                F.round("session_value", 2).alias("session_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
