@@ -82,3 +82,26 @@ def mixture_report(
             F.round(F.sum(kept) / F.count("*"), 6).alias("achieved_rate"),
         )
     )
+
+
+def quota_sample(
+    df: DataFrame, k: int, strat_col: str, id_col: str
+) -> DataFrame:
+    """Exact-k deterministic sample per stratum: rank rows by (hash bucket,
+    id) within each stratum and keep the first ``k``. Unlike rate-based
+    sampling this hits the quota exactly, at the cost of one shuffle keyed
+    on the stratum.
+
+    Skew note (100 TB): a mega-stratum funnels into one reducer for its
+    window. When stratum sizes are known ahead, pre-filter with
+    ``strat_bucket < (k / est_rows) * DENOM * safety`` so the window only
+    ranks a thin candidate slice — same result, bounded reducer input."""
+    from pyspark.sql import Window
+
+    bucket = strat_bucket(F.col(id_col))
+    w = Window.partitionBy(strat_col).orderBy("strat_bucket", id_col)
+    return (
+        df.withColumn("strat_bucket", bucket)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

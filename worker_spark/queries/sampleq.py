@@ -8,6 +8,7 @@ engine-portable, so the exact sampled set is hash-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from worker_spark.operators import sampling as S
 from worker_spark.queries import register
@@ -62,4 +63,36 @@ def q_doc_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return S.mixture_report(
         docs, _RATES, strat_col="lang", id_col="doc_id", default_rate=_DEFAULT
+    )
+
+
+@register(
+    "doc_quota_sample",
+    f"""
+    WITH b AS (
+        SELECT doc_id, lang, {_BUCKET} AS strat_bucket FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, strat_bucket,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY strat_bucket, doc_id) AS sample_rank
+        FROM b
+    )
+    SELECT doc_id, lang, strat_bucket, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= 30
+    """,
+    doc="Exact-quota sampling: deterministic 30 docs per language by "
+    "(md5 bucket, id) rank — hits the quota exactly where rate-based "
+    "sampling only approximates it.",
+)
+def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        S.quota_sample(docs, k=30, strat_col="lang", id_col="doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "strat_bucket",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
     )
