@@ -47,11 +47,14 @@ def connected_components(
     Vertices are exactly the ids appearing in ``edges`` — callers decide
     whether singleton documents (no duplicate partner) join the output.
     """
+    # materialize the (possibly expensive) upstream pair plan ONCE — the
+    # symmetric union below scans its input twice, and each loop round
+    # re-scans the edge list
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        ed.union(ed.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint()  # materialize once; re-scanned every round
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("s").alias("id"))
