@@ -25,3 +25,20 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(quant) == len(exact)
     # 6-bit fixed point keeps ranking quality: measured 0.88 at sf0.01
     assert len(exact & quant) / len(exact) >= 0.7
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    from worker_spark.operators.text import pii_redact
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org, ip 192.168.0.1, call 12-345-678-9012"),
+        (2, "no pii here, just 1.2 and v1.2.3 and 12-34"),
+        (3, "double 10.0.0.1 10.0.0.2"),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, text: string")
+    got = {r["id"]: r for r in pii_redact(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (2, 1, 1)
+    assert got[1]["redacted"] == "mail [EMAIL] and [EMAIL], ip [IP], call [PHONE]"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["redacted"] == rows[1][1]
+    assert got[3]["redacted"] == "double [IP] [IP]"

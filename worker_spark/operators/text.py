@@ -223,3 +223,38 @@ def benchmark_contamination(
             F.col("n_shared").cast("double") / F.col("n_eval_grams").cast("double"), 6
         ).alias("contamination_rate"),
     )
+
+
+# PII patterns chosen for the Java-regex/RE2 common subset (portable
+# between Spark and DuckDB: no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact the classic PII trio (emails, IPv4 addresses,
+    phone-shaped numbers) in one map-only pass: per-row match counts plus
+    the redacted text. Training corpora scrub these before anything else;
+    the counts feed a removal-rate dashboard.
+
+    Redaction order is fixed (email, then IP, then phone) so the output is
+    deterministic; patterns avoid lookaround so the same regexes run on
+    Spark (Java regex), DuckDB (RE2), and most other engines. Map-only:
+    composes with scan pushdown; no shuffle, no UDF."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_IPV4, "[IP]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"),
+            "n_ipv4": F.regexp_count(t, F.lit(PII_IPV4)).cast("long"),
+            "n_phones": F.regexp_count(t, F.lit(PII_PHONE)).cast("long"),
+            "redacted": redacted,
+        }
+    )

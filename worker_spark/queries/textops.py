@@ -320,3 +320,65 @@ _GRAMS5 = (
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.benchmark_contamination(docs, eval_mod=5, n=5, min_shared=2)
+
+
+# In-query synthetic contact block: the parquet corpora are PII-free, so
+# both engines derive the SAME contact text from customer rows and the
+# redaction operator is exercised against real matches.
+_CONTACT_SPARK = None  # built in the query function
+_CONTACT_SQL = (
+    "c_name || ' <' || lower(replace(c_name, '#', '.')) || '@example.com>'"
+    " || ' from 10.' || (c_custkey % 200) || '.' || c_nationkey || '.7'"
+    " || ' phone 47-555-' || (100 + c_custkey % 900) || '-' || (1000 + c_custkey % 9000)"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH contact AS (
+        SELECT c_custkey, {_CONTACT_SQL} AS text FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g'),
+               '\\b\\d{{2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g')) AS redacted_hash
+    FROM contact
+    """,
+    doc="PII detect-and-redact (email/IPv4/phone) in one map-only pass; "
+    "portable Java-regex/RE2 patterns; redacted text verified by hash. "
+    "Contact text is derived in-query (the corpora are PII-free).",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    contact = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.regexp_replace(F.col("c_name"), r"#", ".")),
+            F.lit("@example.com>"),
+            F.lit(" from 10."),
+            (F.col("c_custkey") % 200).cast("string"),
+            F.lit("."),
+            F.col("c_nationkey").cast("string"),
+            F.lit(".7 phone 47-555-"),
+            (F.lit(100) + F.col("c_custkey") % 900).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("c_custkey") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        T.pii_redact(contact, text_col="text")
+        .select(
+            "c_custkey",
+            "n_emails",
+            "n_ipv4",
+            "n_phones",
+            F.md5(F.col("redacted")).alias("redacted_hash"),
+        )
+    )
