@@ -150,3 +150,34 @@ def test_sweep_determinism_under_repartitioning(spark):
     assert all(b == batches[0] for b in batches), batches
     assert len(batches[0]) == 20 and batches[0] == sorted(batches[0])
     assert 100 not in batches[0]  # later-stamped row sorts after the tied block
+
+
+@given(
+    st.lists(st.integers(0, 500), max_size=200),
+    st.integers(1, 300),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_pack_invariants(tokens, budget):
+    from worker_spark.operators.packing import greedy_pack_sequence
+
+    seqs = greedy_pack_sequence(tokens, budget)
+    assert len(seqs) == len(tokens)
+    if not tokens:
+        return
+    # pack ids start at 0 and are nondecreasing in steps of <= 1
+    assert seqs[0] == 0
+    for a, b in zip(seqs, seqs[1:]):
+        assert a <= b <= a + 1
+    # every pack fits the budget unless it is a single oversize doc;
+    # and no pack was closed early (greedy tightness)
+    weights = [max(t, 1) for t in tokens]
+    totals: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for w, s in zip(weights, seqs):
+        totals[s] = totals.get(s, 0) + w
+        members[s] = members.get(s, 0) + 1
+    for s, tot in totals.items():
+        assert tot <= budget or members[s] == 1
+    for i in range(1, len(seqs)):
+        if seqs[i] != seqs[i - 1]:
+            assert totals[seqs[i - 1]] + weights[i] > budget

@@ -39,6 +39,22 @@ from worker_spark.operators.text import token_count
 PACK_SCHEMA = "shard bigint, doc_id bigint, n_tokens bigint, pack_seq bigint"
 
 
+def greedy_pack_sequence(token_counts: list[int], budget: int) -> list[int]:
+    """The pure greedy walk: 0-based pack id per document, in input order.
+    Every doc weighs max(tokens, 1); a new pack starts when the running
+    total would exceed ``budget`` and the current pack is non-empty."""
+    seqs: list[int] = []
+    pack, cur = 0, 0
+    for t in token_counts:
+        w = max(int(t), 1)
+        if cur > 0 and cur + w > budget:
+            pack += 1
+            cur = 0
+        cur += w
+        seqs.append(pack)
+    return seqs
+
+
 def greedy_pack(
     docs: DataFrame,
     budget: int = 256,
@@ -51,16 +67,10 @@ def greedy_pack(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs = []
-        pack, cur = 0, 0
-        for t in pdf["n_tokens"]:
-            w = max(int(t), 1)
-            if cur > 0 and cur + w > budget:
-                pack += 1
-                cur = 0
-            cur += w
-            seqs.append(pack)
-        pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
+        pdf["pack_seq"] = pd.Series(
+            greedy_pack_sequence([int(t) for t in pdf["n_tokens"]], budget),
+            dtype="int64",
+        )
         return pdf[["shard", "doc_id", "n_tokens", "pack_seq"]]
 
     slim = docs.select(
