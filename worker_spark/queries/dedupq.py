@@ -84,9 +84,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_oracle() -> str:
-    """Jaccard pairs (same CTE chain as dedup_ngram_jaccard) -> undirected
-    edges -> recursive reachability -> min-reachable-id = cluster id."""
+def _cluster_chain() -> str:
+    """Shared CTE chain: Jaccard pairs (same chain as dedup_ngram_jaccard)
+    -> undirected edges -> recursive reachability -> comp/sized tables."""
     return f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     keep AS (
@@ -120,11 +120,18 @@ def _cluster_oracle() -> str:
         SELECT e.s AS id, r.comp FROM edges e JOIN reach r ON r.id = e.d
     ),
     comp AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
-    sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)"""
+
+
+def _cluster_oracle() -> str:
+    return (
+        _cluster_chain()
+        + """
     SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
            (c.id = c.cluster_id) AS is_survivor
     FROM comp c JOIN sized s USING (cluster_id)
     """
+    )
 
 
 @register(
@@ -296,4 +303,78 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_incremental_pairs(
         docs, is_new=(F.col("doc_id") % 10 >= 8), max_hamming=3
+    )
+
+
+def _best_of_cluster_oracle() -> str:
+    # quality formula identical to doc_quality_filter (queries/textops.py)
+    from worker_spark.queries.textops import _EN, _TOKS
+
+    return (
+        _cluster_chain()
+        + f""",
+    scored AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS sw,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0) * 10.0, 1.0)) * 0.3
+                     + (CASE WHEN coalesce(CAST(sw AS DOUBLE) / nullif(n_tokens, 0), 0)
+                              BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality_score
+        FROM scored
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.id AS doc_id, q.quality_score, s.cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality_score DESC, c.id) AS rk
+        FROM comp c
+        JOIN sized s USING (cluster_id)
+        JOIN quality q ON q.doc_id = c.id
+    )
+    SELECT cluster_id, doc_id AS best_doc_id, quality_score AS best_quality,
+           cluster_size
+    FROM ranked WHERE rk = 1
+    """
+    )
+
+
+@register(
+    "dedup_best_of_cluster",
+    _best_of_cluster_oracle(),
+    doc="Quality-aware survivor selection: within each near-dup cluster "
+    "keep the highest-quality document (deterministic doc_id tie-break) — "
+    "clusters from connected components composed with the heuristic "
+    "quality scorer.",
+)
+def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from worker_spark.operators import components as C
+    from worker_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.2, shingle_df_cap=_NGRAM_DF_CAP
+    ).select("id_a", "id_b")
+    clusters = C.cluster_assignments(pairs)
+    quality = T.with_quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("quality_score").alias("best_quality"),
+            "cluster_size",
+        )
     )
