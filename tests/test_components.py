@@ -42,3 +42,57 @@ def test_partitioning_invariance(spark):
     a = connected_components(_edges(spark, pairs))
     b = connected_components(_edges(spark, pairs).repartition(13, F.col("id_b")))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min reachable id per vertex
+    return {x: find(x) for x in list(parent)}
+
+
+def test_star_cc_matches_union_find_on_varied_graphs(spark):
+    import random
+
+    from worker_spark.operators.components import connected_components_star
+
+    rng = random.Random(7)
+    graphs = {
+        "chain_200": [(i, i + 1) for i in range(200)],
+        "cliques": [(c * 100 + i, c * 100 + j) for c in range(3) for i in range(6) for j in range(i + 1, 6)],
+        "random": [(rng.randrange(300), rng.randrange(300)) for _ in range(250)],
+        "star": [(0, i) for i in range(1, 50)],
+    }
+    for name, pairs in graphs.items():
+        pairs = [(a, b) for a, b in pairs if a != b]
+        want = _union_find(pairs)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(_edges(spark, pairs)).collect()
+        }
+        assert got == want, name
+
+
+def test_star_cc_beats_diameter_bound(spark):
+    # a 200-node chain has diameter 199: min-label would need ~199 rounds,
+    # large-star/small-star must finish within a logarithmic budget
+    # (measured: 16 half-rounds = 8 LS/SS cycles)
+    from worker_spark.operators.components import connected_components_star
+
+    pairs = [(i, i + 1) for i in range(200)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(_edges(spark, pairs), max_iter=16).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 201

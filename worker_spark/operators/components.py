@@ -117,3 +117,90 @@ def cluster_assignments(
             (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
         )
     )
+
+
+def _canon_sig(edges: DataFrame) -> tuple:
+    """Order-insensitive signature of an undirected edge set (count + hash
+    sum over canonical pairs) — one tiny aggregate per round instead of a
+    full anti-join equality check."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: order-insensitive and cannot overflow under
+        # ANSI mode (edge sets are distinct, so xor cancellation is safe)
+        F.bit_xor(
+            F.xxhash64(
+                F.least(F.col("a"), F.col("b")), F.greatest(F.col("a"), F.col("b"))
+            )
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014):
+    converges in O(log^2 n) rounds on ANY graph, unlike plain min-label
+    propagation whose round count equals the component diameter. Use this
+    variant when the duplicate graph may contain long chains (e.g.
+    transitive near-dup links at loose thresholds); for near-clique dedup
+    clusters plain ``connected_components`` does fewer, cheaper rounds.
+
+    Each round is one groupBy + one equi-join over the edge list — the
+    same shuffle shape as min-label, just restructuring edges into stars
+    instead of propagating labels.
+    """
+    ed = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _canon_sig(ed)
+    for it in range(max_iter):
+        sym = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        )
+        if it % 2 == 0:  # large-star: hang larger neighbors off the min
+            mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+            ed = (
+                sym.join(mins, "u")
+                .withColumn("m", F.least(F.col("u"), F.col("mv")))
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+        else:  # small-star: contract smaller neighbors onto their min
+            le = sym.filter(F.col("v") < F.col("u"))
+            mins = le.groupBy("u").agg(F.min("v").alias("m"))
+            moved = (
+                le.join(mins, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            )
+            kept = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            ed = (
+                moved.union(kept)
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+        new_sig = _canon_sig(ed)
+        # only a small-star round leaves the edge set in canonical star
+        # form; stop when a full LS+SS cycle changed nothing
+        if it % 2 == 1 and new_sig == sig:
+            break
+        if it % 2 == 1:
+            sig = new_sig
+    sym = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("mv"))
+        .select("id", F.least(F.col("id"), F.col("mv")).alias("component"))
+    )
