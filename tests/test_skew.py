@@ -156,3 +156,48 @@ def test_matrix_scorer_edge_cases(spark):
     # zero-norm vector 2 never appears on either side of a scored pair
     assert all(2 not in p for p in pairs)
     assert (1, 3) in pairs and (3, 1) in pairs
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling is the runtime half of the skew story
+    (salting is the static half): a hot key's shuffle partition must be
+    split into multiple reader tasks, visible as skew=true in the final
+    adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # low thresholds: shuffle partitions are lz4-compressed, so the
+        # hot partition is only ~100s of KB on disk at this row count
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # key 0 carries ~100x the payload of every other key
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id") % 37).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            (F.col("id") % 37).alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k").select("k")
+        # the action must run THROUGH this DataFrame's own QueryExecution:
+        # count()/write() build a different one and leave this plan unfinal
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
