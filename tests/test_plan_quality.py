@@ -194,3 +194,30 @@ def test_sequence_pack_shuffles_only_slim_columns(spark):
     import re
     m = re.search(r"FlatMapGroupsIn\w+ \[([^\]]*)\]", opt)
     assert m and "text" not in m.group(1)
+
+
+def test_incremental_dedup_is_band_equi_join(spark):
+    # new-vs-corpus screening must stay a banded equi-join: no cartesian,
+    # no nested-loop pair generation
+    df = _SPECS["dedup_incremental"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_broadcasts_query_side(spark):
+    # the candidate scan is map-side scored against a broadcast query set;
+    # the only shuffle is the per-query top-k window
+    df = _SPECS["similarity_quantized_topk"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_caps_shingles_with_anti_join(spark):
+    # the stop-shingle df cap must be planned as a LeftAnti before the
+    # eval x corpus equi-join
+    df = _SPECS["benchmark_contamination"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
