@@ -42,3 +42,40 @@ def test_pii_redact_counts_and_replacement(spark):
     assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 0, 0)
     assert got[2]["redacted"] == rows[1][1]
     assert got[3]["redacted"] == "double [IP] [IP]"
+
+
+def test_pq_refine_recall_vs_exact_l2(spark):
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("c_id"))
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(l2, 6).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .collect()
+    }
+    refined = {
+        (r["q_id"], r["c_id"])
+        for r in S.pq_adc_refined_topk(emb, k=10, shortlist=100).collect()
+    }
+    # measured 0.98 at sf0.01 (exactly scoring only the 100-candidate
+    # shortlist per query); pin a floor well above the pure-ADC 0.52
+    assert len(exact & refined) / len(exact) >= 0.85
