@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_stratified_sample",
     "similarity_quantized_topk",
     "benchmark_contamination",
+    "similarity_pq_refined_topk",
 ]
 
 

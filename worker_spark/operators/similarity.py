@@ -569,11 +569,11 @@ def pq_adc_topk(
             "vid", "s", "cent_id", _sub_l2(F.col("vsub.v"), F.col("csub.v")).alias("d")
         )
     )
-    w = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("cent_id"))
-    codes = (
-        sd.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vid").alias("c_id"), "s", F.col("cent_id").alias("code"))
+    # argmin per (vector, subspace) as a groupBy min_by, not a window: the
+    # aggregate combines map-side, so the NxKxM scored rows never sort or
+    # shuffle in full — only one row per (vid, s) reaches the reducer
+    codes = sd.groupBy(F.col("vid").alias("c_id"), "s").agg(
+        F.min_by("cent_id", F.struct("d", "cent_id")).alias("code")
     )
     qd = sd.filter(F.col("vid") % query_stride == 0).select(
         F.col("vid").alias("q_id"), "s", "cent_id", "d"
