@@ -17,8 +17,9 @@ Spark's ``to_json(array<string>)`` and DuckDB's ``to_json(list(...))``
 (verified: raw UTF-8, ``\"``/``\\``/control escapes, no whitespace,
 ``[]`` for empty) — so the flagship production schema is itself
 hash-checked, not just its CSV-flattened twin. ``doc_build_scale``
-replays the same oracle with the corpus replicated 1000x (the sf0.01
-replication factor) for a full-volume hash check of the throughput probe.
+replays the same oracle with the corpus replicated (200x at the driver's
+sf0.01 gate; 10,000x in the sf0.1 bench) for a full-volume hash check of
+the throughput probe.
 """
 
 from __future__ import annotations
@@ -539,15 +540,19 @@ def q_search_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumns({c: F.array_join(F.col(c), ",") for c in _ARR_COLS})
 
 
+# the driver replays oracles at sf0.01 — the oracle replication MUST equal
+# _scale_copies(".../sf0.01"). 200 copies (1,400 articles) is plenty for
+# the full-volume hash check while keeping the driver's DuckDB replay of
+# the ~40-CTE oracle to ~20 s (1000x took ~110 s of pure oracle time);
+# the BENCH run at sf0.1 still pushes 10k copies for the throughput number.
+_SCALE_ORACLE_COPIES = 200
+
+
 def _scale_copies(sf_dir: str) -> int:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.01"
+    if abs(float(sf) - 0.01) < 1e-9:
+        return _SCALE_ORACLE_COPIES
     return max(int(float(sf) * 100_000), 100)  # sf0.1 -> 10_000 copies x 7 arts
-
-
-# the driver replays oracles at sf0.01 — the oracle replication MUST equal
-# _scale_copies(".../sf0.01")
-_SCALE_ORACLE_COPIES = 1000
-assert _scale_copies("/x/sf0.01") == _SCALE_ORACLE_COPIES
 
 
 @register(
@@ -556,7 +561,7 @@ assert _scale_copies("/x/sf0.01") == _SCALE_ORACLE_COPIES
     doc="Domain-pipeline throughput probe: the fixture corpus replicated "
     "to ~10k articles/sf-unit (distinct ids, same nested payloads) pushed "
     "through the full extraction + dimension-join document build. The "
-    "DuckDB oracle replays the same 1000x replication (the sf0.01 factor) "
+    "DuckDB oracle replays the same replication factor "
     "so the full-volume output hash-checks; the BENCH number is "
     "documents/second through the flagship pipeline.",
 )
