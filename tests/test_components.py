@@ -96,3 +96,31 @@ def test_star_cc_beats_diameter_bound(spark):
         for r in connected_components_star(_edges(spark, pairs), max_iter=16).collect()
     }
     assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_incremental_simhash_excludes_within_side_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.dedup import simhash_incremental_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                      # corpus
+        (2, base + " extra"),           # corpus near-dup of 1 (must NOT pair)
+        (11, base),                     # new near-dup of 1 and 2
+        (12, base + " extra"),          # new near-dup too (not vs 11)
+        (13, "completely different words entirely unrelated content here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in simhash_incremental_pairs(
+            docs, is_new=F.col("doc_id") >= 10, max_hamming=3
+        ).collect()
+    }
+    assert (11, 1) in pairs and (12, 2) in pairs
+    # no within-side pairs in either direction
+    assert not any(a < 10 for a, _ in pairs)
+    assert not any(b >= 10 for _, b in pairs)
+    assert not any(a == 11 and b == 12 for a, b in pairs)
+    assert 13 not in {a for a, _ in pairs}
