@@ -79,3 +79,15 @@ def test_pq_refine_recall_vs_exact_l2(spark):
     # measured 0.98 at sf0.01 (exactly scoring only the 100-candidate
     # shortlist per query); pin a floor well above the pure-ADC 0.52
     assert len(exact & refined) / len(exact) >= 0.85
+
+
+def test_char_entropy_known_values(spark):
+    from worker_spark.operators.text import with_char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r["char_entropy"] for r in with_char_entropy(df).collect()}
+    assert got[1] == 0.0      # one symbol -> zero bits
+    assert got[2] == 1.0      # two equiprobable symbols -> 1 bit
+    assert got[3] == 2.0      # four equiprobable symbols -> 2 bits
+    assert 4 not in got       # empty docs have no entropy row

@@ -258,3 +258,36 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             "redacted": redacted,
         }
     )
+
+
+def with_char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic gibberish / compression-artifact / encoding-noise filter:
+    natural language sits ~3.5-4.5 bits, base64 blobs and repeated-char
+    junk fall far outside.
+
+    Formulated as H = log2(n) - (sum c_i*log2(c_i))/n over per-character
+    counts so only one aggregation pass is needed. The char explode is a
+    map-side expression and the groupBy combines partially per partition,
+    so rows-in-flight stay bounded by distinct (doc, char) pairs, not raw
+    text length."""
+    chars = docs.select(
+        F.col("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.length(F.col(text_col)).cast("double").alias("n"),
+        F.explode(
+            F.when(
+                F.length(F.col(text_col)) > 0,
+                F.sequence(F.lit(1), F.length(F.col(text_col))),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select("doc_id", "n", F.expr("substr(_t, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.max("n")) - F.sum(F.col("c") * F.log2(F.col("c"))) / F.max("n"),
+            6,
+        ).alias("char_entropy")
+    )

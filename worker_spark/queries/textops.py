@@ -382,3 +382,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("redacted")).alias("redacted_hash"),
         )
     )
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+               substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT doc_id, n, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           round(log2(max(n)) - sum(c * log2(c)) / max(n), 6) AS char_entropy
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Character-level Shannon entropy per doc (bits/char) — gibberish/"
+    "base64/repeated-junk filter; single aggregation pass via "
+    "H = log2(n) - sum(c*log2(c))/n.",
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_char_entropy(docs)
