@@ -62,6 +62,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -86,6 +87,21 @@ def connected_components(
         labels = stepped.drop("chg")
         if converged:
             break
+    if not converged:
+        # min-label needs `diameter` rounds; a component with diameter >
+        # max_iter (long transitive near-dup chain) would exit here with
+        # WRONG labels and no signal. Fall back to the large-star/small-star
+        # variant, whose O(log^2 n) round count is diameter-independent.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); falling back to "
+            "connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(edges, src=src, dst=dst)
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -44,6 +44,22 @@ def _rate_col(strat: Column, rates: dict[str, float], default_rate: float) -> Co
     return expr
 
 
+def threshold_for(rate: float) -> int:
+    """Integer keep-threshold for a rate: host-side rounding so the cutoff
+    is an exact literal in every engine (a double product truncated with
+    ``cast(long)`` can land one bucket off DuckDB's DECIMAL rounding)."""
+    return int(round(float(rate) * DENOM))
+
+
+def _threshold_col(
+    strat: Column, rates: dict[str, float], default_rate: float
+) -> Column:
+    expr = F.lit(threshold_for(default_rate))
+    for key, rate in sorted(rates.items()):
+        expr = F.when(strat == key, F.lit(threshold_for(rate))).otherwise(expr)
+    return expr
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -54,10 +70,8 @@ def stratified_sample(
     """Keep each row iff its id-hash bucket clears the stratum's rate.
     Adds ``strat_bucket`` so the decision is auditable downstream."""
     bucket = strat_bucket(F.col(id_col))
-    rate = _rate_col(F.col(strat_col), rates, default_rate)
-    return df.withColumn("strat_bucket", bucket).filter(
-        bucket < (rate * DENOM).cast("long")
-    )
+    threshold = _threshold_col(F.col(strat_col), rates, default_rate)
+    return df.withColumn("strat_bucket", bucket).filter(bucket < threshold)
 
 
 def mixture_report(
@@ -72,7 +86,8 @@ def mixture_report(
     bucket predicate the sampler applies)."""
     bucket = strat_bucket(F.col(id_col))
     rate = _rate_col(F.col(strat_col), rates, default_rate)
-    kept = (bucket < (rate * DENOM).cast("long")).cast("long")
+    threshold = _threshold_col(F.col(strat_col), rates, default_rate)
+    kept = (bucket < threshold).cast("long")
     return (
         df.groupBy(F.col(strat_col).alias("stratum"))
         .agg(

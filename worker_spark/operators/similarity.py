@@ -491,7 +491,7 @@ def quantized_topk(
 # --- product quantization (PQ) + asymmetric distance computation ----------
 #
 # The billion-vector scale path beyond int8: each vector is encoded as M
-# sub-space codebook ids (here 8 subspaces x 8 dims over DIM=64), and
+# sub-space codebook ids (here 16 subspaces x 4 dims over DIM=64), and
 # query-to-candidate distance is approximated by summing per-subspace
 # query->centroid distances (ADC). Candidates store M bytes instead of
 # DIM floats (16x smaller at M=16); scoring a candidate is M table
@@ -578,10 +578,16 @@ def pq_adc_topk(
     qd = sd.filter(F.col("vid") % query_stride == 0).select(
         F.col("vid").alias("q_id"), "s", "cent_id", "d"
     )
+    # both sides descend from the same `sd` plan: join via explicit string
+    # aliases, NOT frame-attribute columns — `codes["s"] == qd["s"]` resolves
+    # by dataset-id and degenerates to a trivially-true predicate (i.e. a
+    # cartesian on `s`) under plan rewrites
     adc = (
-        codes.join(
-            F.broadcast(qd),
-            (codes["s"] == qd["s"]) & (codes["code"] == qd["cent_id"]),
+        codes.alias("co")
+        .join(
+            F.broadcast(qd.alias("qd")),
+            (F.col("co.s") == F.col("qd.s"))
+            & (F.col("co.code") == F.col("qd.cent_id")),
         )
         .filter(F.col("c_id") != F.col("q_id"))
         .groupBy("q_id", "c_id")

@@ -76,7 +76,7 @@ def q_doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     SELECT shard, pack_seq,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            round(CAST(sum(n_tokens) AS DOUBLE) / {_BUDGET}.0, 6) AS utilization
     FROM walk
     GROUP BY shard, pack_seq

@@ -22,6 +22,16 @@ _RATE = (
     "CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.9 "
     f"WHEN 'zh' THEN 0.7 ELSE {_DEFAULT} END"
 )
+# Integer keep-thresholds, pre-rounded host-side from the SAME helper the
+# Spark plan uses — the cutoff is an exact literal in both engines (no
+# double-vs-DECIMAL product rounding window).
+_THRESH = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {S.threshold_for(r)}" for k, r in sorted(_RATES.items())
+    )
+    + f" ELSE {S.threshold_for(_DEFAULT)} END"
+)
 
 
 @register(
@@ -29,7 +39,7 @@ _RATE = (
     f"""
     SELECT doc_id, lang, source, {_BUCKET} AS strat_bucket
     FROM documents
-    WHERE {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
+    WHERE {_BUCKET} < {_THRESH}
     """,
     doc="Deterministic per-language downsampling: md5(doc_id) bucket vs "
     "stratum rate — map-only, shuffle-free, reproducible across engines "
@@ -47,11 +57,11 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang AS stratum,
            count(*) AS total_rows,
-           sum(CASE WHEN {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
-                    THEN 1 ELSE 0 END) AS sampled_rows,
+           CAST(sum(CASE WHEN {_BUCKET} < {_THRESH}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sampled_rows,
            round(CAST({_RATE} AS DOUBLE), 6) AS target_rate,
-           round(CAST(sum(CASE WHEN {_BUCKET} < CAST({_RATE} * {S.DENOM} AS BIGINT)
-                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           round(CAST(CAST(sum(CASE WHEN {_BUCKET} < {_THRESH}
+                              THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*), 6)
                AS achieved_rate
     FROM documents
     GROUP BY lang

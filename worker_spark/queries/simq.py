@@ -299,9 +299,9 @@ def _pq_oracle() -> str:
 @register(
     "similarity_pq_adc_topk",
     _pq_oracle(),
-    doc="Product quantization + asymmetric distance (8 subspaces x 8 dims, "
-    "medoid codebooks): candidates store 8 code bytes instead of 64 floats "
-    "(32x), scored via a broadcast query->centroid lookup table. "
+    doc="Product quantization + asymmetric distance (16 subspaces x 4 dims, "
+    "medoid codebooks): candidates store 16 code bytes instead of 64 floats "
+    "(16x), scored via a broadcast query->centroid lookup table. "
     "Sub-distances are 6dp DECIMALs so code assignment and ADC ranks are "
     "engine-exact.",
 )

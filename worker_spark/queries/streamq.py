@@ -101,7 +101,10 @@ def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT user_id, session_id,
                count(*) AS n_events,
                min(ts) AS st, max(ts) AS en,
-               sum(value) AS sv
+               -- integer cents via the SAME floor(x*100+0.5) double
+               -- expression the state function applies per event: both
+               -- engines sum identical integers, so group order is moot
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv
         FROM numbered GROUP BY user_id, session_id
     ), lastx AS (
         SELECT user_id, max(session_id) AS max_sid FROM final GROUP BY user_id
@@ -110,7 +113,7 @@ def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
            strftime(f.st, '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(f.en, '%Y-%m-%d %H:%M:%S') AS session_end,
            f.n_events,
-           round(f.sv, 2) AS session_value
+           round(f.sv / 100.0, 2) AS session_value
     FROM final f JOIN lastx l
       ON f.user_id = l.user_id AND f.session_id < l.max_sid
     """,

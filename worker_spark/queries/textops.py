@@ -325,7 +325,6 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # In-query synthetic contact block: the parquet corpora are PII-free, so
 # both engines derive the SAME contact text from customer rows and the
 # redaction operator is exercised against real matches.
-_CONTACT_SPARK = None  # built in the query function
 _CONTACT_SQL = (
     "c_name || ' <' || lower(replace(c_name, '#', '.')) || '@example.com>'"
     " || ' from 10.' || (c_custkey % 200) || '.' || c_nationkey || '.7'"

@@ -29,9 +29,19 @@ OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, session_value double"
 )
-STATE_SCHEMA = "start timestamp, end timestamp, n bigint, val double"
+STATE_SCHEMA = "start timestamp, end timestamp, n bigint, val bigint"
 
 _OUT_COLS = ["user_id", "session_start", "session_end", "n_events", "session_value"]
+
+
+def _cents(val: float) -> int:
+    """Quantize an event value to integer cents with floor(x*100 + 0.5) —
+    the same IEEE-double expression the DuckDB oracle evaluates, so both
+    engines accumulate IDENTICAL integers and summation order can never
+    shift a rounded session total across a .xx5 boundary."""
+    import math
+
+    return int(math.floor(float(val) * 100.0 + 0.5))
 
 
 def _session_fn(gap: pd.Timedelta, gap_ms: int):
@@ -41,7 +51,7 @@ def _session_fn(gap: pd.Timedelta, gap_ms: int):
             s, e, n, v = state.get
             state.remove()
             yield pd.DataFrame(
-                [(user_id, s, e, n, v)], columns=_OUT_COLS
+                [(user_id, s, e, n, v / 100.0)], columns=_OUT_COLS
             )
             return
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
@@ -50,18 +60,18 @@ def _session_fn(gap: pd.Timedelta, gap_ms: int):
             s, e = pd.Timestamp(s), pd.Timestamp(e)
         else:
             s = e = None
-            n, v = 0, 0.0
+            n, v = 0, 0
         out = []
         for ts, val in zip(rows["ts"], rows["value"]):
             if s is None:
                 s = e = ts
-                n, v = 0, 0.0
+                n, v = 0, 0
             elif (ts - e) > gap:
-                out.append((user_id, s, e, n, v))
+                out.append((user_id, s, e, n, v / 100.0))
                 s = e = ts
-                n, v = 0, 0.0
+                n, v = 0, 0
             n += 1
-            v += float(val)
+            v += _cents(val)
             e = ts
         state.update((s, e, n, v))
         # flush the open session once the watermark passes end + gap
