@@ -37,6 +37,71 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+# The round driver oracle-checks only the FIRST 50 registry entries, so the
+# inventory order is a verification-priority list, not an aesthetic one.
+# In-window: every query that has never had a green driver row, queries whose
+# code or oracle changed this round, then one representative per operator
+# family. Rotated past the window: redundant single-operator exercises
+# (TPC-H-style rows whose operators richer in-window queries already cover) —
+# those stay pinned by the in-repo DuckDB parity test, which runs ALL entries.
+_DRIVER_WINDOW = [
+    # never driver-verified before round 3
+    "doc_quota_sample",
+    "similarity_ivf_ann",
+    "similarity_quantized_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_refined_topk",
+    "streaming_stateful_sessions",
+    "place_crawl_closure",
+    "url_build_redact",
+    "event_asof_attribution",
+    "event_range_join",
+    # green in r1 but outside the r2 window
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "dedup_embedding_blocked",
+    "streaming_event_window_counts",
+    "outbox_dedup_append",
+    "reverse_invalidation",
+    "sync_outbox_tick",
+    "outbox_dashboard",
+    # changed (code or oracle) in round 3
+    "pack_utilization",
+    "doc_mixture_report",
+    "doc_stratified_sample",
+    "dedup_cluster_components",
+    "inline_ref_parse",
+    "doc_char_entropy",
+    "search_index_config",
+    "similarity_pq_kmeans_topk",
+    "doc_cdc_chunks",
+    "dedup_translit_shingles",
+    # one representative per operator family (all green in r2)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_best_of_cluster",
+    "doc_tfidf_topk",
+    "benchmark_contamination",
+    "pii_redaction",
+    "multimodal_features",
+    "article_search_documents",
+    "search_documents_flat",
+    "doc_build_scale",
+    "article_analysis",
+    "inline_ref_codes",
+    "sync_diff_classify",
+    "outbox_drain_cap",
+    "event_sessions",
+    "doc_sequence_pack",
+    "doc_token_stats",
+    "doc_quality_filter",
+    "doc_lang_id",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from worker_spark.queries import (  # noqa: F401
@@ -54,4 +119,9 @@ def all_queries() -> dict[str, QuerySpec]:
         textops,
     )
 
-    return dict(_REGISTRY)
+    ordered = {
+        name: _REGISTRY[name] for name in _DRIVER_WINDOW if name in _REGISTRY
+    }
+    for name, spec in _REGISTRY.items():
+        ordered.setdefault(name, spec)
+    return ordered

@@ -3,9 +3,10 @@ fixture corpus ported from its unit tests (worker_spark/fixtures.py).
 
 article_analysis reads the committed fixture parquet (fixture_data/) so
 its DuckDB oracle can replay the extraction over the same nested structs
-(hash-checked). inline_ref_codes oracles the SQL-expressible projection of
-the inline-ref parse; only the byte offsets (inline_ref_parse) stay
-rows-only, pinned by the goldens in tests/test_extraction.py.
+(hash-checked). inline_ref_codes oracles the code/spec projection of the
+inline-ref parse; inline_ref_parse oracles the full parse INCLUDING UTF-8
+byte offsets (strlen prefix walk), with regex-consumption edge cases
+pinned by the goldens in tests/test_extraction.py.
 """
 
 from __future__ import annotations
@@ -18,13 +19,110 @@ from pyspark.sql import functions as F
 from worker_spark.queries import register
 
 
+def _naive_candidates(q: str) -> list[tuple[int, int, str, str | None]]:
+    """Python twin of the offsets oracle's SQL enumeration: every '(' with a
+    permissible preceding char and a first-')' closer, WITHOUT the regex
+    scanner's left-to-right consumption. Used at oracle-build time to assert
+    the two semantics coincide on this corpus (they diverge only on nested/
+    adjacent paren groups, which the goldens pin separately)."""
+    out: list[tuple[int, int, str, str | None]] = []
+    for i, ch in enumerate(q):
+        if ch != "(" or i == 0 or q[i - 1] in "\t\n\r\x0b\x0c":
+            continue
+        j = q.find(")", i + 1)
+        if j <= i + 1:
+            continue
+        inner = q[i + 1 : j]
+        start = len(q[:i].encode("utf-8"))
+        end = len(q[: j + 1].encode("utf-8"))
+        for seg in inner.split(";"):
+            seg = seg.strip(" ")
+            if not seg:
+                continue
+            sp = seg.find(" ")
+            code = seg if sp == -1 else seg[:sp]
+            spec = None if sp == -1 else (seg[sp + 1 :].strip(" ") or None)
+            if code[:1].isupper():
+                out.append((start, end, code, spec))
+    return out
+
+
+def _inline_ref_parse_oracle() -> str:
+    """DuckDB replay of the FULL F1/F2 parse including UTF-8 byte offsets:
+    '(' candidates are enumerated per character position, the byte offset is
+    ``strlen`` (byte length) of the character prefix (exact for any Unicode
+    content),
+    and segment split / code-spec split / uppercase gate mirror the codes
+    oracle. The one regex behavior SQL enumeration cannot express —
+    left-to-right match consumption on nested or adjacent paren groups — is
+    asserted absent from the corpus at build time; those semantics stay
+    pinned by the tests/test_extraction.py goldens
+    (src/extraction.rs:1086-1151)."""
+    from worker_spark import fixtures as FX
+    from worker_spark.functions.inline_refs import extract_refs_from_quote
+
+    for q, _ in FX.QUOTE_CASES:
+        assert _naive_candidates(q) == extract_refs_from_quote(q), (
+            "fixture quote needs regex consumption semantics; the SQL "
+            f"offsets oracle cannot express it: {q!r}"
+        )
+    assert not any("'" in q for q, _ in FX.QUOTE_CASES)
+    values = ",\n        ".join(
+        f"('no', {100 + i}, '{q}')" for i, (q, _) in enumerate(FX.QUOTE_CASES)
+    )
+    return f"""
+    WITH quotes(dictionary, article_id, quote_content) AS (
+        VALUES {values}
+    ),
+    cand AS (
+        SELECT dictionary, article_id, quote_content, i
+        FROM quotes, UNNEST(range(2, length(quote_content) + 1)) AS t(i)
+        WHERE substr(quote_content, CAST(i AS INT), 1) = '('
+          AND substr(quote_content, CAST(i AS INT) - 1, 1)
+              NOT IN (chr(9), chr(10), chr(11), chr(12), chr(13))
+    ),
+    m AS (
+        SELECT dictionary, article_id, quote_content,
+               CAST(strlen(substr(quote_content, 1, CAST(i AS INT) - 1))
+                    AS INT) AS offset_start,
+               CAST(strlen(substr(quote_content, 1,
+                    CAST(i + position(')' IN substr(quote_content, CAST(i AS INT) + 1))
+                    AS INT))) AS INT) AS offset_end,
+               substr(quote_content, CAST(i AS INT) + 1,
+                      position(')' IN substr(quote_content, CAST(i AS INT) + 1)) - 1
+               ) AS inner_txt
+        FROM cand
+        WHERE position(')' IN substr(quote_content, CAST(i AS INT) + 1)) >= 2
+    ),
+    segs AS (
+        SELECT dictionary, article_id, quote_content, offset_start, offset_end,
+               trim(string_split(inner_txt, ';')[si]) AS seg
+        FROM m, UNNEST(range(1, len(string_split(inner_txt, ';')) + 1)) AS ts(si)
+    ),
+    parsed AS (
+        SELECT dictionary, article_id, quote_content, offset_start, offset_end,
+               CASE WHEN position(' ' IN seg) = 0 THEN seg
+                    ELSE seg[1:position(' ' IN seg)-1] END AS code,
+               CASE WHEN position(' ' IN seg) = 0 THEN NULL
+                    ELSE nullif(trim(seg[position(' ' IN seg)+1:]), '') END AS spec
+        FROM segs WHERE seg <> ''
+    )
+    SELECT dictionary, article_id, quote_content, offset_start, offset_end,
+           code, spec
+    FROM parsed
+    WHERE regexp_matches(code, '^[A-Z]')
+    """
+
+
 @register(
     "inline_ref_parse",
-    None,
+    _inline_ref_parse_oracle(),
     doc="F1/F2 inline-reference parsing with byte offsets over the "
     "reference's own quote corpus (src/extraction.rs:1086-1151) -> "
-    "inline_ref_parse rows (migrations/20260518113248). Golden-asserted "
-    "in tests/test_extraction.py; rows-only here.",
+    "inline_ref_parse rows (migrations/20260518113248). Offsets are UTF-8 "
+    "byte positions (octet_length of the char prefix in the oracle); "
+    "regex-consumption edge cases stay golden-asserted in "
+    "tests/test_extraction.py.",
 )
 def q_inline_ref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _inline_ref_rows(spark)
