@@ -70,6 +70,37 @@ R1_ANCHOR = {
 }
 R1_TOTAL = 28.474
 
+# Round-2 anchor (BENCH_r02.json, same host/config): covers the full r2
+# headline set, so round 3+ gets like-for-like ratios for the queries that
+# joined after r1 (cluster components, packing, sampling, quantized/PQ ANN,
+# contamination).
+R2_ANCHOR = {
+    "pricing_summary": 0.446,
+    "top_revenue_orders": 1.203,
+    "revenue_by_nation": 0.865,
+    "orders_with_returns": 0.482,
+    "customer_any_return": 0.512,
+    "sync_diff_classify": 0.565,
+    "event_journey": 0.2,
+    "outbox_drain_cap": 0.279,
+    "doc_token_stats": 0.197,
+    "dedup_minhash_lsh": 3.362,
+    "dedup_simhash": 3.604,
+    "similarity_cosine_topk": 1.121,
+    "similarity_lsh_ann": 2.22,
+    "dedup_embedding_blocked": 1.881,
+    "multimodal_features": 0.325,
+    "event_value_percentiles": 0.198,
+    "reverse_invalidation": 0.51,
+    "doc_build_scale": 2.721,
+    "dedup_cluster_components": 5.219,
+    "doc_sequence_pack": 0.352,
+    "doc_stratified_sample": 0.144,
+    "similarity_quantized_topk": 0.555,
+    "benchmark_contamination": 2.347,
+    "similarity_pq_refined_topk": 3.752,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +154,15 @@ def main() -> None:
         out["anchored_total"] = round(sum(timings[n] for n in anchored), 3)
         out["total_vs_r1"] = round(
             out["anchored_total"] / sum(R1_ANCHOR[n] for n in anchored), 3
+        )
+        out["vs_r2"] = {
+            n: round(t / R2_ANCHOR[n], 2) for n, t in timings.items() if n in R2_ANCHOR
+        }
+        anchored2 = [n for n in timings if n in R2_ANCHOR]
+        out["total_vs_r2"] = round(
+            sum(timings[n] for n in anchored2)
+            / sum(R2_ANCHOR[n] for n in anchored2),
+            3,
         )
     print(json.dumps(out))
     spark.stop()

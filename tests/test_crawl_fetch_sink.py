@@ -88,6 +88,70 @@ def test_retry_classification_and_backoff():
     assert not is_transient(RuntimeError("404 not found"))
 
 
+def test_circuit_breaker_opens_and_recovers():
+    # T7 breaker semantics (reference src/uib_client.rs:29-85): 10
+    # consecutive failures open it, cooldown half-opens it, a successful
+    # trial closes it and resets the counter
+    from worker_spark.sources.fetch_sim import CircuitBreaker, CircuitOpenError
+
+    now = {"t": 0.0}
+    upstream = {"up": False, "calls": 0}
+
+    def flapping():
+        upstream["calls"] += 1
+        if not upstream["up"]:
+            raise RuntimeError("connect timeout")
+        return "ok"
+
+    br = CircuitBreaker(threshold=10, cooldown_s=60.0, clock=lambda: now["t"])
+    guarded = br.wrap(flapping)
+
+    for _ in range(9):
+        with pytest.raises(RuntimeError):
+            guarded()
+    assert not br.is_open  # 9 consecutive: still closed
+    with pytest.raises(RuntimeError):
+        guarded()
+    assert br.is_open  # 10th opens it
+
+    # open: fails fast WITHOUT touching the upstream
+    calls_before = upstream["calls"]
+    with pytest.raises(CircuitOpenError):
+        guarded()
+    assert upstream["calls"] == calls_before
+
+    # cooldown not yet elapsed
+    now["t"] = 59.9
+    with pytest.raises(CircuitOpenError):
+        guarded()
+
+    # half-open trial that fails re-opens for another full cooldown
+    now["t"] = 60.0
+    with pytest.raises(RuntimeError):
+        guarded()
+    assert br.is_open
+    now["t"] = 100.0
+    with pytest.raises(CircuitOpenError):
+        guarded()
+
+    # half-open trial that succeeds closes and resets the counter
+    now["t"] = 121.0
+    upstream["up"] = True
+    assert guarded() == "ok"
+    assert not br.is_open
+    upstream["up"] = False
+    with pytest.raises(RuntimeError):
+        guarded()
+    assert not br.is_open  # counter was reset: one failure doesn't re-open
+
+
+def test_circuit_open_is_not_transient():
+    # an open breaker must stop the retry loop immediately, not be retried
+    from worker_spark.sources.fetch_sim import CircuitOpenError
+
+    assert not is_transient(CircuitOpenError("circuit open after 10 failures"))
+
+
 def test_search_sink_chunking(spark, tmp_path):
     docs = spark.range(120).select(
         F.col("id").alias("article_id"),
@@ -112,3 +176,37 @@ def test_search_sink_chunking(spark, tmp_path):
     foreach_partition_sink(docs.repartition(4), push, batch_size=30)
     assert rows_acc.value == 120
     assert oversize_acc.value == 0
+
+
+def test_search_sink_writes_index_config(spark, tmp_path):
+    # S10: the sink ships the index-settings contract beside the documents
+    # (src/meili.rs:273-433); underscore prefix keeps readers off it
+    import json
+
+    from worker_spark.plans.index_config import INDEX_CONFIG
+
+    docs = spark.range(10).select(
+        F.col("id").alias("article_id"), F.lit("bm").alias("dictionary")
+    )
+    out = str(tmp_path / "docs_with_cfg")
+    write_search_documents(docs, out, max_records_per_file=25)
+    with open(f"{out}/_search_index_config.json", encoding="utf-8") as fh:
+        cfg = json.load(fh)
+    assert set(cfg) == {"articles-bm", "articles-nn", "articles-no",
+                        "bibliography", "places"}
+    for name, idx in cfg.items():
+        assert idx["primary_key"] == "id"
+        assert idx["ranking_rules"] == [
+            "words", "typo", "proximity", "attribute", "sort", "exactness"]
+        assert isinstance(idx["max_total_hits"], int)
+    # article indexes: ordered searchable attrs + facet cap (meili.rs:283-357)
+    art = cfg["articles-bm"]
+    assert art["searchable"][0] == "lemmas" and art["searchable"][-1] == "sub_article_lemmas"
+    assert art["sortable"] == ["article_id"]
+    assert art["max_total_hits"] == 500_000
+    assert art["max_values_per_facet"] == 10_000
+    assert cfg["bibliography"]["sortable"] == ["year", "author"]
+    assert cfg["places"]["max_total_hits"] == 10_000
+    # the artifact must not break reading the parquet dataset
+    assert spark.read.parquet(out).count() == 10
+    assert cfg == INDEX_CONFIG

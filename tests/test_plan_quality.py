@@ -221,3 +221,12 @@ def test_contamination_caps_shingles_with_anti_join(spark):
     plan = _physical(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_char_entropy_is_map_only(spark):
+    # run-length HOF over the sorted char array: one narrow projection,
+    # no explode and no shuffle — pre-agg rows used to equal corpus chars
+    df = _SPECS["doc_char_entropy"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode

@@ -266,28 +266,38 @@ def with_char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     natural language sits ~3.5-4.5 bits, base64 blobs and repeated-char
     junk fall far outside.
 
-    Formulated as H = log2(n) - (sum c_i*log2(c_i))/n over per-character
-    counts so only one aggregation pass is needed. The char explode is a
-    map-side expression and the groupBy combines partially per partition,
-    so rows-in-flight stay bounded by distinct (doc, char) pairs, not raw
-    text length."""
-    chars = docs.select(
-        F.col("doc_id"),
-        F.col(text_col).alias("_t"),
-        F.length(F.col(text_col)).cast("double").alias("n"),
-        F.explode(
-            F.when(
-                F.length(F.col(text_col)) > 0,
-                F.sequence(F.lit(1), F.length(F.col(text_col))),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
-    ).select("doc_id", "n", F.expr("substr(_t, i, 1)").alias("ch"))
-    counts = chars.groupBy("doc_id", "n", "ch").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    Formulated as H = log2(n) - (sum c_i*log2(c_i))/n, with the per-char
+    counts c_i derived MAP-SIDE as run lengths of the sorted character
+    array (one ``aggregate`` HOF pass, no explode, no groupBy): the whole
+    operator is a single narrow projection, so at 100 TB it neither
+    shuffles nor multiplies rows — pre-agg row count used to equal total
+    corpus characters. Empty documents are dropped, matching the previous
+    explode formulation. The sorted array is bound to a column BEFORE the
+    lambda (HOF lambdas re-evaluate referenced expressions per element)."""
+    run = lambda acc: acc["run"]  # noqa: E731
+    contrib = lambda acc: F.when(  # noqa: E731
+        run(acc) > 0, run(acc) * F.log2(run(acc))
+    ).otherwise(F.lit(0.0))
+    runsum = F.aggregate(
+        F.col("_cs"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0.0).alias("run"), F.lit(0.0).alias("acc")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], run(acc) + 1).otherwise(F.lit(1.0)).alias("run"),
+            F.when(x == acc["prev"], acc["acc"])
+            .otherwise(acc["acc"] + contrib(acc))
+            .alias("acc"),
+        ),
+        lambda acc: acc["acc"] + contrib(acc),
     )
-    return counts.groupBy("doc_id").agg(
-        F.round(
-            F.log2(F.max("n")) - F.sum(F.col("c") * F.log2(F.col("c"))) / F.max("n"),
-            6,
-        ).alias("char_entropy")
+    n = F.length(F.col(text_col)).cast("double")
+    return (
+        docs.filter(F.length(F.col(text_col)) > 0)
+        .withColumn("_cs", F.array_sort(F.split(F.col(text_col), "")))
+        .select(
+            "doc_id",
+            F.round(F.log2(n) - runsum / n, 6).alias("char_entropy"),
+        )
     )

@@ -24,7 +24,10 @@ SEARCH_BATCH_SIZE = 5000
 
 
 def write_search_documents(
-    docs: DataFrame, out_dir: str, max_records_per_file: int = SEARCH_BATCH_SIZE
+    docs: DataFrame,
+    out_dir: str,
+    max_records_per_file: int = SEARCH_BATCH_SIZE,
+    with_index_config: bool = True,
 ) -> None:
     (
         docs.write.mode("overwrite")
@@ -32,6 +35,13 @@ def write_search_documents(
         .partitionBy("dictionary")
         .parquet(out_dir)
     )
+    if with_index_config:
+        # S10: the index-settings contract travels WITH the documents
+        # (src/meili.rs:273-433) so the downstream indexer configures
+        # from data, not code
+        from worker_spark.plans.index_config import write_index_config
+
+        write_index_config(out_dir)
 
 
 def foreach_partition_sink(

@@ -352,3 +352,25 @@ def q_article_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv(X.attestation_place_ids_col(d)).alias("attestation_place_ids"),
         csv(X.related_article_ids_col(d)).alias("related_article_ids"),
     )
+
+
+def _index_config_oracle() -> str:
+    from worker_spark.plans.index_config import index_config_oracle_sql
+
+    return index_config_oracle_sql()
+
+
+@register(
+    "search_index_config",
+    _index_config_oracle(),
+    doc="S10 index configuration as data (src/meili.rs:273-433): one "
+    "long-format row per (index, setting, ord, value) for the five "
+    "reference indexes — ordered searchable attributes, filterable/"
+    "sortable sets, ranking-rule pipeline, pagination and facet limits. "
+    "Spark frame, DuckDB oracle, and the JSON artifact the sink writes "
+    "all derive from the same constant.",
+)
+def q_search_index_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.plans.index_config import index_config_df
+
+    return index_config_df(spark)

@@ -62,18 +62,86 @@ def with_retries(fn: Callable, attempts: int = 4, backoff_base: float = 0.5) -> 
     return wrapped
 
 
+class CircuitOpenError(RuntimeError):
+    """Raised fail-fast while the breaker is open (upstream cooling down)."""
+
+
+class CircuitBreaker:
+    """T7 circuit breaker (src/uib_client.rs:29-85): opens after
+    ``threshold`` CONSECUTIVE failures, fails fast for ``cooldown_s``, then
+    half-opens — the next call is a trial whose success closes the breaker
+    and whose failure re-opens it for another cooldown.
+
+    A breaker instance lives inside one fetch task (one Python worker), so
+    state is per-executor-slot — exactly the scope a connection pool has in
+    the reference's worker pool. ``clock`` is injectable for tests."""
+
+    def __init__(
+        self,
+        threshold: int = 10,
+        cooldown_s: float = 60.0,
+        clock: Callable[[], float] | None = None,
+    ) -> None:
+        import time
+
+        self.threshold = threshold
+        self.cooldown_s = cooldown_s
+        self._clock = clock or time.monotonic
+        self._consecutive = 0
+        self._opened_at: float | None = None
+
+    @property
+    def is_open(self) -> bool:
+        if self._opened_at is None:
+            return False
+        if self._clock() - self._opened_at >= self.cooldown_s:
+            return False  # cooled down: half-open, admit a trial call
+        return True
+
+    def wrap(self, fn: Callable) -> Callable:
+        def guarded(*args, **kwargs):
+            if self.is_open:
+                remaining = self.cooldown_s - (self._clock() - self._opened_at)
+                raise CircuitOpenError(
+                    f"circuit open after {self._consecutive} consecutive "
+                    f"failures; retry in {remaining:.1f}s"
+                )
+            try:
+                result = fn(*args, **kwargs)
+            except Exception:
+                self._consecutive += 1
+                if self._consecutive >= self.threshold:
+                    self._opened_at = self._clock()
+                raise
+            self._consecutive = 0
+            self._opened_at = None
+            return result
+
+        return guarded
+
+
 def fetch_articles(
     job_keys: DataFrame,
     resolver: Callable[[str, int], dict | None],
     num_partitions: int | None = None,
+    breaker_threshold: int = 10,
+    breaker_cooldown_s: float = 60.0,
 ) -> DataFrame:
     """Partitioned fetch: (job_key 'dict:id') rows -> fetch results.
-    ``resolver(dictionary, article_id) -> article dict | None``."""
+    ``resolver(dictionary, article_id) -> article dict | None``.
+
+    Each task guards its resolver with a circuit breaker INSIDE the retry
+    loop: every attempt counts toward the consecutive-failure threshold,
+    and an open breaker raises ``CircuitOpenError`` (non-transient, so the
+    retry wrapper stops immediately instead of hammering a down upstream)."""
     if num_partitions:
         job_keys = job_keys.repartition(num_partitions, "job_key")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fetch = with_retries(resolver)
+        breaker = CircuitBreaker(
+            threshold=breaker_threshold, cooldown_s=breaker_cooldown_s
+        )
+        fetch = with_retries(breaker.wrap(resolver))
         for pdf in batches:
             out = []
             for key in pdf["job_key"]:
