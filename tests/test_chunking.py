@@ -1,0 +1,74 @@
+"""Content-defined chunking: tiling invariants, the shift-invariance
+property that motivates CDC over fixed-width chunking, and duplicate-chunk
+detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from worker_spark.operators.chunking import (
+    CDC_WINDOW,
+    cdc_chunks,
+    cdc_duplicate_chunks,
+)
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id: bigint, text: string")
+
+
+def test_chunks_tile_document_exactly(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 30
+    df = _doc_df(spark, [(1, text)])
+    chunks = cdc_chunks(df).orderBy("chunk_ix").collect()
+    assert chunks[0]["chunk_start"] == 1
+    pos = 1
+    for c in chunks:
+        assert c["chunk_start"] == pos
+        assert c["chunk_len"] >= 1
+        pos += c["chunk_len"]
+    assert pos - 1 == len(text)  # chunks cover every char, no gaps/overlap
+
+
+def test_short_and_empty_documents(spark):
+    df = _doc_df(spark, [(1, "tiny"), (2, ""), (3, "x" * (CDC_WINDOW - 1))])
+    got = {r["doc_id"]: r for r in cdc_chunks(df).collect()}
+    assert set(got) == {1, 3}  # empty doc yields no chunks
+    assert got[1]["chunk_len"] == 4 and got[1]["chunk_ix"] == 0
+    assert got[3]["chunk_len"] == CDC_WINDOW - 1
+
+
+def test_boundaries_shift_invariant_under_prefix_edit(spark):
+    # THE CDC property: prepending text must not re-chunk the tail.
+    # Fixed-width chunking shifts every boundary; content-defined
+    # boundaries realign within one window of the edit.
+    # varied (non-periodic) text so boundary hits occur at the ~1/64 rate;
+    # a purely repeating phrase can dodge the divisor for its whole length
+    base = " ".join(f"w{(i * 2654435761) % 9973:x}" for i in range(400))
+    edited = "INSERTED PREFIX >>> " + base
+    df = _doc_df(spark, [(1, base), (2, edited)])
+    hashes = (
+        cdc_chunks(df)
+        .groupBy("doc_id")
+        .agg(F.collect_set("chunk_hash").alias("hs"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: set(r["hs"]) for r in hashes}
+    shared = by_id[1] & by_id[2]
+    # all but the first chunk or two of the base doc reappear verbatim
+    assert len(shared) >= max(2, len(by_id[1]) - 2)
+
+
+def test_duplicate_chunk_detection(spark):
+    boiler = "this boilerplate footer appears in every document of the crawl "
+    df = _doc_df(
+        spark,
+        [
+            (1, "unique text alpha alpha alpha " * 5 + boiler * 4),
+            (2, "different beta beta content here " * 5 + boiler * 4),
+            (3, "entirely unrelated gamma words only"),
+        ],
+    )
+    dupes = cdc_duplicate_chunks(df).collect()
+    assert len(dupes) >= 1  # the shared boilerplate surfaces
+    assert all(r["n_docs"] >= 2 for r in dupes)

@@ -105,6 +105,7 @@ _DRIVER_WINDOW = [
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from worker_spark.queries import (  # noqa: F401
+        chunkq,
         dedupq,
         docflat,
         domain,

@@ -1,0 +1,93 @@
+"""Content-defined chunking queries over ``documents``.
+
+Spark side: worker_spark.operators.chunking (map-only rolling-hash
+boundary detection). Oracle side: the identical exact-integer polynomial
+evaluated per position in DuckDB — boundaries are bit-identical across
+engines, so chunk starts, lengths, AND content hashes all hash-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from worker_spark.operators import chunking as C
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_W, _B, _D = C.CDC_WINDOW, C.CDC_BASE, C.CDC_DIVISOR
+
+_HASH_TERMS = " + ".join(
+    f"CAST(ord(substr(text, CAST(i - {j} AS INT), 1)) AS BIGINT) * CAST({_B**j} AS BIGINT)"
+    for j in range(_W)
+)
+
+_CHUNK_CTE = f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) > 0
+    ),
+    bounds AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS e
+        FROM docs, UNNEST(range({_W}, n + 1)) AS t(i)
+        WHERE ({_HASH_TERMS}) % {_D} = 0 AND i < n
+    ),
+    ends AS (
+        SELECT doc_id, e FROM bounds
+        UNION ALL
+        SELECT doc_id, n AS e FROM docs
+    ),
+    chunks AS (
+        SELECT doc_id, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS prev_e,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                    AS INT) AS chunk_ix
+        FROM ends
+    ),
+    chunk_rows AS (
+        SELECT c.doc_id, c.chunk_ix,
+               c.prev_e + 1 AS chunk_start,
+               c.e - c.prev_e AS chunk_len,
+               md5(substr(d.text, CAST(c.prev_e + 1 AS INT),
+                          CAST(c.e - c.prev_e AS INT))) AS chunk_hash
+        FROM chunks c JOIN docs d ON c.doc_id = d.doc_id
+    )
+"""
+
+
+@register(
+    "doc_cdc_chunks",
+    _CHUNK_CTE
+    + """
+    SELECT doc_id, chunk_ix, chunk_start, chunk_len, chunk_hash
+    FROM chunk_rows
+    """,
+    doc=f"Content-defined chunking: {_W}-char rolling polynomial hash "
+    f"(base {_B}), boundary when hash % {_D} == 0 — map-only, no shuffle, "
+    "boundaries shift-invariant under upstream edits (the Rabin/FastCDC "
+    "property). Exact-integer hash makes boundaries AND chunk md5s "
+    "bit-identical across engines.",
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_chunks(docs)
+
+
+@register(
+    "doc_cdc_duplicate_chunks",
+    _CHUNK_CTE
+    + """
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(chunk_len) AS chunk_len
+    FROM chunk_rows
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="Cross-document duplicate CDC chunks (shared boilerplate "
+    "detection): one groupBy on chunk hash, counts only — no pair "
+    "materialization at any scale.",
+)
+def q_doc_cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_duplicate_chunks(docs)
