@@ -416,3 +416,31 @@ def simhash_incremental_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+# Cross-lingual / orthographic normalization: one-to-one char map shared
+# verbatim with the DuckDB oracle (translate() has identical semantics in
+# both engines). Latin diacritics fold to ASCII; ligatures/sharp-s map to
+# their leading letter (single-char translate cannot expand). Non-Latin
+# scripts are untouched here and then dropped by the [^a-z0-9 ] sweep —
+# true transliteration of non-Latin text is a tokenizer-level concern.
+TRANSLIT_FROM = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿæœß"
+TRANSLIT_TO = "aaaaaaceeeeiiiinoooooouuuuyyaos"
+assert len(TRANSLIT_FROM) == len(TRANSLIT_TO)
+
+
+def translit_normalize(col: F.Column) -> F.Column:
+    """Accent-folded lowercase alphanumeric text: the join key space for
+    cross-lingual / orthographic near-dup detection ('Ærø-øl på vänern'
+    and 'Aero-ol pa Vanern'-style variants shingle identically). Pure
+    map-side expression."""
+    x = F.translate(F.lower(col), TRANSLIT_FROM, TRANSLIT_TO)
+    return F.trim(F.regexp_replace(x, "[^a-z0-9 ]", " "))
+
+
+def translit_sql(expr: str) -> str:
+    """The identical normalization as a DuckDB SQL expression."""
+    return (
+        f"trim(regexp_replace(translate(lower({expr}), "
+        f"'{TRANSLIT_FROM}', '{TRANSLIT_TO}'), '[^a-z0-9 ]', ' ', 'g'))"
+    )

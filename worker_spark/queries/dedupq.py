@@ -378,3 +378,65 @@ def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+def _translit_oracle() -> str:
+    norm = D.translit_sql("text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex({norm}, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+    ),
+    shc AS (
+        SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ),
+    sizes_c AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+           da.lang AS lang_a, db.lang AS lang_b
+    FROM inter
+    JOIN sizes_c sa ON sa.id = id_a
+    JOIN sizes_c sb ON sb.id = id_b
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """
+
+
+@register(
+    "dedup_translit_shingles",
+    _translit_oracle(),
+    doc="Cross-lingual / orthographic near-dup pairs: text is accent-folded "
+    "to lowercase ASCII alphanumerics (shared translate map, identical in "
+    "both engines) BEFORE shingling, so diacritic and orthography variants "
+    "of the same content shingle identically. Same stop-shingle-capped "
+    "equi-join shape as dedup_ngram_jaccard; pair langs attached to "
+    "surface cross-lingual hits.",
+)
+def q_dedup_translit_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", D.translit_normalize(F.col("text")).alias("text"))
+    pairs = D.ngram_jaccard_pairs(norm, threshold=0.2, shingle_df_cap=_NGRAM_DF_CAP)
+    langs = docs.select("doc_id", "lang")
+    return (
+        pairs.join(
+            langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")),
+            "id_a",
+        )
+        .join(
+            langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard", "lang_a", "lang_b")
+    )
