@@ -230,3 +230,13 @@ def test_char_entropy_is_map_only(spark):
     plan = _physical(df)
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_pq_kmeans_training_broadcasts_centroids(spark):
+    # every Lloyd round must be a broadcast-join argmin + groupBy mean;
+    # the codebook side is tiny and must never drive a cartesian
+    df = _SPECS["similarity_pq_kmeans_topk"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -653,3 +653,148 @@ def pq_adc_refined_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "l2_dist", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# -- k-means-trained PQ codebooks -------------------------------------------
+#
+# The medoid codebooks above are deterministic but unoptimized; real PQ
+# trains per-subspace codebooks with Lloyd's k-means (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", 2011). Distributed
+# Lloyd's is two Spark primitives per round: a broadcast-join argmin
+# (assignment) and a groupBy average (update) — no driver-side state
+# beyond the loop counter.
+#
+# Cross-engine exactness: sub-vector values are quantized to dyadic
+# rationals (floor(x*64)/64, exact in IEEE 754) so every centroid mean is
+# an EXACT sum divided by a count — summation order cannot perturb it,
+# assignments are bit-identical in Spark and DuckDB, and the whole
+# training loop is oracle-checkable with zero rounding windows. Medoid
+# init (vec_id % stride) keeps the seed deterministic; ties in the argmin
+# break on centroid id.
+
+PQ_KMEANS_ITERS = 2
+PQ_QUANT = 64  # dyadic quantization denominator (2^6)
+
+
+def _pq_subcols(
+    df: DataFrame, id_out: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, x0..x3): quantized sub-vector component columns."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                *[
+                    (
+                        F.floor(
+                            F.element_at(
+                                F.col(vec_col), s * PQ_SUBDIM + d + 1
+                            ).cast("double")
+                            * PQ_QUANT
+                        )
+                        / PQ_QUANT
+                    ).alias(f"x{d}")
+                    for d in range(PQ_SUBDIM)
+                ],
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_out), F.explode(entries).alias("e")).select(
+        id_out, "e.*"
+    )
+
+
+def _sq_dist(a_prefix: str, b_prefix: str) -> Column:
+    """Fixed-order sum of squared component differences (deterministic
+    double arithmetic, identical expression shape in the oracle SQL)."""
+    total = None
+    for d in range(PQ_SUBDIM):
+        t = (F.col(f"{a_prefix}x{d}") - F.col(f"{b_prefix}c{d}")) * (
+            F.col(f"{a_prefix}x{d}") - F.col(f"{b_prefix}c{d}")
+        )
+        total = t if total is None else total + t
+    return total
+
+
+def pq_kmeans_topk(
+    vectors: DataFrame,
+    k: int = 10,
+    codebook_stride: int = 50,
+    query_stride: int = 100,
+    iters: int = PQ_KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ + ADC top-k with k-means-trained codebooks: ``iters`` Lloyd
+    rounds from medoid seeds, then encode + ADC exactly like
+    ``pq_adc_topk``. Each round is one broadcast-join argmin plus one
+    groupBy mean over slim (id, s, 4-float) rows; clusters that lose all
+    members simply drop (same rule both engines)."""
+    from pyspark.sql import Window
+
+    sub = _pq_subcols(vectors, "vid", id_col, vec_col)
+    sub = sub.cache()
+    sub.count()  # materialize: feeds every round plus encoding and queries
+    cents = sub.filter(F.col("vid") % codebook_stride == 0).select(
+        F.col("s"),
+        F.col("vid").alias("cid"),
+        *[F.col(f"x{d}").alias(f"c{d}") for d in range(PQ_SUBDIM)],
+    )
+
+    def assign_against(c: DataFrame) -> DataFrame:
+        scored = (
+            sub.alias("p")
+            .join(F.broadcast(c.alias("c")), F.col("p.s") == F.col("c.s"))
+            .select(
+                F.col("p.vid").alias("vid"),
+                F.col("p.s").alias("s"),
+                F.col("c.cid").alias("cid"),
+                _sq_dist("p.", "c.").alias("d"),
+            )
+        )
+        return scored.groupBy("vid", "s").agg(
+            F.min_by("cid", F.struct("d", "cid")).alias("cid")
+        )
+
+    for _ in range(iters):
+        assign = assign_against(cents)
+        cents = (
+            assign.join(sub, ["vid", "s"])
+            .groupBy("s", "cid")
+            .agg(*[F.avg(f"x{d}").alias(f"c{d}") for d in range(PQ_SUBDIM)])
+        )
+    codes = assign_against(cents)
+
+    qd = (
+        sub.filter(F.col("vid") % query_stride == 0)
+        .alias("q")
+        .join(F.broadcast(cents.alias("c")), F.col("q.s") == F.col("c.s"))
+        .select(
+            F.col("q.vid").alias("q_id"),
+            F.col("q.s").alias("s"),
+            F.col("c.cid").alias("cid"),
+            F.round(_sq_dist("q.", "c."), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    adc = (
+        codes.alias("co")
+        .join(
+            F.broadcast(qd.alias("qd")),
+            (F.col("co.s") == F.col("qd.s")) & (F.col("co.cid") == F.col("qd.cid")),
+        )
+        .filter(F.col("co.vid") != F.col("qd.q_id"))
+        .groupBy(F.col("qd.q_id").alias("q_id"), F.col("co.vid").alias("c_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

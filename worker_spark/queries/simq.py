@@ -348,3 +348,91 @@ def _pq_refined_oracle() -> str:
 def q_similarity_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_refined_topk(emb, k=10, shortlist=100)
+
+
+def _pq_kmeans_oracle(
+    k: int = 10, codebook_stride: int = 50, query_stride: int = 100
+) -> str:
+    """Unrolled Lloyd's k-means in SQL, generated from the SAME constants
+    as the Spark operator. Sub-vector values are dyadic-quantized
+    (floor(x*64)/64, exact in IEEE 754) so every centroid mean is an exact
+    sum / count: assignments, trained centroids, and ADC ranks are
+    bit-identical across engines with no rounding window inside the loop."""
+    M, SD, Q = S.PQ_M, S.PQ_SUBDIM, S.PQ_QUANT
+    xs = ", ".join(
+        f"floor(CAST(embedding[CAST(s * {SD} + {d + 1} AS INT)] AS DOUBLE)"
+        f" * {Q}) / {Q} AS x{d}"
+        for d in range(SD)
+    )
+    dist = " + ".join(f"(p.x{d} - c.c{d}) * (p.x{d} - c.c{d})" for d in range(SD))
+    avgs = ", ".join(f"avg(sub.x{d}) AS c{d}" for d in range(SD))
+    cbs = ", ".join(f"x{d} AS c{d}" for d in range(SD))
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT vid, s, cid FROM (
+            SELECT p.vid, p.s, c.cid,
+                   row_number() OVER (PARTITION BY p.vid, p.s
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM sub p JOIN {cents} c ON p.s = c.s
+        ) WHERE rn = 1
+    )"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT a.s, a.cid, {avgs}
+        FROM {assign} a JOIN sub ON sub.vid = a.vid AND sub.s = a.s
+        GROUP BY a.s, a.cid
+    )"""
+
+    iter_ctes = "".join(
+        assign_cte(f"a{i}", f"cb{i}") + "," + update_cte(f"cb{i + 1}", f"a{i}") + ","
+        for i in range(S.PQ_KMEANS_ITERS)
+    )
+    final_cb = f"cb{S.PQ_KMEANS_ITERS}"
+    return f"""
+    WITH sub AS (
+        SELECT vec_id AS vid, CAST(s AS INT) AS s, {xs}
+        FROM embeddings, UNNEST(range(0, {M})) AS t(s)
+    ),
+    cb0 AS (
+        SELECT s, vid AS cid, {cbs} FROM sub WHERE vid % {codebook_stride} = 0
+    ),{iter_ctes}{assign_cte("codes", final_cb)},
+    qd AS (
+        SELECT p.vid AS q_id, p.s, c.cid,
+               CAST(round({dist}, 6) AS DECIMAL(18,6)) AS d
+        FROM sub p JOIN {final_cb} c ON p.s = c.s
+        WHERE p.vid % {query_stride} = 0
+    ),
+    adc AS (
+        SELECT qd.q_id, codes.vid AS c_id, sum(qd.d) AS adc
+        FROM codes JOIN qd ON codes.s = qd.s AND codes.cid = qd.cid
+        WHERE codes.vid != qd.q_id
+        GROUP BY qd.q_id, codes.vid
+    ),
+    ranked AS (
+        SELECT q_id, c_id, adc,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
+        FROM adc
+    )
+    SELECT q_id, c_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    "similarity_pq_kmeans_topk",
+    _pq_kmeans_oracle(),
+    doc=f"PQ + ADC with k-means-TRAINED codebooks: {S.PQ_KMEANS_ITERS} "
+    "Lloyd rounds (broadcast-join argmin assignment + groupBy mean update) "
+    "from medoid seeds, then encode + ADC rank. Dyadic quantization "
+    "(floor(x*64)/64) makes centroid means exact sums, so the whole "
+    "training loop is bit-identical across engines — a fully "
+    "oracle-checked distributed k-means.",
+)
+def q_similarity_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_kmeans_topk(emb, k=10)
