@@ -43,6 +43,10 @@ HEADLINE = [
     "similarity_quantized_topk",
     "benchmark_contamination",
     "similarity_pq_refined_topk",
+    # round-3 additions (no prior anchor; they join the anchor set in r3)
+    "similarity_pq_kmeans_topk",
+    "doc_cdc_chunks",
+    "dedup_translit_shingles",
 ]
 
 

@@ -240,3 +240,33 @@ def test_pq_kmeans_training_broadcasts_centroids(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_rules_and_split_assign_are_map_only(spark):
+    # rule gate + split/shard assignment are pure row-local expressions:
+    # no shuffle, no explode — they run at parquet-scan speed at any SF
+    for name in ("doc_gopher_rules", "doc_split_assign"):
+        plan = _physical(_SPECS[name].run(spark, SF_ORACLE))
+        assert "Exchange" not in plan, name
+        assert "Generate" not in plan, name
+
+
+def test_bigram_lm_model_is_broadcast_back(spark):
+    # the trained bigram model (<= |alphabet|^2 rows) must come back as a
+    # broadcast — full text never rides a shuffle; the only exploded rows
+    # are DISTINCT bigrams per doc (run-length arrays, not per-char rows)
+    df = _SPECS["doc_lm_score"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    # scoring join on bigram is a broadcast HASH join (the only
+    # nested-loop allowed is the 1-row grand-total crossJoin)
+    assert "BroadcastHashJoin [bigram" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_totals_broadcast(spark):
+    # per-stratum aggregate with totals riding back as broadcast 1-row
+    # aggregates: nothing after the first partial agg scales with corpus
+    df = _SPECS["doc_mixture_weights"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

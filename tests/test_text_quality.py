@@ -1,0 +1,109 @@
+"""Unit/property tests for the round-3 quality & curation operators:
+Gopher rule gate, char-bigram LM scoring, deterministic split/shard
+assignment, temperature mixture weights. (Cross-engine parity for the
+registered queries is covered by test_oracle_parity.)"""
+
+from __future__ import annotations
+
+from worker_spark.operators import sampling as S
+from worker_spark.operators import text as T
+from worker_spark.sources import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs back home to "
+    "rest because that long chase made it tired so it naps with joy " * 3
+)
+
+
+def test_gopher_rules_pass_and_fail(spark):
+    rows = [
+        (1, GOOD),  # long, alpha, stopword-rich -> passes
+        (2, "short text"),  # fails word count
+        (3, " ".join(["####"] * 120)),  # symbol ratio + alpha + stopwords fail
+        (4, " ".join(["supercalifragilistic"] * 120)),  # mean word len > 10
+        (5, "- one\n- two\n- three\n- four"),  # bullets + word count
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in T.with_gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1]["passes_gopher"]
+    assert not out[2]["rule_word_count"]
+    assert not out[3]["rule_symbol_ratio"]
+    assert not out[3]["rule_alpha_words"]
+    assert not out[4]["rule_mean_word_len"]
+    assert not out[5]["rule_bullet_lines"]
+    assert all(not out[i]["passes_gopher"] for i in (2, 3, 4, 5))
+
+
+def test_gopher_rules_empty_text(spark):
+    row = T.with_gopher_rules(_docs(spark, [(1, "")])).collect()[0]
+    assert row["n_words"] == 0
+    assert not row["passes_gopher"]
+    assert row["mean_word_len"] == 0.0
+
+
+def test_bigram_lm_scores_rank_gibberish_below_natural(spark):
+    # model trained on the batch itself: repeated natural English bigrams
+    # dominate the model, the base64-ish blob lands in the tail
+    rows = [(i, GOOD) for i in range(1, 9)] + [
+        (9, "qZx9Kj2wV7pLmN0yTqRb3sHdF1cGxAeUoI8vWkM5zYnB6rDtEJ4hPaSgClQuXf")
+    ]
+    out = {r["doc_id"]: r["avg_logp"] for r in T.bigram_lm_scores(_docs(spark, rows)).collect()}
+    assert out[9] < out[1] - 1.0  # gibberish is far below corpus-normal
+    # identical docs score identically
+    assert out[1] == out[2]
+
+
+def test_bigram_lm_ignores_short_docs(spark):
+    out = T.bigram_lm_scores(_docs(spark, [(1, "x"), (2, "ab")])).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert out[0]["n_bigrams"] == 1
+
+
+def test_split_assign_partitions_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = S.split_assign(docs, id_col="doc_id").select(
+        "doc_id", "split", "shard", "shuffle_key"
+    )
+    rows = a.collect()
+    n = len(rows)
+    frac_train = sum(r["split"] == "train" for r in rows) / n
+    assert 0.93 <= frac_train <= 1.0  # 98% nominal, small-sample noise
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # re-running yields the identical assignment (no rand())
+    again = {r["doc_id"]: (r["split"], r["shard"], r["shuffle_key"]) for r in rows}
+    for r in S.split_assign(docs, id_col="doc_id").collect():
+        assert again[r["doc_id"]] == (r["split"], r["shard"], r["shuffle_key"])
+
+
+def test_split_assign_salt_redeals(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    v1 = {r["doc_id"]: r["split_bucket"] for r in S.split_assign(docs, id_col="doc_id", salt="v1").collect()}
+    v2 = {r["doc_id"]: r["split_bucket"] for r in S.split_assign(docs, id_col="doc_id", salt="v2").collect()}
+    assert any(v1[k] != v2[k] for k in v1)
+
+
+def test_mixture_weights_normalize_and_flatten(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = S.mixture_weights(docs, strat_col="source").collect()
+    total_w = sum(r["mix_weight"] for r in out)
+    assert abs(total_w - 1.0) < 1e-4
+    # sqrt temperature flattens: the largest stratum's weight share must be
+    # smaller than its raw share, the smallest one's larger
+    big = max(out, key=lambda r: r["stratum_rows"])
+    small = min(out, key=lambda r: r["stratum_rows"])
+    if big["stratum_rows"] != small["stratum_rows"]:
+        assert big["mix_weight"] < big["share"]
+        assert small["mix_weight"] > small["share"]
+    # epochs is the duplication factor realizing the mixture
+    for r in out:
+        assert r["epochs"] > 0

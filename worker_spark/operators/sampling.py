@@ -120,3 +120,119 @@ def quota_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+SPLIT_DENOM = 10_000
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_per_myriad: int = 9_800,
+    val_per_myriad: int = 9_900,
+    n_shards: int = 8,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + output-shard routing +
+    global shuffle key — the last mile of every training-data pipeline.
+
+    Three INDEPENDENT decisions, each from a disjoint slice of one
+    md5(id:salt) digest (slices of a cryptographic hash are independent,
+    so split membership never correlates with shard placement or shuffle
+    order):
+    * hex[1..8]  -> split bucket in [0, 10000): train < ``train_per_myriad``
+      <= val < ``val_per_myriad`` <= test (holdout fractions are exact
+      myriad integers — no float thresholds);
+    * hex[9..16] -> shard = bucket2 % ``n_shards`` (which output file the
+      row lands in — balanced routing that is stable under reruns and
+      cluster layout, unlike ``rand()`` or round-robin);
+    * hex[17..24]-> shuffle_key: ordering by it is a deterministic global
+      shuffle (training wants documents decorrelated from source order;
+      sorting by a hash of the id is reproducible shuffling).
+
+    Map-only: one digest + three substrings per row, no shuffle, no UDF;
+    at 100 TB the sort-by-shuffle_key is the single intentional exchange
+    and it is exactly the write-time ``repartitionByRange`` the sink
+    needs anyway. Changing ``salt`` re-deals every assignment atomically.
+    """
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    b_split = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % SPLIT_DENOM
+    )
+    b_shard = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    return df.withColumns(
+        {
+            "split_bucket": b_split,
+            "split": F.when(b_split < train_per_myriad, F.lit("train"))
+            .when(b_split < val_per_myriad, F.lit("val"))
+            .otherwise(F.lit("test")),
+            "shard": (b_shard % n_shards).cast("int"),
+            "shuffle_key": F.substring(digest, 17, 8),
+        }
+    )
+
+
+# Dyadic fixed-point scale for temperature weights: floor(sqrt(x) * 2^20)
+# is exact in IEEE 754 (sqrt is correctly rounded by the standard), so
+# both engines quantize to the SAME integer and the normalized weights
+# hash-check bit-for-bit.
+MIX_Q = 1 << 20
+
+
+def mixture_weights(
+    df: DataFrame, strat_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source stratum (alpha = 0.5,
+    i.e. sqrt scaling — the multilingual/mixture-rebalancing rule of
+    mBERT/XLM-R and data-mixture tuning: raising rare strata, damping the
+    dominant crawl; generalize by replacing sqrt with pow(share, alpha)).
+
+    share_s   = rows_s / total_rows                  (exact int ratio)
+    w_q       = floor(sqrt(share_s) * 2^20)          (exact integer)
+    weight_s  = w_q / sum(w_q)                       (rounded 6dp)
+    epochs_s  = weight_s * total / rows_s            (duplication factor
+                a sampler must apply to realize the mixture; rounded 6dp)
+
+    One groupBy onto |strata| keys, then the totals ride back as a
+    broadcast 1-row aggregate — nothing here scales with corpus size
+    except the first partial aggregation, which is map-side combined.
+    ``weight_col`` optionally weights rows (e.g. by token count) instead
+    of counting them.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.sum(w.cast("long")).alias("stratum_rows")
+    )
+    tot = per.agg(F.sum("stratum_rows").alias("total_rows"))
+    q = per.crossJoin(F.broadcast(tot)).withColumn(
+        "w_q",
+        F.floor(
+            F.sqrt(
+                F.col("stratum_rows").cast("double")
+                / F.col("total_rows").cast("double")
+            )
+            * F.lit(MIX_Q)
+        ).cast("long"),
+    )
+    qtot = q.agg(F.sum("w_q").alias("w_q_total"))
+    return (
+        q.crossJoin(F.broadcast(qtot))
+        .select(
+            "stratum",
+            "stratum_rows",
+            F.round(
+                F.col("stratum_rows").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("w_q").cast("double") / F.col("w_q_total").cast("double"), 6
+            ).alias("mix_weight"),
+            F.round(
+                (F.col("w_q").cast("double") / F.col("w_q_total").cast("double"))
+                * F.col("total_rows").cast("double")
+                / F.col("stratum_rows").cast("double"),
+                6,
+            ).alias("epochs"),
+        )
+    )

@@ -301,3 +301,212 @@ def with_char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.log2(n) - runsum / n, 6).alias("char_entropy"),
         )
     )
+
+
+# Rule-based quality gate in the style of the Gopher corpus filters
+# (Rae et al. 2021, "Scaling Language Models", Appendix A — public
+# paper; LLM-pipeline extension, no reference counterpart file). The
+# thresholds are the published defaults; callers tune per corpus.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_BULLET_LINE_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.3
+
+
+def with_gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+    min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-rule boolean flags plus
+    the conjunction, alongside the measured statistics so downstream
+    dashboards can re-threshold without recomputing.
+
+    Rules (Gopher Appendix A): word count in [50, 100k]; mean word length
+    in [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; >= 80% of
+    words contain an alphabetic character; document contains >= 2 of 8
+    required English stopwords; <= 90% of lines start with a bullet;
+    <= 30% of lines end with an ellipsis.
+
+    Map-only: every rule is a built-in column expression over one row —
+    no shuffle, no UDF; at 100 TB this composes with scan pushdown and
+    runs at parquet-read speed. Ratios are rounded to 6dp so the oracle
+    hash is summation-order-independent."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    n_wordsd = n_words.cast("double")
+    non_space = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    mean_wl = F.try_divide(non_space, n_wordsd)
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+    symbol_ratio = F.try_divide(n_symbols, n_wordsd)
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+    alpha_ratio = F.try_divide(alpha_words, n_wordsd)
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in required_stopwords]),
+        )
+    ).cast("long")
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]\s)"))
+    ).cast("double")
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))).cast(
+        "double"
+    )
+    bullet_ratio = F.try_divide(bullet_lines, n_lines)
+    ellipsis_ratio = F.try_divide(ellipsis_lines, n_lines)
+    z = F.lit(0.0)
+    r_words = n_words.between(min_words, GOPHER_MAX_WORDS)
+    r_mwl = F.coalesce(mean_wl, z).between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_symbol = F.coalesce(symbol_ratio, z) <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = F.coalesce(alpha_ratio, z) >= GOPHER_MIN_ALPHA_WORD_RATIO
+    r_stop = sw_hits >= min_stopword_hits
+    r_bullet = F.coalesce(bullet_ratio, z) <= GOPHER_MAX_BULLET_LINE_RATIO
+    r_ellipsis = F.coalesce(ellipsis_ratio, z) <= GOPHER_MAX_ELLIPSIS_LINE_RATIO
+    return docs.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(F.coalesce(mean_wl, z), 6),
+            "symbol_ratio": F.round(F.coalesce(symbol_ratio, z), 6),
+            "alpha_word_ratio": F.round(F.coalesce(alpha_ratio, z), 6),
+            "n_req_stopwords": sw_hits,
+            "rule_word_count": r_words,
+            "rule_mean_word_len": r_mwl,
+            "rule_symbol_ratio": r_symbol,
+            "rule_alpha_words": r_alpha,
+            "rule_stopwords": r_stop,
+            "rule_bullet_lines": r_bullet,
+            "rule_ellipsis_lines": r_ellipsis,
+            "passes_gopher": r_words
+            & r_mwl
+            & r_symbol
+            & r_alpha
+            & r_stop
+            & r_bullet
+            & r_ellipsis,
+        }
+    )
+
+
+# Fixed-point scale for per-bigram log-probabilities: quantizing each
+# ln(p) to integer MICROS makes the per-document sum EXACT integer
+# arithmetic, so the cross-engine hash cannot flip on summation order
+# (same trick as the dyadic PQ quantization; see NOTES.md).
+LM_MICRO = 1_000_000
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-bigram language-model score per document — the classic
+    KenLM-style perplexity filter reduced to its distributable core: train
+    bigram statistics ON the corpus itself (one bounded groupBy), then
+    score every document by its average bigram log-probability. Gibberish,
+    base64 blobs, and wrong-language text sit far below the corpus norm;
+    thresholding avg_logp is the perplexity filter of CCNet/RefinedWeb
+    (public pipelines; LLM-pipeline extension, no reference counterpart).
+
+    Scale shape (100 TB):
+    * Per-document bigram COUNTS are derived map-side as run lengths of
+      the sorted bigram array (aggregate HOF — no per-character explode);
+      the only exploded rows are DISTINCT bigrams per doc, bounded by
+      |alphabet|^2 regardless of document length.
+    * The model is a groupBy over those rows onto <= |alphabet|^2 keys —
+      a tiny aggregate that is then BROADCAST back; the grand total rides
+      along as a broadcast 1-row aggregate. No shuffle touches full text.
+    * Per-bigram ln(p) is quantized to integer micros, so the per-doc
+      score is an exact integer sum: deterministic under any partitioning
+      or aggregation order, and oracle-checkable bit-for-bit.
+
+    Output: (doc_id, n_bigrams, avg_logp) with avg_logp rounded 6dp.
+    """
+    cs = F.split(F.lower(F.col(text_col)), "")
+    base = (
+        docs.filter(F.length(F.col(text_col)) >= 2)
+        .select(F.col("doc_id"), F.col(text_col))
+        .withColumn("_cs", cs)
+        .withColumn(
+            "_bg",
+            F.array_sort(
+                F.transform(
+                    # sequence(1, 0) DESCENDS (see NOTES.md) — guard short
+                    # docs even though the length filter precedes this:
+                    # Catalyst may evaluate the projection inside another
+                    # stage's predicate via subexpression elimination
+                    F.when(
+                        F.size(F.col("_cs")) >= 2,
+                        F.sequence(F.lit(1), F.size(F.col("_cs")) - 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat(
+                        F.element_at(F.col("_cs"), i),
+                        F.element_at(F.col("_cs"), (i + 1).cast("int")),
+                    ),
+                )
+            ),
+        )
+    )
+    # run-length encode the sorted bigram array map-side (no explode of
+    # per-position rows; same pattern as with_char_entropy)
+    run = lambda acc: acc["run"]  # noqa: E731
+    pair = lambda acc: F.struct(  # noqa: E731
+        acc["prev"].alias("bigram"), run(acc).alias("cnt")
+    )
+    rle = F.aggregate(
+        F.col("_bg"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.array().cast("array<struct<bigram:string,cnt:long>>").alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], run(acc) + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == acc["prev"], acc["acc"])
+            .when(acc["prev"].isNull(), acc["acc"])
+            .otherwise(F.array_append(acc["acc"], pair(acc)))
+            .alias("acc"),
+        ),
+        lambda acc: F.when(acc["prev"].isNull(), acc["acc"]).otherwise(
+            F.array_append(acc["acc"], pair(acc))
+        ),
+    )
+    per_doc = (
+        base.withColumn("_rle", rle)
+        .select("doc_id", F.explode("_rle").alias("p"))
+        .select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.cnt").alias("cnt"))
+    )
+    per_doc = per_doc.cache()
+    model = per_doc.groupBy("bigram").agg(F.sum("cnt").alias("c"))
+    total = model.agg(F.sum("c").alias("t"))
+    logp = (
+        model.crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            F.round(F.log(F.col("c").cast("double") / F.col("t").cast("double")) * LM_MICRO)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(logp), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lp_micro")).cast("double")
+                / (F.lit(float(LM_MICRO)) * F.sum("cnt").cast("double")),
+                6,
+            ).alias("avg_logp"),
+        )
+    )

@@ -106,3 +106,65 @@ def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+_SPLIT_DIGEST = "md5(CAST(doc_id AS VARCHAR) || ':v1')"
+
+
+@register(
+    "doc_split_assign",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_SPLIT_DIGEST} AS dg FROM documents)
+    SELECT doc_id, lang,
+           ('0x' || substr(dg, 1, 8))::BIGINT % {S.SPLIT_DENOM} AS split_bucket,
+           CASE WHEN ('0x' || substr(dg, 1, 8))::BIGINT % {S.SPLIT_DENOM} < 9800
+                    THEN 'train'
+                WHEN ('0x' || substr(dg, 1, 8))::BIGINT % {S.SPLIT_DENOM} < 9900
+                    THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(('0x' || substr(dg, 9, 8))::BIGINT % 8 AS INTEGER) AS shard,
+           substr(dg, 17, 8) AS shuffle_key
+    FROM d
+    """,
+    doc="Deterministic train/val/test split (98/1/1 by md5 myriad bucket), "
+    "shard routing, and global shuffle key — three independent decisions "
+    "from disjoint slices of one salted digest; map-only, rerun-stable, "
+    "engine-portable.",
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return S.split_assign(d, id_col="doc_id").select(
+        "doc_id", "lang", "split_bucket", "split", "shard", "shuffle_key"
+    )
+
+
+@register(
+    "doc_mixture_weights",
+    f"""
+    WITH per AS (
+        SELECT source AS stratum, CAST(count(*) AS BIGINT) AS stratum_rows
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(stratum_rows) AS BIGINT) AS total_rows FROM per),
+    q AS (
+        SELECT stratum, stratum_rows, total_rows,
+               CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE) / total_rows)
+                          * {S.MIX_Q}) AS BIGINT) AS w_q
+        FROM per, tot
+    ),
+    qt AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_q_total FROM q)
+    SELECT stratum, stratum_rows,
+           round(CAST(stratum_rows AS DOUBLE) / total_rows, 6) AS share,
+           round(CAST(w_q AS DOUBLE) / w_q_total, 6) AS mix_weight,
+           round(CAST(w_q AS DOUBLE) / w_q_total * total_rows / stratum_rows, 6)
+               AS epochs
+    FROM q, qt
+    """,
+    doc="Temperature-scaled (alpha=0.5) mixture weights per source: "
+    "sqrt-share reweighting with dyadic fixed-point quantization so the "
+    "normalized weights and duplication factors hash-check exactly; one "
+    "bounded groupBy + broadcast totals.",
+)
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return S.mixture_weights(d, strat_col="source")

@@ -406,3 +406,121 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.with_char_entropy(docs)
+
+
+# Corpus-tuned Gopher parameters: the synthetic documents corpus is
+# lowercase technical word-soup, so the paper's 8 English required
+# stopwords never co-occur; the rule STRUCTURE is what's under test, the
+# thresholds are caller-tunable knobs (operators/text.py keeps the
+# published defaults).
+_GOPHER_SW = ("the", "a")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_SW_SQL = ", ".join(f"'{s}'" for s in _GOPHER_SW)
+
+
+@register(
+    "doc_gopher_rules",
+    f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS mwl,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS symr,
+               CAST(len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS alphar,
+               CAST(len(list_intersect(
+                   list_distinct(list_transform({_TOKS}, x -> lower(x))),
+                   [{_GOPHER_SW_SQL}])) AS BIGINT) AS sw_hits,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '^\\s*([-*•]\\s)'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0) AS bulletr,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0) AS ellr
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(coalesce(mwl, 0), 6) AS mean_word_len,
+           round(coalesce(symr, 0), 6) AS symbol_ratio,
+           round(coalesce(alphar, 0), 6) AS alpha_word_ratio,
+           sw_hits AS n_req_stopwords,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND 100000 AS rule_word_count,
+           coalesce(mwl, 0) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+           coalesce(symr, 0) <= 0.1 AS rule_symbol_ratio,
+           coalesce(alphar, 0) >= 0.8 AS rule_alpha_words,
+           sw_hits >= 2 AS rule_stopwords,
+           coalesce(bulletr, 0) <= 0.9 AS rule_bullet_lines,
+           coalesce(ellr, 0) <= 0.3 AS rule_ellipsis_lines,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND 100000)
+               AND (coalesce(mwl, 0) BETWEEN 3.0 AND 10.0)
+               AND (coalesce(symr, 0) <= 0.1)
+               AND (coalesce(alphar, 0) >= 0.8)
+               AND (sw_hits >= 2)
+               AND (coalesce(bulletr, 0) <= 0.9)
+               AND (coalesce(ellr, 0) <= 0.3) AS passes_gopher
+    FROM stats
+    """,
+    doc="Gopher-style rule-based quality gate (Rae et al. 2021 App. A): "
+    "word-count band, mean-word-length band, symbol ratio, alpha-word "
+    "ratio, required-stopword hits, bullet/ellipsis line ratios — all "
+    "map-only built-in expressions, per-rule flags + conjunction.",
+)
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.with_gopher_rules(
+        d, min_words=_GOPHER_MIN_WORDS, required_stopwords=_GOPHER_SW
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "n_req_stopwords",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "passes_gopher",
+    )
+
+
+@register(
+    "doc_lm_score",
+    f"""
+    WITH bg AS (
+        SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bigram
+        FROM documents, UNNEST(range(1, length(text))) AS t(i)
+        WHERE length(text) >= 2
+    ),
+    dbc AS (
+        SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY 1, 2
+    ),
+    model AS (SELECT bigram, CAST(sum(cnt) AS BIGINT) AS c FROM dbc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM model),
+    logp AS (
+        SELECT bigram,
+               CAST(round(ln(CAST(c AS DOUBLE) / t) * {T.LM_MICRO}) AS BIGINT)
+                   AS lp_micro
+        FROM model, tot
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(d.cnt * l.lp_micro) AS DOUBLE)
+                 / ({float(T.LM_MICRO)} * sum(d.cnt)), 6) AS avg_logp
+    FROM dbc d JOIN logp l USING (bigram)
+    GROUP BY d.doc_id
+    """,
+    doc="Char-bigram LM scoring (KenLM-style perplexity filter core): "
+    "model trained on the corpus itself via one bounded groupBy, scores "
+    "joined back via broadcast; per-bigram ln(p) quantized to integer "
+    "micros so per-doc sums are exact under any aggregation order.",
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.bigram_lm_scores(d)
