@@ -7,8 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from worker_spark.operators.chunking import (
+    CDC_MAX_LEN,
+    CDC_MIN_LEN,
     CDC_WINDOW,
     cdc_chunks,
+    cdc_chunks_clamped,
     cdc_duplicate_chunks,
 )
 
@@ -72,3 +75,47 @@ def test_duplicate_chunk_detection(spark):
     dupes = cdc_duplicate_chunks(df).collect()
     assert len(dupes) >= 1  # the shared boilerplate surfaces
     assert all(r["n_docs"] >= 2 for r in dupes)
+
+
+def test_clamped_chunks_respect_min_max_and_tile(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 30),
+        (2, "aaaaaaaa" * 60),  # degenerate repeat: hash hits every/no pos
+        (3, "zqj"),  # shorter than window
+        (4, "mixed 123 content with-punct!? " * 25),
+    ]
+    df = _doc_df(spark, rows)
+    chunks = cdc_chunks_clamped(df).orderBy("doc_id", "chunk_ix").collect()
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    for doc_id, text in rows:
+        cs = by_doc[doc_id]
+        pos = 1
+        for c in cs:
+            assert c["chunk_start"] == pos
+            pos += c["chunk_len"]
+        assert pos - 1 == len(text)  # tiles exactly
+        for c in cs:
+            assert c["chunk_len"] <= CDC_MAX_LEN  # max clamp is hard
+        for c in cs[:-1]:
+            assert c["chunk_len"] >= CDC_MIN_LEN  # min clamp (final exempt)
+
+
+def test_clamped_is_unclamped_where_sizes_already_conform(spark):
+    # when every natural chunk already falls inside [MIN, MAX], the clamp
+    # walk must be the identity
+    text = "the quick brown fox jumps over the lazy dog " * 30
+    df = _doc_df(spark, [(1, text)])
+    plain = [
+        (r["chunk_start"], r["chunk_len"])
+        for r in cdc_chunks(df).orderBy("chunk_ix").collect()
+    ]
+    if all(CDC_MIN_LEN <= ln <= CDC_MAX_LEN for _, ln in plain[:-1]) and (
+        plain[-1][1] <= CDC_MAX_LEN
+    ):
+        clamped = [
+            (r["chunk_start"], r["chunk_len"])
+            for r in cdc_chunks_clamped(df).orderBy("chunk_ix").collect()
+        ]
+        assert clamped == plain

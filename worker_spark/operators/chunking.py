@@ -19,11 +19,11 @@ Design for Spark/100 TB:
   compute bit-identical boundaries: the chunking is oracle-checkable and
   reproducible across engines, which is exactly what makes CDC-based
   dedup auditable.
-* No min/max-length clamps: eligibility of a boundary never depends on
-  the previous boundary, keeping the operator embarrassingly parallel
-  within a document. (FastCDC's clamps suppress pathological chunk-size
-  tails; add them as a post-pass over the boundary array if needed —
-  still map-side.)
+* ``cdc_chunks`` has no min/max-length clamps: boundary eligibility
+  never depends on the previous boundary, keeping the operator
+  embarrassingly parallel within a document. ``cdc_chunks_clamped``
+  layers FastCDC's size clamps on top as a per-document post-pass
+  (a left-fold over the candidate array — still map-side, no shuffle).
 """
 
 from __future__ import annotations
@@ -81,6 +81,12 @@ def cdc_chunks(
             F.array(n.cast("long")),
         ),
     )
+    return _explode_chunks(with_bounds)
+
+
+def _explode_chunks(with_bounds: DataFrame) -> DataFrame:
+    """(doc_id, _t, _ends ascending char offsets ending at len) -> one row
+    per chunk with start/len/md5 — one posexplode per CHUNK."""
     ends = F.col("_ends")
     starts = F.concat(
         F.array(F.lit(1).cast("long")),
@@ -123,3 +129,83 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# FastCDC-style chunk-size clamps (Xia et al., USENIX ATC'16 — public
+# paper): suppress the geometric tail of the divisor-test chunk-size
+# distribution. MIN skips boundaries that would cut a too-short chunk;
+# MAX forces a split when no natural boundary arrives in time.
+CDC_MIN_LEN = 32
+CDC_MAX_LEN = 128
+
+
+def cdc_chunks_clamped(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = CDC_MIN_LEN,
+    max_len: int = CDC_MAX_LEN,
+) -> DataFrame:
+    """CDC chunking with FastCDC min/max clamps as a boundary post-pass.
+
+    The candidate boundaries are the same local-content divisor hits as
+    ``cdc_chunks`` (still embarrassingly parallel to compute); the clamp
+    walk is a single ``aggregate`` HOF over the per-document candidate
+    array — left fold, still map-only, no shuffle:
+    * a candidate closer than ``min_len`` to the last accepted end is
+      SKIPPED (short-chunk suppression);
+    * when the gap to the next candidate (or to end-of-doc) exceeds
+      ``max_len``, forced splits are inserted every ``max_len`` chars
+      (long-chunk cap — bounds worst-case chunk size for downstream
+      packers/embedders);
+    * the final offset is always an end (the last chunk may be short).
+
+    Unlike unclamped CDC, a clamped boundary depends on its predecessor —
+    the walk is sequential PER DOCUMENT, which is exactly the
+    parallelism-preserving granularity (documents are the partition
+    unit). Exact-integer arithmetic end to end: the same walk replayed as
+    a DuckDB recursive CTE reproduces identical chunks, so clamping
+    stays oracle-checkable."""
+    base = docs.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.transform(F.split(F.col(text_col), ""), F.ascii).alias("_codes"),
+    )
+    codes = F.col("_codes")
+    n = F.size(codes)
+    positions = F.when(
+        n >= CDC_WINDOW, F.sequence(F.lit(CDC_WINDOW), n)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        positions,
+        lambda i: _roll_hash(codes, i) % CDC_DIVISOR == 0,
+    )
+    cand = F.concat(
+        F.filter(bounds, lambda b: b < n).cast("array<long>"),
+        F.array(n.cast("long")),
+    )
+    nlong = n.cast("long")
+
+    def step(acc, e):
+        last = F.element_at(acc, -1)
+        n_forced = F.floor((e - last - 1) / F.lit(max_len)).cast("long")
+        forced = F.when(
+            n_forced >= 1,
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), n_forced),
+                lambda k: last + k * F.lit(max_len),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        last2 = last + n_forced * F.lit(max_len)
+        accept = (e - last2 >= F.lit(min_len)) | (e == nlong)
+        return F.concat(
+            acc,
+            forced,
+            F.when(accept, F.array(e)).otherwise(F.array().cast("array<long>")),
+        )
+
+    walk = F.aggregate(cand, F.array(F.lit(0).cast("long")), step)
+    with_bounds = base.withColumn(
+        "_ends", F.slice(walk, 2, F.greatest(F.size(walk) - 1, F.lit(0)))
+    )
+    return _explode_chunks(with_bounds)

@@ -91,3 +91,94 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.cdc_duplicate_chunks(docs)
+
+
+_MIN, _MAX = C.CDC_MIN_LEN, C.CDC_MAX_LEN
+
+# The clamp walk is order-sensitive (each boundary depends on the last
+# accepted one), so the oracle REPLAYS it: a recursive CTE steps through
+# the per-document candidate list carrying last_end, a second pass emits
+# forced splits (generate_series every MAX chars) and accepted ends, and
+# the chunk rows are rebuilt with lag() — same technique as the sequence
+# packing oracle (NOTES.md: order-sensitive ops CAN be oracled).
+_CLAMP_SQL = f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) > 0
+    ),
+    rawb AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS e
+        FROM docs, UNNEST(range({_W}, n + 1)) AS t(i)
+        WHERE ({_HASH_TERMS}) % {_D} = 0 AND i < n
+    ),
+    cand AS (
+        SELECT doc_id, e,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e)
+                    AS BIGINT) AS i
+        FROM (SELECT doc_id, e FROM rawb
+              UNION ALL SELECT doc_id, n FROM docs)
+    ),
+    walk AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS last_end
+        FROM docs
+        UNION ALL
+        SELECT w.doc_id, c.i,
+               CASE WHEN (c.e - (w.last_end + {_MAX} * ((c.e - w.last_end - 1) // {_MAX})) >= {_MIN})
+                         OR c.e = d.n
+                    THEN c.e
+                    ELSE w.last_end + {_MAX} * ((c.e - w.last_end - 1) // {_MAX})
+               END
+        FROM walk w
+        JOIN cand c ON c.doc_id = w.doc_id AND c.i = w.i + 1
+        JOIN docs d ON d.doc_id = w.doc_id
+    ),
+    steps AS (
+        SELECT w.doc_id, c.e, w.last_end,
+               (c.e - w.last_end - 1) // {_MAX} AS n_forced,
+               w.last_end + {_MAX} * ((c.e - w.last_end - 1) // {_MAX})
+                   AS after_forced,
+               (c.e = d.n) AS is_final
+        FROM walk w
+        JOIN cand c ON c.doc_id = w.doc_id AND c.i = w.i + 1
+        JOIN docs d ON d.doc_id = w.doc_id
+    ),
+    forced AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS e
+        FROM steps,
+             UNNEST(generate_series(last_end + {_MAX}, e - 1, {_MAX})) AS t(p)
+        WHERE n_forced > 0
+    ),
+    accepted AS (
+        SELECT doc_id, e FROM steps
+        WHERE (e - after_forced >= {_MIN}) OR is_final
+    ),
+    ends2 AS (
+        SELECT doc_id, e FROM forced UNION ALL SELECT doc_id, e FROM accepted
+    ),
+    chunks AS (
+        SELECT doc_id, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS prev_e,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                    AS INT) AS chunk_ix
+        FROM ends2
+    )
+    SELECT c.doc_id, c.chunk_ix,
+           c.prev_e + 1 AS chunk_start,
+           c.e - c.prev_e AS chunk_len,
+           md5(substr(d.text, CAST(c.prev_e + 1 AS INT),
+                      CAST(c.e - c.prev_e AS INT))) AS chunk_hash
+    FROM chunks c JOIN docs d ON c.doc_id = d.doc_id
+"""
+
+
+@register(
+    "doc_cdc_chunks_clamped",
+    _CLAMP_SQL,
+    doc=f"CDC chunking with FastCDC min/max clamps ({_MIN}/{_MAX} chars): "
+    "skip-short candidates, forced splits on overlong gaps — a "
+    "per-document left fold (aggregate HOF, still map-only); oracle "
+    "replays the walk as a recursive CTE.",
+)
+def q_doc_cdc_chunks_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_chunks_clamped(docs)
