@@ -249,7 +249,16 @@ def cosine_topk_matrix(
         ]
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the query side is collected and broadcast: bounded-by-contract. Fail
+    # loudly (instead of OOMing the driver) if a caller points this at an
+    # unbounded query set — that caller wants the LSH/IVF/PQ paths.
+    MAX_QUERY_ROWS = 100_000
+    q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"cosine_topk_matrix: query side exceeds {MAX_QUERY_ROWS} rows; "
+            "use lsh_ann/ivf_ann/pq_adc for unbounded query sets"
+        )
     if not q_rows:
         return _topk(
             queries.sparkSession.createDataFrame([], schema=out_schema), k

@@ -76,6 +76,12 @@ _DRIVER_WINDOW = [
     "similarity_pq_kmeans_topk",
     "doc_cdc_chunks",
     "dedup_translit_shingles",
+    # new in round 3 (late additions)
+    "doc_gopher_rules",
+    "doc_lm_score",
+    "doc_split_assign",
+    "doc_mixture_weights",
+    "doc_cdc_chunks_clamped",
     # one representative per operator family (all green in r2)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -94,11 +100,11 @@ _DRIVER_WINDOW = [
     "inline_ref_codes",
     "sync_diff_classify",
     "outbox_drain_cap",
-    "event_sessions",
-    "doc_sequence_pack",
-    "doc_token_stats",
-    "doc_quality_filter",
-    "doc_lang_id",
+    # rotated out for the round-3 additions (all green in r2, families
+    # still represented in-window): event_sessions, doc_sequence_pack
+    # (pack_utilization covers packing), doc_token_stats,
+    # doc_quality_filter, doc_lang_id (doc_gopher_rules/doc_lm_score
+    # cover the text-quality family)
 ]
 
 
