@@ -39,7 +39,7 @@ intermediates to a table instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
@@ -443,4 +443,102 @@ def translit_sql(expr: str) -> str:
     return (
         f"trim(regexp_replace(translate(lower({expr}), "
         f"'{TRANSLIT_FROM}', '{TRANSLIT_TO}'), '[^a-z0-9 ]', ' ', 'g'))"
+    )
+
+
+# -- duplicated-substring spans ---------------------------------------------
+#
+# Document-pair dedup (everything above) misses the other corpus pathology:
+# long VERBATIM passages repeated across otherwise-distinct documents
+# (boilerplate, licenses, quoted chains). The public treatment is exact
+# substring dedup over a corpus-wide suffix array (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", 2022); a
+# suffix array is driver-hostile at 100 TB, but its *output* — maximal
+# repeated spans of >= w tokens — is reproducible with three shuffle-bounded
+# relational steps: (1) slide a w-token window over every document (explode:
+# one row per token position, same cost class as shingling), (2) keep window
+# texts occurring >= min_df times corpus-wide (hash groupBy on the window
+# digest — never a self-join), (3) merge each document's surviving positions
+# into maximal spans with a lag/cum-sum island pass (two window functions
+# over per-document partitions). All-integer arithmetic end to end, so the
+# DuckDB oracle replays it bit-for-bit.
+
+SPAN_W = 8  # window width in tokens (both engines)
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    w: int = SPAN_W,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A position is "duplicated" when its w-token window text occurs at
+    >= ``min_df`` positions corpus-wide (across documents OR repeated
+    inside one — both are training-data pathologies). Overlapping and
+    adjacent duplicated windows (position gap <= w) merge into one span.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_windows) with
+    token positions 0-based inclusive.
+
+    Scale: the window explode is O(total tokens) slim rows (pos + 16-byte
+    digest — never the window text itself past the md5), the duplicate
+    screen is one groupBy on the digest, and the island merge partitions
+    by document (bounded by document length). No step is quadratic in
+    corpus size; a corpus-wide stop-digest (window text appearing in
+    millions of positions) only shrinks `dup` — fan-out is the semi-join
+    back onto positions, linear in corpus tokens."""
+    tokenized = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    # sequence(0, negative) DESCENDS — guard docs shorter than w tokens
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, w))).alias("wkey"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wkey:string>>"))
+    win = tokenized.select("id", F.explode(wins).alias("e")).select(
+        "id", F.col("e.pos").alias("pos"), F.col("e.wkey").alias("wkey")
+    )
+    win = win.cache()
+    win.count()  # materialize: feeds the duplicate screen AND the semi-join
+    dup = (
+        win.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_df)
+        .select("wkey")
+    )
+    hits = win.join(dup, "wkey", "left_semi").select("id", "pos")
+    by_pos = Window.partitionBy("id").orderBy("pos")
+    flagged = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(by_pos) > w, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    grps = flagged.withColumn("grp", F.sum("brk").over(by_pos))
+    return (
+        grps.groupBy("id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("int").alias("span_end"),
+            (F.max("pos") + F.lit(w) - F.min("pos")).cast("int").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_windows",
+        )
     )

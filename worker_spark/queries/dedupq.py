@@ -440,3 +440,48 @@ def q_dedup_translit_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "n_inter", "jaccard", "lang_a", "lang_b")
     )
+
+
+_SPAN_W = D.SPAN_W
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS wkey
+        FROM toks, UNNEST(range(1, greatest(len(t) - {_SPAN_W} + 2, 1))) AS u(i)
+    ),
+    dup AS (SELECT wkey FROM win GROUP BY wkey HAVING count(*) >= 2),
+    hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wkey)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > {_SPAN_W}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grps AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT)                     AS span_start,
+           CAST(max(pos) + {_SPAN_W - 1} AS INT)     AS span_end,
+           CAST(max(pos) + {_SPAN_W} - min(pos) AS INT) AS span_tokens,
+           count(*)                                  AS n_windows
+    FROM grps GROUP BY doc_id, grp
+    """,
+    doc=f"Maximal duplicated token spans ({_SPAN_W}-token windows occurring "
+    ">=2x corpus-wide, overlapping/adjacent windows merged per document via "
+    "a lag/cum-sum island pass). The shuffle-bounded relational form of "
+    "exact substring dedup (Lee et al. 2022) — window explode, digest "
+    "groupBy, per-document island merge; all-integer, bit-exact oracle.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicate_substring_spans(load_table(spark, sf_dir, "documents"))
