@@ -34,7 +34,14 @@ from worker_spark.sources import load_table
 def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    events = load_table(spark, sf_dir, "events")
+    # pyspark >= 4.1.2 reads the TIMESTAMP(NANOS) column as TIMESTAMP_NTZ,
+    # which withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+    # event-time needs the instant type. The wall-clock value is preserved
+    # under the session timezone, so the formatted output strings (and the
+    # DuckDB naive-timestamp oracle) are unaffected.
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     src_dir = tempfile.mkdtemp(prefix="stream_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -130,7 +137,11 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from worker_spark.streaming.sessions import stateful_sessionize
 
-    events = load_table(spark, sf_dir, "events")
+    # same NTZ -> instant cast as the windowed stream above (withWatermark
+    # rejects TIMESTAMP_NTZ event time on pyspark >= 4.1.2)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     src_dir = tempfile.mkdtemp(prefix="sess_src_")
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     sink = f"sess_out_{uuid.uuid4().hex[:8]}"
