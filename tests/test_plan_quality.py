@@ -270,3 +270,17 @@ def test_mixture_weights_totals_broadcast(spark):
     plan = _physical(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_shuffles_documents_not_kgrams(spark):
+    # the repartition must land on document rows BEFORE the per-position
+    # explode: k-gram rows (16 bytes/char) never cross the wire, and the
+    # window + distinct reuse the doc_id clustering (no further exchange)
+    from worker_spark.operators.substrings import winnow_fingerprints
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _physical(winnow_fingerprints(docs))
+    assert plan.count("Exchange") == 1
+    assert plan.index("Generate") < plan.index("Exchange"), (
+        "explode must sit ABOVE the exchange (shuffle docs, not k-grams)"
+    )

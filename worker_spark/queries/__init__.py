@@ -82,8 +82,9 @@ _DRIVER_WINDOW = [
     "doc_split_assign",
     "doc_mixture_weights",
     "doc_cdc_chunks_clamped",
+    "doc_substring_dup_spans",
+    "doc_substring_dedup_report",
     # one representative per operator family (all green in r2)
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -97,14 +98,15 @@ _DRIVER_WINDOW = [
     "search_documents_flat",
     "doc_build_scale",
     "article_analysis",
-    "inline_ref_codes",
     "sync_diff_classify",
     "outbox_drain_cap",
     # rotated out for the round-3 additions (all green in r2, families
     # still represented in-window): event_sessions, doc_sequence_pack
     # (pack_utilization covers packing), doc_token_stats,
     # doc_quality_filter, doc_lang_id (doc_gopher_rules/doc_lm_score
-    # cover the text-quality family)
+    # cover the text-quality family), dedup_exact (dedup_best_of_cluster
+    # exercises the same hash-groupBy), inline_ref_codes (inline_ref_parse
+    # in-window covers the same operator with byte offsets)
 ]
 
 
@@ -121,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampleq,
         simq,
         streamq,
+        substrq,
         syncq,
         temporalq,
         textops,

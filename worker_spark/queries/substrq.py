@@ -1,0 +1,119 @@
+"""Winnowing substring-dedup queries over ``documents``.
+
+Spark side: worker_spark.operators.substrings (map-only fingerprint
+selection, one groupBy on the fingerprint hash, per-doc span windows).
+Oracle side: the identical winnowing selection replayed in DuckDB —
+K-gram md5-prefix hashes per position, rightmost-min-per-window via a
+frame min + an equality range join, the same gaps-and-islands span
+merge. Fingerprints, spans, and coverage fractions are bit-identical
+across engines (md5-prefix integers, NOTES.md portable-exact trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from worker_spark.operators import substrings as S
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_K, _W, _GAP = S.WIN_K, S.WIN_W, S.WIN_GAP
+_PS = S.POS_SHIFT
+
+_SPAN_CTE = f"""
+    WITH docs AS (
+        SELECT doc_id, text,
+               CAST(length(text) - {_K} + 1 AS BIGINT) AS m
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    kg AS (
+        -- packed (hash, position): min(v) = min hash, rightmost tie-break
+        SELECT doc_id, m, CAST(p AS BIGINT) AS p,
+               CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), {_K})),
+                                    1, 8)) AS BIGINT) * {_PS}
+                   + ({_PS} - 1 - CAST(p AS BIGINT)) AS v
+        FROM docs, UNNEST(range(1, m + 1)) AS t(p)
+    ),
+    wins AS (
+        SELECT doc_id, m, p,
+               min(v) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_W - 1} PRECEDING AND CURRENT ROW)
+                   AS mv
+        FROM kg
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               {_PS} - 1 - (mv % {_PS}) AS pos,
+               mv // {_PS} AS fhash
+        FROM wins WHERE p >= {_W} OR p = m
+    ),
+    dups AS (SELECT fhash FROM fps GROUP BY fhash HAVING count(*) > 1),
+    hits AS (SELECT f.doc_id, f.pos FROM fps f JOIN dups d USING (fhash)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN coalesce(
+                        pos - lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos),
+                        {_GAP + 1}) > {_GAP}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + {_K} - 1 AS span_end,
+               CAST(count(*) AS BIGINT) AS n_fp
+        FROM grp GROUP BY doc_id, g
+    )
+"""
+
+
+@register(
+    "doc_substring_dup_spans",
+    _SPAN_CTE
+    + """
+    SELECT doc_id, span_start, span_end, n_fp FROM spans
+    """,
+    doc=f"Exact-substring duplicate spans via winnowing (Schleimer/MOSS, "
+    f"SIGMOD'03): K={_K}-gram md5-prefix hashes, rightmost-min per "
+    f"W={_W} window — every verbatim repeat >= {_W + _K - 1} chars is "
+    "guaranteed a shared fingerprint. Map-only selection, one groupBy "
+    "on the hash (no pair join), per-doc island merge — the distributed "
+    "stand-in for suffix-array dedup (Lee et al., ACL'22).",
+)
+def q_doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.substring_dup_spans(docs)
+
+
+@register(
+    "doc_substring_dedup_report",
+    _SPAN_CTE
+    + """
+    , per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_chars, 0) AS dup_chars,
+           round(coalesce(p.dup_chars, 0) /
+                 greatest(CAST(length(d.text) AS BIGINT), 1), 6) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Per-document duplicated-substring coverage (zero-filled): span "
+    "count, duplicated chars, duplicated fraction — the audit table that "
+    "drives substring-cut thresholds before training.",
+)
+def q_doc_substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.substring_dedup_report(docs)
