@@ -1,0 +1,79 @@
+"""Sketch operators: HLL accuracy + mergeability, KMV exact-below-k,
+Count-Min never-underestimate guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from worker_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    KMV_K,
+    cms_cells,
+    cms_heavy_hitters,
+    hll_distinct,
+    hll_registers,
+    kmv_distinct,
+)
+
+
+def _ids(spark, n, group="g"):
+    return spark.range(n).select(
+        F.lit(group).alias("grp"), F.col("id").alias("val")
+    )
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # m=64 -> standard error 1.04/sqrt(64) = 13%; allow 3 sigma
+    got = hll_distinct(_ids(spark, 5000), "val", "grp").collect()[0]
+    assert got["exact_distinct"] == 5000
+    assert abs(got["hll_estimate"] - 5000) / 5000 < 0.4
+    assert got["rel_error"] < 0.4
+
+
+def test_hll_registers_merge_with_max(spark):
+    # sketch(union) == max-merge(sketch(a), sketch(b)): the property that
+    # makes HLL partial aggregation correct across partitions
+    a, b = _ids(spark, 3000), spark.range(2000, 6000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("val")
+    )
+    ra = hll_registers(a, "val", "grp")
+    rb = hll_registers(b, "val", "grp")
+    merged = (
+        ra.unionAll(rb)
+        .groupBy("grp", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(a.unionAll(b), "val", "grp")
+    diff = (
+        merged.join(whole, ["grp", "bucket"], "full")
+        .filter(merged["max_rho"] != whole["max_rho"])
+        .count()
+    )
+    assert diff == 0
+    assert whole.count() == HLL_M
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    small = _ids(spark, KMV_K - 4)
+    got = kmv_distinct(small, "val", "grp").collect()[0]
+    assert got["kmv_estimate"] == float(KMV_K - 4)
+    assert got["rel_error"] == 0.0
+
+    big = _ids(spark, 20000)
+    got = kmv_distinct(big, "val", "grp").collect()[0]
+    assert got["exact_distinct"] == 20000
+    # k=16 -> standard error ~1/sqrt(k-2) ~ 27%; allow wide
+    assert abs(got["kmv_estimate"] - 20000) / 20000 < 0.8
+
+
+def test_cms_never_underestimates_and_grid_is_bounded(spark):
+    rows = [("apple",)] * 50 + [("pear",)] * 30 + [("plum",)] * 7
+    toks = spark.createDataFrame(rows, schema="token: string")
+    hh = {r["token"]: r for r in cms_heavy_hitters(toks, "token").collect()}
+    assert hh["apple"]["true_count"] == 50
+    for r in hh.values():
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
+    assert cms_cells(toks, "token").count() <= CMS_DEPTH * CMS_WIDTH

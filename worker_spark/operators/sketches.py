@@ -1,0 +1,236 @@
+"""Mergeable sketches: HyperLogLog, KMV distinct, Count-Min heavy hitters.
+
+At 100 TB, exact `COUNT(DISTINCT)` and exact per-token frequency tables
+are shuffle-bound by cardinality; production pipelines carry SKETCHES
+instead — tiny, mergeable summaries whose partial states combine with
+`max`/`min`/`sum`, i.e. exactly the shapes Spark's partial aggregation
+pushes map-side. Everything here is built from public constructions:
+
+* **HyperLogLog** (Flajolet et al., AofA 2007): m=64 registers, each the
+  max leading-zero rank of the bucket's hashed values. Registers merge
+  with `max` — a map-side combine — so the shuffle carries at most
+  m rows per partition regardless of input size.
+* **KMV / bottom-k** (Bar-Yossef et al., RANDOM 2002): the k smallest
+  distinct hash values; the k-th minimum estimates distinct count as
+  (k-1) * H / h_k. Merges by keeping the k smallest of a union.
+* **Count-Min** (Cormode & Muthukrishnan, J.Algorithms 2005): d x w
+  counter grid, point estimate = min over rows; counters are plain sums
+  (map-side combinable), the grid is d*w cells no matter the corpus.
+
+Engine-portable exactness (NOTES.md): hashes are md5-prefix 32-bit
+integers, ranks come from integer comparisons, and the HLL harmonic sum
+is carried as an INTEGER sum of powers of two (sum 2^(27-rho) <= 2^33),
+so Spark and DuckDB produce bit-identical registers, sums, and — after
+one deterministic double division — identical estimates. No approximate
+nondeterminism anywhere: the "approximation" is a fixed function of the
+data, which is what makes a sketch auditable across engines.
+
+No reference counterpart file — LLM-pipeline extension (the reference's
+aggregate surface is exact counts; SURVEY.md §2 A-family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 64  # registers (b = 6 bucket bits)
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+HLL_WBITS = 26  # 32-bit hash minus 6 bucket bits
+KMV_K = 16
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+HASH_SPACE = float(1 << 32)
+
+
+def md5_prefix32(col: Column) -> Column:
+    """First 8 md5 hex digits as a BIGINT in [0, 2^32) — identical to
+    DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def bitlen_sql(expr: str, bits: int = HLL_WBITS) -> str:
+    """Bit length of a non-negative integer expression as a portable CASE
+    chain (no log2/bin — both of which differ or round across engines)."""
+    whens = " ".join(
+        f"WHEN {expr} >= {1 << k} THEN {k + 1}"
+        for k in range(bits - 1, 0, -1)
+    )
+    return f"(CASE {whens} WHEN {expr} >= 1 THEN 1 ELSE 0 END)"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, *group_cols: str
+) -> DataFrame:
+    """Dense HLL register table per group: (group..., bucket, max_rho)
+    with ALL m buckets present (empty ones as rho 0), so the harmonic sum
+    is computable without knowing which buckets were hit."""
+    hashed = df.select(
+        *group_cols, md5_prefix32(F.col(value_col)).alias("_h")
+    )
+    # _h is referenced 27 times below; multi-referenced non-cheap aliases
+    # survive CollapseProject, so the md5 is computed once per row
+    ranked = hashed.select(
+        *group_cols,
+        (F.col("_h") % HLL_M).alias("bucket"),
+        F.expr(
+            f"cast({HLL_WBITS + 1} - "
+            + bitlen_sql(f"(_h div {HLL_M})")
+            + " as int)"
+        ).alias("rho"),
+    )
+    sparse = ranked.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("max_rho")
+    )
+    groups = df.select(*group_cols).distinct()
+    dense = groups.crossJoin(
+        F.broadcast(
+            ranked.sparkSession.range(HLL_M).select(
+                F.col("id").cast("long").alias("bucket")
+            )
+        )
+    )
+    return dense.join(sparse, [*group_cols, "bucket"], "left").select(
+        *group_cols,
+        "bucket",
+        F.coalesce("max_rho", F.lit(0)).alias("max_rho"),
+    )
+
+
+def hll_distinct(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
+    """HLL distinct-count estimate per group, with the exact distinct
+    count and relative error beside it (the audit a pipeline runs at
+    small SF before trusting the sketch at full scale).
+
+    The harmonic denominator is carried as sum(2^(27 - max_rho)) — an
+    exact BIGINT < 2^33 — and converted to the HLL estimate by one
+    double multiply/divide, so the estimate is bit-identical across
+    engines. (The small-range linear-counting correction needs ln(),
+    whose last-ulp behavior is libm-specific; callers apply it
+    client-side from n_zero_buckets, which is emitted.)"""
+    regs = hll_registers(df, value_col, *group_cols)
+    scale = 1 << (HLL_WBITS + 1)  # 2^27
+    est_num = HLL_ALPHA * HLL_M * HLL_M * scale
+    sketch = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 27 - max_rho)"))
+        .alias("s_int"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_buckets"),
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    joined = sketch.join(exact, list(group_cols))
+    est = F.lit(est_num) / F.col("s_int").cast("double")
+    return joined.select(
+        *group_cols,
+        F.round(est, 3).alias("hll_estimate"),
+        "exact_distinct",
+        "n_zero_buckets",
+        F.round(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+def kmv_distinct(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
+    """Bottom-k (KMV) distinct estimate per group: keep the k smallest
+    distinct 32-bit hashes; the k-th minimum h_k estimates distinct
+    count as (k-1) * 2^32 / h_k. Groups with fewer than k distinct
+    values report their exact count (the sketch IS the full set)."""
+    from pyspark.sql import Window
+
+    h = md5_prefix32(F.col(value_col))
+    hashes = df.select(*group_cols, h.alias("hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = bottom.groupBy(*group_cols).agg(
+        F.max("hv").alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+    return (
+        agg.join(exact, list(group_cols))
+        .select(
+            *group_cols,
+            F.round(est, 3).alias("kmv_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def cms_cells(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Count-Min grid over a token column: (row, col, cell_count) for
+    d x w cells. Each token lands in one column per row via seeded
+    md5-prefix hashing; cell counts are plain sums (map-side combine),
+    so the shuffle carries at most d*w rows per partition."""
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("row")
+    placed = tokens.select(F.col(token_col).alias("_tok"), rows).select(
+        F.col("row").cast("long").alias("row"),
+        (
+            md5_prefix32(F.concat_ws(":", F.col("row"), F.col("_tok")))
+            % CMS_WIDTH
+        ).alias("col"),
+    )
+    return placed.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame, token_col: str = "token", top_n: int = 20
+) -> DataFrame:
+    """Audit the CMS point-estimate guarantee on the true top-N tokens:
+    estimate = min over d rows of the token's cell; CMS never
+    underestimates (estimate >= true_count) and overestimates by at most
+    the hash-collision mass. Output: (token, true_count, cms_estimate,
+    overestimate), true-count descending ties broken by token."""
+    cells = cms_cells(tokens, token_col=token_col)
+    true_counts = (
+        tokens.groupBy(F.col(token_col).alias("token"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(top_n)
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("row")
+    probes = true_counts.select("token", "true_count", rows).select(
+        "token",
+        "true_count",
+        F.col("row").cast("long").alias("row"),
+        (
+            md5_prefix32(F.concat_ws(":", F.col("row"), F.col("token")))
+            % CMS_WIDTH
+        ).alias("col"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+    )

@@ -84,16 +84,16 @@ _DRIVER_WINDOW = [
     "doc_cdc_chunks_clamped",
     "doc_substring_dup_spans",
     "doc_substring_dedup_report",
+    "hll_distinct_users",
+    "kmv_distinct_users",
+    "token_cms_heavy_hitters",
     # one representative per operator family (all green in r2)
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
     "dedup_best_of_cluster",
     "doc_tfidf_topk",
-    "benchmark_contamination",
     "pii_redaction",
-    "multimodal_features",
     "article_search_documents",
     "search_documents_flat",
     "doc_build_scale",
@@ -106,7 +106,10 @@ _DRIVER_WINDOW = [
     # doc_quality_filter, doc_lang_id (doc_gopher_rules/doc_lm_score
     # cover the text-quality family), dedup_exact (dedup_best_of_cluster
     # exercises the same hash-groupBy), inline_ref_codes (inline_ref_parse
-    # in-window covers the same operator with byte offsets)
+    # in-window covers the same operator with byte offsets),
+    # dedup_ngram_jaccard (minhash/incremental cover banded shingle dedup),
+    # multimodal_features and benchmark_contamination (green r2,
+    # self-contained families, in-repo parity still runs them)
 ]
 
 
@@ -121,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         packq,
         relational,
         sampleq,
+        sketchq,
         simq,
         streamq,
         substrq,

@@ -1,0 +1,175 @@
+"""Sketch queries: HLL / KMV distinct estimation over ``events``,
+Count-Min heavy hitters over ``documents`` tokens.
+
+Spark side: worker_spark.operators.sketches (md5-prefix hashed,
+integer-exact register/cell arithmetic, map-side-combinable aggregates).
+Oracle side: the identical construction in DuckDB — registers, harmonic
+integer sums, grid cells, and the single deterministic double
+multiply/divide per estimate are all bit-identical, so even the
+"approximate" outputs hash-check across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.operators import sketches as K
+from worker_spark.operators.text import tokens
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_M, _WB = K.HLL_M, K.HLL_WBITS
+_EST_NUM = repr(K.HLL_ALPHA * K.HLL_M * K.HLL_M * (1 << (_WB + 1)))
+_KK, _HS = K.KMV_K, repr(K.HASH_SPACE)
+_D, _W = K.CMS_DEPTH, K.CMS_WIDTH
+
+_H32 = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_BITLEN = K.bitlen_sql(f"(h // {_M})", _WB)
+
+
+@register(
+    "hll_distinct_users",
+    f"""
+    WITH vals AS (
+        SELECT event_type, {_H32} AS h FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h % {_M} AS bucket,
+               CAST({_WB + 1} - {_BITLEN} AS INT) AS rho
+        FROM vals
+    ),
+    sparse AS (
+        SELECT event_type, bucket, max(rho) AS max_rho
+        FROM ranked GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.event_type, b.bucket, coalesce(s.max_rho, 0) AS max_rho
+        FROM (SELECT DISTINCT event_type FROM events) g
+        CROSS JOIN (SELECT CAST(r AS BIGINT) AS bucket
+                    FROM UNNEST(range({_M})) t(r)) b
+        LEFT JOIN sparse s
+               ON s.event_type = g.event_type AND s.bucket = b.bucket
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << (27 - max_rho)) AS BIGINT)
+                   AS s_int,
+               CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_buckets
+        FROM dense GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT sk.event_type,
+           round({_EST_NUM} / CAST(s_int AS DOUBLE), 3) AS hll_estimate,
+           ex.exact_distinct,
+           sk.n_zero_buckets,
+           round(abs({_EST_NUM} / CAST(s_int AS DOUBLE)
+                     - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+               AS rel_error
+    FROM sk JOIN ex USING (event_type)
+    """,
+    doc=f"HyperLogLog distinct users per event type (m={_M} registers, "
+    "Flajolet'07): registers are max-mergeable (map-side combine — the "
+    "shuffle carries <= m rows/partition at any scale); the harmonic sum "
+    "is an exact integer sum of powers of two, so the estimate is "
+    "bit-identical across engines. Exact distinct + rel_error beside it "
+    "as the small-SF audit.",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return K.hll_distinct(ev, "user_id", "event_type")
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_H32} AS hv FROM events
+    ),
+    r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    b AS (
+        SELECT event_type, max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_kept
+        FROM r WHERE rn <= {_KK} GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT b.event_type,
+           round(CASE WHEN n_kept < {_KK} THEN CAST(exact_distinct AS DOUBLE)
+                      ELSE {float(_KK - 1)!r} * {_HS} / CAST(hk AS DOUBLE)
+                 END, 3) AS kmv_estimate,
+           ex.exact_distinct,
+           round(abs(CASE WHEN n_kept < {_KK}
+                          THEN CAST(exact_distinct AS DOUBLE)
+                          ELSE {float(_KK - 1)!r} * {_HS}
+                               / CAST(hk AS DOUBLE) END
+                     - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+               AS rel_error
+    FROM b JOIN ex USING (event_type)
+    """,
+    doc=f"KMV / bottom-k distinct estimate (k={_KK}, Bar-Yossef'02): keep "
+    "the k smallest distinct hashes per group; the k-th minimum scales to "
+    "a distinct estimate. Merge = k smallest of a union (partial-agg "
+    "friendly); deterministic hashes make it oracle-exact.",
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return K.kmv_distinct(ev, "user_id", "event_type")
+
+
+@register(
+    "token_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks2 AS (SELECT token FROM toks WHERE length(token) > 0),
+    placed AS (
+        SELECT CAST(r AS BIGINT) AS row,
+               CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                                    1, 8)) AS BIGINT) % {_W} AS col
+        FROM toks2, UNNEST(range({_D})) t(r)
+    ),
+    cells AS (
+        SELECT row, col, CAST(count(*) AS BIGINT) AS cell_count
+        FROM placed GROUP BY 1, 2
+    ),
+    top_tokens AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS true_count
+        FROM toks2 GROUP BY 1
+        ORDER BY true_count DESC, token ASC LIMIT 20
+    ),
+    probes AS (
+        SELECT tt.token, tt.true_count, CAST(r AS BIGINT) AS row,
+               CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                        tt.token), 1, 8)) AS BIGINT) % {_W}
+                   AS col
+        FROM top_tokens tt, UNNEST(range({_D})) t(r)
+    )
+    SELECT p.token, p.true_count,
+           min(c.cell_count) AS cms_estimate,
+           min(c.cell_count) - p.true_count AS overestimate
+    FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+    GROUP BY p.token, p.true_count
+    """,
+    doc=f"Count-Min sketch ({_D}x{_W} grid, Cormode'05) over document "
+    "tokens, audited on the true top-20: estimate = min over rows, never "
+    "underestimates. Cells are plain sums (map-side combine — the grid "
+    "is d*w rows per partition no matter the corpus size).",
+)
+def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.length("token") > 0)
+    return K.cms_heavy_hitters(toks, "token", top_n=20)
