@@ -1,0 +1,60 @@
+"""BPE training: greedy merge fold semantics and deterministic round
+outcomes on a constructed corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from worker_spark.operators.bpe import (
+    apply_merge,
+    pair_counts,
+    to_symbols,
+    train_merges,
+    word_freqs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id: bigint, text: string")
+
+
+def test_greedy_merge_is_left_to_right_non_overlapping(spark):
+    words = spark.createDataFrame(
+        [("aaa", 1), ("aaaa", 1), ("banana", 1)],
+        schema="word: string, freq: bigint",
+    )
+    merged = {
+        r["word"]: r["syms"]
+        for r in apply_merge(to_symbols(words), "a", "a").collect()
+    }
+    assert merged["aaa"] == ["aa", "a"]  # not ["a", "aa"]
+    assert merged["aaaa"] == ["aa", "aa"]
+    assert merged["banana"] == ["b", "a", "n", "a", "n", "a"]
+
+
+def test_pair_counts_weighted_by_frequency(spark):
+    words = spark.createDataFrame(
+        [("ab", 10), ("abc", 3)], schema="word: string, freq: bigint"
+    )
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in pair_counts(to_symbols(words)).collect()
+    }
+    assert got[("a", "b")] == 13
+    assert got[("b", "c")] == 3
+
+
+def test_train_merges_on_known_corpus(spark):
+    # "low" x30, "lower" x20: round 1 must merge (l, o) with count 50
+    docs = _docs(spark, [(1, " ".join(["low"] * 30 + ["lower"] * 20))])
+    merges = train_merges(docs, rounds=2)
+    assert merges[0] == (1, "l", "o", 50)
+    # after (l,o): sequences are [lo,w] x30 and [lo,w,e,r] x20 ->
+    # (lo,w)=50 wins round 2
+    assert merges[1] == (2, "lo", "w", 50)
+
+
+def test_word_freqs_lowercases_and_skips_blank(spark):
+    docs = _docs(spark, [(1, "The the THE  fox"), (2, "   ")])
+    got = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    assert got == {"the": 3, "fox": 1}

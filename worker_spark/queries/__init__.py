@@ -87,9 +87,9 @@ _DRIVER_WINDOW = [
     "hll_distinct_users",
     "kmv_distinct_users",
     "token_cms_heavy_hitters",
+    "bpe_train_merges",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_incremental",
     "dedup_best_of_cluster",
     "doc_tfidf_topk",
@@ -116,6 +116,7 @@ _DRIVER_WINDOW = [
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from worker_spark.queries import (  # noqa: F401
+        bpeq,
         chunkq,
         dedupq,
         docflat,
