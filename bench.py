@@ -47,6 +47,10 @@ HEADLINE = [
     "similarity_pq_kmeans_topk",
     "doc_cdc_chunks",
     "dedup_translit_shingles",
+    "doc_substring_dedup_report",
+    "hll_distinct_users",
+    "token_cms_heavy_hitters",
+    "bpe_train_merges",
 ]
 
 

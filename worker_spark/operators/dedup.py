@@ -542,3 +542,61 @@ def duplicate_substring_spans(
             "n_windows",
         )
     )
+
+
+# relative edit-distance cut for edit_distance_near_dups, as an integer
+# percentage so the verify predicate is exact integer arithmetic in both
+# engines (dist * 100 <= EDIT_MAX_REL_PCT * max_len)
+EDIT_MAX_REL_PCT = 25
+
+
+def edit_distance_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rel_pct: int = EDIT_MAX_REL_PCT,
+) -> DataFrame:
+    """Fuzzy dedup with an EDIT-DISTANCE verify: MinHash/LSH banded
+    candidate generation (never a pair cross join), then exact
+    ``levenshtein`` on the candidate pairs, kept when the distance is at
+    most ``max_rel_pct``% of the longer text.
+
+    Where Jaccard verifies BAG-OF-SHINGLES overlap, edit distance
+    verifies SEQUENCE similarity — it penalizes reordering that shingle
+    overlap forgives, which is the right notion for boilerplate variants
+    and templated near-copies. Levenshtein is O(len_a * len_b) per pair,
+    so the banded candidate bound is what makes it affordable; the
+    distance itself is an integer both engines compute identically, and
+    the keep predicate is integer arithmetic (no float rounding window).
+    Output: (id_a, id_b, edit_distance, rel_distance)."""
+    ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    )
+    a = ids.select(F.col("id").alias("id_a"), F.col("text").alias("_ta"))
+    b = ids.select(F.col("id").alias("id_b"), F.col("text").alias("_tb"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+            F.greatest(F.length("_ta"), F.length("_tb"))
+            .cast("long")
+            .alias("_mx"),
+        )
+    )
+    return (
+        scored.filter(
+            F.col("edit_distance") * 100 <= F.lit(max_rel_pct) * F.col("_mx")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "edit_distance",
+            F.round(
+                F.col("edit_distance") / F.col("_mx").cast("double"), 6
+            ).alias("rel_distance"),
+        )
+    )

@@ -88,11 +88,11 @@ _DRIVER_WINDOW = [
     "kmv_distinct_users",
     "token_cms_heavy_hitters",
     "bpe_train_merges",
+    "dedup_edit_distance",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_best_of_cluster",
-    "doc_tfidf_topk",
     "pii_redaction",
     "article_search_documents",
     "search_documents_flat",

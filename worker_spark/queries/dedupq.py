@@ -153,7 +153,9 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.cluster_assignments(pairs.select("id_a", "id_b"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_cands_cte() -> str:
+    """Shared WITH-body through LSH candidate pairs (sigs -> bands ->
+    cands) — reused by the Jaccard verify and the edit-distance verify."""
     mins = ",\n               ".join(
         f"min(({D.MINHASH_A[i]} * y + {D.MINHASH_B[i]}) % {_P}) AS mh_{i}"
         for i in range(D.N_PERM)
@@ -182,7 +184,11 @@ def _minhash_oracle() -> str:
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return _minhash_cands_cte() + """,
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS n_inter
         FROM cands c
@@ -485,3 +491,28 @@ _SPAN_W = D.SPAN_W
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_edit_distance",
+    _minhash_cands_cte()
+    + f"""
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / greatest(length(da.text), length(db.text)), 6)
+               AS rel_distance
+    FROM cands c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.text, db.text) * 100
+          <= {D.EDIT_MAX_REL_PCT} * greatest(length(da.text), length(db.text))
+    """,
+    doc=f"Fuzzy dedup with an edit-distance verify: MinHash/LSH banded "
+    "candidates (equi-join, no pair blowup), exact levenshtein kept at "
+    f"<= {D.EDIT_MAX_REL_PCT}% of the longer text. Sequence-aware "
+    "verification that penalizes reordering Jaccard forgives; integer "
+    "distance + integer keep predicate = bit-identical across engines.",
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.edit_distance_near_dups(load_table(spark, sf_dir, "documents"))
