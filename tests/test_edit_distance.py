@@ -16,7 +16,7 @@ def test_small_edit_detected_with_exact_distance(spark):
     got = {(r["id_a"], r["id_b"]): r for r in edit_distance_near_dups(df).collect()}
     assert (1, 2) in got
     assert got[(1, 2)]["edit_distance"] == 3
-    assert got[(1, 2)]["rel_distance"] < 0.01
+    assert got[(1, 2)]["rel_distance"] < 0.02
     assert not any(3 in k for k in got)
 
 
