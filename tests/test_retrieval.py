@@ -1,0 +1,40 @@
+"""Collocations + inverted postings: known-corpus outcomes."""
+
+from __future__ import annotations
+
+from worker_spark.operators.retrieval import (
+    bigram_collocations,
+    inverted_postings,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id: bigint, text: string")
+
+
+def test_collocation_lift_ranks_bound_pairs_first(spark):
+    # "new york" always adjacent; "the cat"/"the dog" dilute "the"
+    text = ("new york " * 30) + ("the cat " * 30) + ("the dog " * 30)
+    got = bigram_collocations(
+        _docs(spark, [(1, text)]), min_pair=10, top=5
+    ).collect()
+    assert got[0]["left_tok"] == "new" and got[0]["right_tok"] == "york"
+    # lift of a perfectly-bound pair: N * c(ab) / (c(a)*c(b)) = N/30
+    n_total = 180
+    assert abs(got[0]["lift"] - n_total * 30 / (30 * 30)) < 1e-6
+    lifts = [r["lift"] for r in got]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_inverted_postings_counts_and_order(spark):
+    df = _docs(
+        spark,
+        [(2, "b a b"), (10, "a b b"), (1, "b only here")],
+    )
+    got = {r["term"]: r for r in inverted_postings(df, min_df=2).collect()}
+    assert got["b"]["df"] == 3 and got["b"]["cf"] == 5
+    # postings sort bytewise on the doc:tf string in BOTH engines
+    # (':' > '0', so "10:2" precedes "1:1")
+    assert got["b"]["postings"] == "10:2,1:1,2:2"
+    assert got["a"]["df"] == 2 and got["a"]["postings"] == "10:1,2:1"
+    assert "only" not in got  # df 1 < min_df

@@ -1,0 +1,147 @@
+"""Text-retrieval operators: collocation mining and inverted-index
+posting lists.
+
+Both are vocabulary-bounded aggregations — the corpus is touched once
+(tokenize + explode), then every shuffle key is a term or a term pair,
+so partial aggregation bounds the wire bytes by vocabulary size, not
+corpus size. That is the same scale shape as the tf-idf operator
+(worker_spark/operators/text.py:125) and the right one at 100 TB.
+
+* ``bigram_collocations`` — adjacent-bigram association strength
+  (Church & Hanks, CL 1990: pointwise mutual information). The score is
+  emitted as the LIFT ratio N * c(ab) / (c(a) * c(b)) rather than its
+  log: the ratio is one double division over exact integers, so it is
+  bit-identical across engines (ln's last-ulp behavior is libm-specific)
+  and rank-equivalent to PMI.
+* ``inverted_postings`` — per-term document posting lists
+  (doc_id:tf entries, deterministically sorted), document frequency and
+  collection frequency: the structure a search index (reference S9
+  surface) is bulk-built from.
+
+No reference counterpart file for collocations; postings re-express the
+search-index build surface (SURVEY.md §2 S9) as a queryable operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from worker_spark.operators.text import tokens
+
+COLLOC_MIN_PAIR = 20  # minimum bigram count (drops noise collocations)
+COLLOC_TOP = 25
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair: int = COLLOC_MIN_PAIR,
+    top: int = COLLOC_TOP,
+) -> DataFrame:
+    """Top collocations by lift = N * c(ab) / (c(a)*c(b)) over adjacent
+    lowercase token bigrams; ties break on the token pair so the ranking
+    is engine-exact. Output: (left_tok, right_tok, pair_n, left_n,
+    right_n, lift)."""
+    toked = _doc_tokens(docs, text_col)
+    t = F.col("_toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i.cast("int")).alias("left_tok"),
+                F.element_at(t, (i + 1).cast("int")).alias("right_tok"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    bigrams = (
+        toked.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.left_tok").alias("left_tok"),
+            F.col("p.right_tok").alias("right_tok"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair)
+    )
+    unigrams = (
+        toked.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+    )
+    total = unigrams.agg(F.sum("tok_n").alias("n_total"))
+    left = unigrams.select(
+        F.col("tok").alias("left_tok"), F.col("tok_n").alias("left_n")
+    )
+    right = unigrams.select(
+        F.col("tok").alias("right_tok"), F.col("tok_n").alias("right_n")
+    )
+    scored = (
+        bigrams.join(F.broadcast(left), "left_tok")
+        .join(F.broadcast(right), "right_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "left_tok",
+            "right_tok",
+            "pair_n",
+            "left_n",
+            "right_n",
+            F.round(
+                (F.col("n_total") * F.col("pair_n")).cast("double")
+                / (F.col("left_n") * F.col("right_n")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("left_tok"), F.asc("right_tok")
+    ).limit(top)
+
+
+POSTINGS_MIN_DF = 50
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = POSTINGS_MIN_DF,
+) -> DataFrame:
+    """Inverted-index posting lists for terms with document frequency >=
+    ``min_df``: (term, df, cf, postings) where postings is the
+    deterministically-sorted CSV of ``doc_id:tf`` entries. Two shuffles
+    (term×doc tf, then term), both vocabulary/posting-bounded."""
+    tf = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("doc_id"), F.col("tf"))
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -89,6 +89,8 @@ _DRIVER_WINDOW = [
     "token_cms_heavy_hitters",
     "bpe_train_merges",
     "dedup_edit_distance",
+    "token_bigram_collocations",
+    "inverted_index_postings",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
     "dedup_incremental",
@@ -98,8 +100,6 @@ _DRIVER_WINDOW = [
     "search_documents_flat",
     "doc_build_scale",
     "article_analysis",
-    "sync_diff_classify",
-    "outbox_drain_cap",
     # rotated out for the round-3 additions (all green in r2, families
     # still represented in-window): event_sessions, doc_sequence_pack
     # (pack_utilization covers packing), doc_token_stats,
@@ -108,8 +108,9 @@ _DRIVER_WINDOW = [
     # exercises the same hash-groupBy), inline_ref_codes (inline_ref_parse
     # in-window covers the same operator with byte offsets),
     # dedup_ngram_jaccard (minhash/incremental cover banded shingle dedup),
-    # multimodal_features and benchmark_contamination (green r2,
-    # self-contained families, in-repo parity still runs them)
+    # multimodal_features, benchmark_contamination, doc_tfidf_topk,
+    # dedup_simhash, sync_diff_classify, outbox_drain_cap (all green in
+    # r1+r2, self-contained families, in-repo parity still runs them)
 ]
 
 
@@ -124,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodalq,
         packq,
         relational,
+        retrievalq,
         sampleq,
         sketchq,
         simq,

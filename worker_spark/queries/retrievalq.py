@@ -1,0 +1,92 @@
+"""Retrieval queries: collocation mining + inverted-index postings over
+``documents``, each with an exact DuckDB oracle (integer counts, one
+deterministic double division for lift, lexicographically-sorted posting
+CSVs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from worker_spark.operators import retrieval as R
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_TOKS = """
+    toked AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    )
+"""
+
+
+@register(
+    "token_bigram_collocations",
+    f"""
+    WITH {_TOKS},
+    bigrams AS (
+        SELECT t[CAST(i AS INT)] AS left_tok,
+               t[CAST(i AS INT) + 1] AS right_tok,
+               CAST(count(*) AS BIGINT) AS pair_n
+        FROM toked, UNNEST(range(1, len(t))) u(i)
+        GROUP BY 1, 2
+        HAVING count(*) >= {R.COLLOC_MIN_PAIR}
+    ),
+    unigrams AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tok_n
+        FROM (SELECT unnest(t) AS tok FROM toked)
+        GROUP BY tok
+    ),
+    total AS (SELECT CAST(sum(tok_n) AS BIGINT) AS n_total FROM unigrams)
+    SELECT b.left_tok, b.right_tok, b.pair_n,
+           ul.tok_n AS left_n, ur.tok_n AS right_n,
+           round(CAST(t.n_total * b.pair_n AS DOUBLE)
+                 / CAST(ul.tok_n * ur.tok_n AS DOUBLE), 6) AS lift
+    FROM bigrams b
+    JOIN unigrams ul ON ul.tok = b.left_tok
+    JOIN unigrams ur ON ur.tok = b.right_tok
+    CROSS JOIN total t
+    ORDER BY lift DESC, left_tok ASC, right_tok ASC
+    LIMIT {R.COLLOC_TOP}
+    """,
+    doc=f"Collocation mining (Church&Hanks'90): top-{R.COLLOC_TOP} adjacent "
+    "bigrams by lift = N*c(ab)/(c(a)*c(b)) with pair count >= "
+    f"{R.COLLOC_MIN_PAIR}. Vocab-bounded shuffles; lift is one double "
+    "division over exact integers (rank-equivalent to PMI, engine-exact "
+    "unlike ln).",
+)
+def q_token_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bigram_collocations(docs)
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE length(trim(text)) > 0
+        )
+        WHERE length(term) > 0
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || tf, ','
+                      ORDER BY doc_id || ':' || tf) AS postings
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= {R.POSTINGS_MIN_DF}
+    """,
+    doc=f"Inverted-index posting lists (search-index build surface, S9): "
+    f"terms with df >= {R.POSTINGS_MIN_DF}, doc_id:tf postings in "
+    "deterministic sorted order, document + collection frequency. Two "
+    "vocabulary-bounded shuffles.",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.inverted_postings(docs)
