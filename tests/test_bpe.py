@@ -58,3 +58,16 @@ def test_word_freqs_lowercases_and_skips_blank(spark):
     docs = _docs(spark, [(1, "The the THE  fox"), (2, "   ")])
     got = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
     assert got == {"the": 3, "fox": 1}
+
+
+def test_encode_stats_compression_improves_with_merges(spark):
+    from worker_spark.operators.bpe import encode_stats
+
+    docs = _docs(spark, [(1, "low low low lower lowest"), (2, "low lower")])
+    got = {r["doc_id"]: r for r in encode_stats(docs, rounds=2).collect()}
+    assert got[1]["n_words"] == 5
+    assert got[1]["n_chars"] == 3 * 3 + 5 + 6  # low x3, lower, lowest
+    # two merges strictly reduce token count below char count
+    assert got[1]["n_tokens"] < got[1]["n_chars"]
+    assert got[1]["compression"] > 1.0
+    assert got[2]["n_words"] == 2

@@ -284,3 +284,38 @@ def test_winnow_shuffles_documents_not_kgrams(spark):
     assert plan.index("Generate") < plan.index("Exchange"), (
         "explode must sit ABOVE the exchange (shuffle docs, not k-grams)"
     )
+
+
+def test_hll_registers_partial_aggregate_before_shuffle(spark):
+    # register build must partial-aggregate map-side (max-merge), so the
+    # shuffle carries at most m rows per partition regardless of input
+    from worker_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    plan = _physical(hll_registers(ev, "user_id", "event_type"))
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert first_agg < first_exchange or "partial_max" in plan.lower()
+
+
+def test_cms_grid_partial_aggregates(spark):
+    from worker_spark.operators.sketches import cms_cells
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    plan = _physical(cms_cells(toks))
+    # count agg with map-side combine: HashAggregate appears above AND
+    # below the single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_collocations_broadcast_unigram_sides(spark):
+    from worker_spark.operators.retrieval import bigram_collocations
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _physical(bigram_collocations(docs))
+    # unigram count sides broadcast onto the bigram table; the only
+    # nested-loop is the 1-row total broadcast (scalar control plane)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -156,3 +156,54 @@ def train_merges(
         if r < rounds:
             symbols = apply_merge(symbols, row["left_sym"], row["right_sym"])
     return out
+
+
+def encode_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Apply the learned merges and audit compression per document.
+
+    Encoding is VOCABULARY-bounded: merges are applied once per DISTINCT
+    word (the same fold as training), then joined back onto the per-doc
+    word occurrences — the corpus is never re-folded. Output one row per
+    non-blank document: (doc_id, n_words, n_chars, n_tokens,
+    compression) where compression = n_chars / n_tokens (chars per
+    emitted symbol; rises as merges take effect)."""
+    merges = train_merges(docs, text_col=text_col, rounds=rounds)
+    symbols = to_symbols(word_freqs(docs, text_col=text_col))
+    for _, left, right, _n in merges:
+        symbols = apply_merge(symbols, left, right)
+    vocab = symbols.select(
+        "word", F.size("syms").cast("long").alias("_n_sym")
+    )
+    doc_words = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") >= 1)
+    )
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("_n_sym").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("compression"),
+        )
+    )

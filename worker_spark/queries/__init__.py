@@ -91,10 +91,10 @@ _DRIVER_WINDOW = [
     "dedup_edit_distance",
     "token_bigram_collocations",
     "inverted_index_postings",
+    "bpe_encode_stats",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
     "dedup_incremental",
-    "dedup_best_of_cluster",
     "pii_redaction",
     "article_search_documents",
     "search_documents_flat",

@@ -121,3 +121,57 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="round: int, left_sym: string, right_sym: string, "
         "pair_count: bigint",
     )
+
+
+_ENCODE_SQL = (
+    "WITH RECURSIVE "
+    + _WORDS
+    + ","
+    + _pair_cte(1, "syms0")
+    + ","
+    + _merge_cte(1, "syms0")
+    + ","
+    + _pair_cte(2, "syms1")
+    + ","
+    + _merge_cte(2, "syms1")
+    + ","
+    + _pair_cte(3, "syms2")
+    + ","
+    + _merge_cte(3, "syms2")
+    + """,
+    vocab AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM syms3
+    ),
+    doc_words AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS word
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(word) >= 1
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(sum(v.n_sym) AS BIGINT) AS n_tokens,
+           round(CAST(sum(length(d.word)) AS BIGINT)
+                 / CAST(CAST(sum(v.n_sym) AS BIGINT) AS DOUBLE), 6)
+               AS compression
+    FROM doc_words d JOIN vocab v USING (word)
+    GROUP BY d.doc_id
+    """
+)
+
+
+@register(
+    "bpe_encode_stats",
+    _ENCODE_SQL,
+    doc="BPE ENCODE side: apply the 3 learned merges once per DISTINCT "
+    "word (vocab-bounded fold), join the symbol counts back onto per-doc "
+    "word occurrences, report chars/words/tokens and the compression "
+    "ratio per document. Oracle re-derives the merges and replays all "
+    "three folds as recursive CTEs.",
+)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return B.encode_stats(docs)
