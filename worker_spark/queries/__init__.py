@@ -92,10 +92,10 @@ _DRIVER_WINDOW = [
     "token_bigram_collocations",
     "inverted_index_postings",
     "bpe_encode_stats",
+    "streaming_view_purchase_join",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
     "dedup_incremental",
-    "pii_redaction",
     "article_search_documents",
     "search_documents_flat",
     "doc_build_scale",

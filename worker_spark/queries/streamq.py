@@ -180,3 +180,100 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="STREAM-STREAM interval join (the remaining Structured Streaming "
+    "join surface): views joined to same-user purchases within 30 "
+    "minutes, both sides watermarked, run as a real availableNow job "
+    "over a single-file source (one micro-batch -> the inner-join "
+    "emitted set equals the batch interval join, which the oracle "
+    "replays). At scale the event-time constraint + watermark bound the "
+    "join state Spark must hold.",
+)
+def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="vpj_src_")
+    ckpt = tempfile.mkdtemp(prefix="vpj_ckpt_")
+    sink = f"vpj_out_{uuid.uuid4().hex[:8]}"
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        views = (
+            spark.readStream.schema(events.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema(events.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 30 minutes"
+            ),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream-stream join did not drain")
+        return (
+            spark.table(sink)
+            .select(
+                F.col("v_user").alias("user_id"),
+                "view_event_id",
+                "purchase_event_id",
+                F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+                F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                    "purchase_ts"
+                ),
+                (
+                    F.col("p_ts").cast("long") - F.col("v_ts").cast("long")
+                ).alias("lag_seconds"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
