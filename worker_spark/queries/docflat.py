@@ -541,11 +541,12 @@ def q_search_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the driver replays oracles at sf0.01 — the oracle replication MUST equal
-# _scale_copies(".../sf0.01"). 200 copies (1,400 articles) is plenty for
-# the full-volume hash check while keeping the driver's DuckDB replay of
-# the ~40-CTE oracle to ~20 s (1000x took ~110 s of pure oracle time);
-# the BENCH run at sf0.1 still pushes 10k copies for the throughput number.
-_SCALE_ORACLE_COPIES = 200
+# _scale_copies(".../sf0.01"). 100 copies (700 articles) keeps the
+# full-volume hash check while holding the driver's DuckDB replay of the
+# ~40-CTE oracle near ~20 s (it had crept to ~45 s at 200 copies under
+# duckdb 1.x; 1000x took ~110 s of pure oracle time). The BENCH run at
+# sf0.1 still pushes 10k copies for the throughput number.
+_SCALE_ORACLE_COPIES = 100
 
 
 def _scale_copies(sf_dir: str) -> int:
