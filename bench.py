@@ -51,6 +51,9 @@ HEADLINE = [
     "hll_distinct_users",
     "token_cms_heavy_hitters",
     "bpe_train_merges",
+    "dedup_edit_distance",
+    "token_bigram_collocations",
+    "inverted_index_postings",
 ]
 
 
