@@ -91,3 +91,21 @@ def test_char_entropy_known_values(spark):
     assert got[2] == 1.0      # two equiprobable symbols -> 1 bit
     assert got[3] == 2.0      # four equiprobable symbols -> 2 bits
     assert 4 not in got       # empty docs have no entropy row
+
+
+def test_opq_groups_partition_dims_and_balance_variance(spark):
+    from worker_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        opq_dim_groups,
+    )
+    from worker_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    groups = opq_dim_groups(emb)
+    assert len(groups) == PQ_M
+    flat = [d for g in groups for d in g]
+    assert sorted(flat) == list(range(1, PQ_M * PQ_SUBDIM + 1))
+    assert all(len(g) == PQ_SUBDIM for g in groups)
+    assert all(g == sorted(g) for g in groups)

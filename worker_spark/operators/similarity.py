@@ -807,3 +807,77 @@ def pq_kmeans_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --- OPQ (permutation variant): balance per-dimension variance across ---
+# subspaces before PQ. Full OPQ learns a rotation (Ge et al., CVPR 2013);
+# its published cheap variant permutes DIMENSIONS so each subspace gets a
+# balanced share of the variance — contiguous slicing concentrates
+# correlated/high-variance dims in few subspaces and wastes codebook
+# capacity. The permutation is trained from the data (one aggregate),
+# applied as literal indices (map-only), and the standard PQ/k-means
+# pipeline runs unchanged on the permuted vectors.
+
+
+def opq_dim_groups(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[int]]:
+    """Variance-balancing dimension permutation: rank dims by an
+    EXACT-integer spread score n*sum(y^2) - sum(y)^2 over the dyadic
+    quantized components y = floor(x * PQ_QUANT), then snake-assign the
+    ranked dims round-robin across the PQ_M subspaces (row 0 left-to-
+    right, row 1 right-to-left, ...), so subspace variance totals are
+    balanced. One 1-row aggregate collect (control plane); ties break on
+    the dimension index — deterministic and engine-replayable."""
+    dim = PQ_M * PQ_SUBDIM
+    aggs = []
+    for d in range(1, dim + 1):
+        y = F.floor(
+            F.element_at(F.col(vec_col), d).cast("double") * PQ_QUANT
+        ).cast("long")
+        aggs.append(F.sum(y).alias(f"s{d}"))
+        aggs.append(F.sum(y * y).alias(f"q{d}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = vectors.agg(*aggs).collect()[0]
+    n = row["n"]
+    scored = sorted(
+        ((n * row[f"q{d}"] - row[f"s{d}"] * row[f"s{d}"], d) for d in range(1, dim + 1)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    groups: list[list[int]] = [[] for _ in range(PQ_M)]
+    for i, (_ss, d) in enumerate(scored):
+        r, pos = divmod(i, PQ_M)
+        s = pos if r % 2 == 0 else PQ_M - 1 - pos
+        groups[s].append(d)
+    return [sorted(g) for g in groups]
+
+
+def opq_pq_kmeans_topk(
+    vectors: DataFrame,
+    k: int = 10,
+    codebook_stride: int = 50,
+    query_stride: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ + ADC with k-means codebooks over OPQ-permuted vectors: the
+    trained dimension permutation is applied as a map-only projection,
+    then the standard ``pq_kmeans_topk`` pipeline runs unchanged. ADC
+    distances are over the SAME coordinates (permuted order does not
+    change the underlying metric), but codebooks quantize balanced
+    subspaces, which is where the recall gain comes from."""
+    flat = [d for g in opq_dim_groups(vectors, id_col, vec_col) for d in g]
+    permuted = vectors.select(
+        F.col(id_col),
+        F.array(
+            *[F.element_at(F.col(vec_col), d) for d in flat]
+        ).alias(vec_col),
+    )
+    return pq_kmeans_topk(
+        permuted,
+        k=k,
+        codebook_stride=codebook_stride,
+        query_stride=query_stride,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -93,9 +93,9 @@ _DRIVER_WINDOW = [
     "inverted_index_postings",
     "bpe_encode_stats",
     "streaming_view_purchase_join",
+    "similarity_opq_kmeans_topk",
     # one representative per operator family (all green in r2)
     "dedup_minhash_lsh",
-    "dedup_incremental",
     "article_search_documents",
     "search_documents_flat",
     "doc_build_scale",

@@ -351,7 +351,10 @@ def q_similarity_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_kmeans_oracle(
-    k: int = 10, codebook_stride: int = 50, query_stride: int = 100
+    k: int = 10,
+    codebook_stride: int = 50,
+    query_stride: int = 100,
+    sub_prelude: str | None = None,
 ) -> str:
     """Unrolled Lloyd's k-means in SQL, generated from the SAME constants
     as the Spark operator. Sub-vector values are dyadic-quantized
@@ -392,11 +395,12 @@ def _pq_kmeans_oracle(
         for i in range(S.PQ_KMEANS_ITERS)
     )
     final_cb = f"cb{S.PQ_KMEANS_ITERS}"
-    return f"""
-    WITH sub AS (
+    default_sub = f"""sub AS (
         SELECT vec_id AS vid, CAST(s AS INT) AS s, {xs}
         FROM embeddings, UNNEST(range(0, {M})) AS t(s)
-    ),
+    )"""
+    return f"""
+    WITH {sub_prelude or default_sub},
     cb0 AS (
         SELECT s, vid AS cid, {cbs} FROM sub WHERE vid % {codebook_stride} = 0
     ),{iter_ctes}{assign_cte("codes", final_cb)},
@@ -436,3 +440,68 @@ def _pq_kmeans_oracle(
 def q_similarity_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_kmeans_topk(emb, k=10)
+
+
+def _opq_sub_prelude() -> str:
+    """OPQ permutation prelude: exact-integer variance ranking, snake
+    assignment to subspaces, per-subspace ascending-dim layout, and the
+    permuted `sub` table the shared k-means chain consumes."""
+    M, SD, Q = S.PQ_M, S.PQ_SUBDIM, S.PQ_QUANT
+    dim = M * SD
+    maxcases = ",\n               ".join(
+        f"max(CASE WHEN p.dpos = {d} THEN "
+        f"floor(CAST(e.embedding[CAST(p.old_dim AS INT)] AS DOUBLE) * {Q})"
+        f" / {Q} END) AS x{d}"
+        for d in range(SD)
+    )
+    return f"""qy AS (
+        SELECT CAST(d AS BIGINT) AS d,
+               CAST(floor(CAST(embedding[CAST(d AS INT)] AS DOUBLE) * {Q})
+                    AS BIGINT) AS y
+        FROM embeddings, UNNEST(range(1, {dim + 1})) t(d)
+    ),
+    ss AS (
+        SELECT d,
+               CAST(count(*) AS BIGINT) * CAST(sum(y * y) AS BIGINT)
+                   - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS ssd
+        FROM qy GROUP BY d
+    ),
+    rankedd AS (
+        SELECT d, CAST(row_number() OVER (ORDER BY ssd DESC, d ASC) - 1
+                       AS BIGINT) AS i
+        FROM ss
+    ),
+    perm AS (
+        SELECT d AS old_dim,
+               CAST(CASE WHEN (i // {M}) % 2 = 0 THEN i % {M}
+                         ELSE {M} - 1 - (i % {M}) END AS INT) AS s
+        FROM rankedd
+    ),
+    perm2 AS (
+        SELECT old_dim, s,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY old_dim) - 1
+                    AS INT) AS dpos
+        FROM perm
+    ),
+    sub AS (
+        SELECT e.vec_id AS vid, p.s,
+               {maxcases}
+        FROM embeddings e CROSS JOIN perm2 p
+        GROUP BY e.vec_id, p.s
+    )"""
+
+
+@register(
+    "similarity_opq_kmeans_topk",
+    _pq_kmeans_oracle(sub_prelude=_opq_sub_prelude()),
+    doc="OPQ (permutation variant, Ge'13): rank dimensions by an "
+    "exact-integer variance score, snake-assign them across the "
+    f"{S.PQ_M} subspaces so codebooks quantize balanced variance, then "
+    "run the identical k-means PQ/ADC pipeline on the permuted vectors. "
+    "The trained permutation is a 1-row aggregate collect applied as "
+    "literal indices (map-only); the oracle re-derives it and replays "
+    "the full pipeline.",
+)
+def q_similarity_opq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.opq_pq_kmeans_topk(emb, k=10)
