@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_edit_distance",
     "token_bigram_collocations",
     "inverted_index_postings",
+    "similarity_opq_kmeans_topk",
 ]
 
 

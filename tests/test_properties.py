@@ -181,3 +181,69 @@ def test_greedy_pack_invariants(tokens, budget):
     for i in range(1, len(seqs)):
         if seqs[i] != seqs[i - 1]:
             assert totals[seqs[i - 1]] + weights[i] > budget
+
+
+def _greedy_bpe_merge_py(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference implementation of the greedy left-to-right merge."""
+    out, carry = [], None
+    for s in syms:
+        if carry is None:
+            carry = s
+        elif carry == left and s == right:
+            out.append(left + right)
+            carry = None
+        else:
+            out.append(carry)
+            carry = s
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+    ),
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["a", "b"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_bpe_fold_matches_reference_merge(shared_spark_words, left, right):
+    # pure-python property: validated against the Spark fold in
+    # test_bpe.py; here we pin the reference semantics themselves
+    for w in shared_spark_words:
+        merged = _greedy_bpe_merge_py(list(w), left, right)
+        assert "".join(merged) == w  # merging never changes content
+        assert all(
+            not (a == left and b == right)
+            or (len(a) > 1 or len(b) > 1)
+            for a, b in zip(merged, merged[1:])
+        ) or left == right  # no unmerged adjacent (left,right) chars remain
+
+
+def test_winnow_guarantee_on_random_plants(spark):
+    """Winnowing guarantee: any shared verbatim substring of length >=
+    W+K-1 yields at least one shared fingerprint for every plant
+    position."""
+    import random
+
+    from worker_spark.operators.substrings import (
+        WIN_K,
+        WIN_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(99)
+    shared = "".join(rng.choice("xyz qrs") for _ in range(WIN_W + WIN_K - 1))
+    rows = []
+    for doc_id in range(1, 6):
+        pad_a = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(0, 60)))
+        pad_b = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(0, 60)))
+        rows.append((doc_id, pad_a + shared + pad_b))
+    df = spark.createDataFrame(rows, schema="doc_id: bigint, text: string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fhash"])
+    common = set.intersection(*[by_doc[d] for d in range(1, 6)])
+    assert common, "guaranteed shared fingerprint missing"
