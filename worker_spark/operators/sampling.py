@@ -236,3 +236,56 @@ def mixture_weights(
             ).alias("epochs"),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int = WEIGHTED_SAMPLE_K,
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Weighted sample without replacement via PRIORITY SAMPLING
+    (Duffield, Lund, Thorup, JACM 2007): each item gets priority
+    q = w * 2^32 / h with h a uniform md5-prefix integer of its id; the
+    k highest priorities form the sample, and inclusion probability is
+    proportional to weight (ppswor in the large-k limit).
+
+    Engine-exactness: w and h are exact integers, so q is one double
+    division over exact inputs — bit-identical in both engines — and
+    ties break on the id. Deterministic (id-hashed), reproducible, and
+    mergeable at scale: top-k by priority is a partial-aggregatable
+    TopK (each partition keeps its local k, the reducer keeps the
+    global k) — no full sort at 100 TB.
+
+    Output: (doc_id, weight, priority) for the k sampled items.
+    """
+    w = (
+        weight_col
+        if weight_col is not None
+        else F.length(F.col("text")).cast("long")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        (
+            (w * F.lit(4294967296.0)) / h.cast("double")
+        ).alias("_q"),
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject: each partition
+    # keeps a local top-k, the driver merges — the mergeable TopK shape,
+    # never a global sort (a row_number window would single-partition)
+    return (
+        scored.orderBy(F.desc("_q"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "weight",
+            F.round("_q", 4).alias("priority"),
+        )
+    )

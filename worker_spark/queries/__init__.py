@@ -94,12 +94,12 @@ _DRIVER_WINDOW = [
     "bpe_encode_stats",
     "streaming_view_purchase_join",
     "similarity_opq_kmeans_topk",
+    "doc_weighted_sample",
+    "streaming_dedup_keys",
     # one representative per operator family (all green in r2)
-    "dedup_minhash_lsh",
     "article_search_documents",
     "search_documents_flat",
     "doc_build_scale",
-    "article_analysis",
     # rotated out for the round-3 additions (all green in r2, families
     # still represented in-window): event_sessions, doc_sequence_pack
     # (pack_utilization covers packing), doc_token_stats,
@@ -109,8 +109,11 @@ _DRIVER_WINDOW = [
     # in-window covers the same operator with byte offsets),
     # dedup_ngram_jaccard (minhash/incremental cover banded shingle dedup),
     # multimodal_features, benchmark_contamination, doc_tfidf_topk,
-    # dedup_simhash, sync_diff_classify, outbox_drain_cap (all green in
-    # r1+r2, self-contained families, in-repo parity still runs them)
+    # dedup_simhash, sync_diff_classify, outbox_drain_cap, pii_redaction,
+    # dedup_incremental, dedup_best_of_cluster, article_analysis,
+    # dedup_minhash_lsh (its signature+banding pipeline runs in-window
+    # inside dedup_edit_distance) — all green in r1+r2, self-contained
+    # families, in-repo parity still runs them
 ]
 
 

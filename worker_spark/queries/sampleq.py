@@ -168,3 +168,30 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return S.mixture_weights(d, strat_col="source")
+
+
+@register(
+    "doc_weighted_sample",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS weight,
+               CAST(length(text) AS BIGINT) * 4294967296.0
+                   / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS q
+        FROM documents
+    )
+    SELECT doc_id, weight, round(q, 4) AS priority
+    FROM scored
+    ORDER BY q DESC, doc_id ASC
+    LIMIT {S.WEIGHTED_SAMPLE_K}
+    """,
+    doc=f"Weighted sampling without replacement via priority sampling "
+    f"(Duffield'07): priority = weight * 2^32 / md5-hash, top-"
+    f"{S.WEIGHTED_SAMPLE_K} kept (length-weighted here). One double "
+    "division over exact integers — engine-exact; orderBy+limit compiles "
+    "to the mergeable distributed TopK, never a global sort.",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.weighted_priority_sample(docs)

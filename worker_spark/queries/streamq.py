@@ -277,3 +277,57 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
         spark.catalog.dropTempView(sink)
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="STREAMING DEDUP with watermark-bounded state "
+    "(dropDuplicatesWithinWatermark): the production shape for "
+    "exactly-once key emission on an unbounded stream — state for a key "
+    "is dropped once the watermark passes it, so memory is bounded by "
+    "the dedup horizon, not the stream length. Single-file availableNow "
+    "source + a horizon covering the fixture's span => the emitted key "
+    "set deterministically equals batch DISTINCT, which the oracle "
+    "replays.",
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="sdk_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdk_ckpt_")
+    sink = f"sdk_out_{uuid.uuid4().hex[:8]}"
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .parquet(src_dir)
+            .select("user_id", "event_type", "ts")
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming dedup did not drain")
+        return (
+            spark.table(sink)
+            .select("user_id", "event_type")
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
