@@ -124,3 +124,20 @@ def test_incremental_simhash_excludes_within_side_pairs(spark):
     assert not any(b >= 10 for _, b in pairs)
     assert not any(a == 11 and b == 12 for a, b in pairs)
     assert 13 not in {a for a, _ in pairs}
+
+
+def test_pagerank_integer_star_graph(spark):
+    from worker_spark.operators.components import pagerank_centrality
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], schema="id_a: bigint, id_b: bigint"
+    )
+    got = {r["doc_id"]: r for r in pagerank_centrality(pairs).collect()}
+    assert got[1]["degree"] == 3 and got[2]["degree"] == 1
+    # hand-computed 3 iterations of the integer recurrence:
+    # r1: a=(15e5*10+85*3e6)//100... center 2_700_000, leaves 433_333
+    # r2: center 1_254_999, leaves 915_000
+    # r3: center 2_483_250, leaves 505_583
+    assert got[1]["rank_int"] == 2_483_250
+    assert got[2]["rank_int"] == got[3]["rank_int"] == got[4]["rank_int"] == 505_583
+    assert got[1]["rank_int"] > got[2]["rank_int"]

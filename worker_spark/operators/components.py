@@ -220,3 +220,75 @@ def connected_components_star(
         .agg(F.min("b").alias("mv"))
         .select("id", F.least(F.col("id"), F.col("mv")).alias("component"))
     )
+
+
+PR_SCALE = 1_000_000  # integer rank units (micros)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+PR_ITERS = 3
+
+
+def pagerank_centrality(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Degree-normalized PageRank over an undirected pair graph, in
+    EXACT integer arithmetic so every iteration replays bit-identically
+    in the oracle: ranks are integers in PR_SCALE units, neighbor
+    contributions use integer division rank // degree, and the damping
+    mix is (15 * SCALE + 85 * inflow) // 100. Floor division makes this
+    a documented deterministic variant of classical PageRank (ranks
+    drift at most a few units from the float fixpoint — ordering, the
+    thing centrality is used for, is preserved on non-adversarial
+    graphs).
+
+    Per iteration: one equi-join of ranks onto edges + one groupBy sum —
+    the same slim-shuffle shape as connected components; the undamped
+    start (every node at SCALE) exploits PageRank's scale invariance so
+    no division by N is needed.
+
+    Output: ``(doc_id, degree, rank_int)`` — rank_int the final integer
+    rank; highest-rank nodes are the best-connected duplicates (an
+    alternative canonical-document criterion to quality argmax).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    ranks = deg.select(
+        F.col("s").alias("node"),
+        "degree",
+        F.lit(PR_SCALE).cast("long").alias("rank_int"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("s"),
+                    F.expr("rank_int div degree").alias("_c"),
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("_c").alias("_inflow"))
+        )
+        ranks = (
+            ranks.select("node", "degree")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "degree",
+                F.expr(
+                    f"(15 * cast({PR_SCALE} as bigint)"
+                    f" + {PR_DAMP_NUM} * coalesce(_inflow, 0))"
+                    f" div {PR_DAMP_DEN}"
+                ).alias("rank_int"),
+            )
+            # truncate lineage each round (NOTES.md: iterative plans
+            # re-scan uncheckpointed upstreams per action)
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "degree", "rank_int")

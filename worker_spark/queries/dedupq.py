@@ -516,3 +516,61 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+def _pagerank_oracle() -> str:
+    from worker_spark.operators import components as C
+
+    s, it = C.PR_SCALE, C.PR_ITERS
+    ctes = [
+        _cluster_chain(),  # unreferenced closure CTEs are never evaluated
+        f""",
+    edges2 AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS degree FROM edges2 GROUP BY s),
+    r0 AS (SELECT s AS node, degree, CAST({s} AS BIGINT) AS rank_int FROM deg)""",
+    ]
+    for k in range(1, it + 1):
+        ctes.append(f""",
+    c{k} AS (
+        SELECT e.d AS node,
+               CAST(sum(r.rank_int // r.degree) AS BIGINT) AS inflow
+        FROM edges2 e JOIN r{k - 1} r ON r.node = e.s
+        GROUP BY e.d
+    ),
+    r{k} AS (
+        SELECT b.node, b.degree,
+               (15 * CAST({s} AS BIGINT)
+                + {C.PR_DAMP_NUM} * coalesce(c.inflow, 0))
+                   // {C.PR_DAMP_DEN} AS rank_int
+        FROM r0 b LEFT JOIN c{k} c USING (node)
+    )""")
+    ctes.append(f"""
+    SELECT node AS doc_id, degree, rank_int FROM r{it}
+    """)
+    return "".join(ctes)
+
+
+@register(
+    "dedup_pagerank_centrality",
+    _pagerank_oracle(),
+    doc="Iterative PageRank centrality over the near-dup pair graph in "
+    "EXACT integer arithmetic (integer-micros ranks, floor-division "
+    "contributions, rational damping) — every iteration replays "
+    "bit-identically in the oracle. Highest-rank nodes are the "
+    "best-connected duplicates: an alternative canonical-doc criterion "
+    "to quality argmax. Same slim equi-join + groupBy shape per round "
+    "as connected components; lineage checkpointed per iteration.",
+)
+def q_dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators import components as C
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_df_cap=_NGRAM_DF_CAP,
+    )
+    return C.pagerank_centrality(pairs.select("id_a", "id_b"))
