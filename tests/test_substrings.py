@@ -105,3 +105,26 @@ def test_fingerprint_density_near_expected(spark):
     expected = 2.0 * m / (WIN_W + 1)
     # winnowing density concentrates tightly around 2/(W+1)
     assert 0.5 * expected <= n <= 1.8 * expected
+
+
+def test_cut_removes_spans_and_preserves_clean_docs(spark):
+    import hashlib
+    import random
+
+    from worker_spark.operators.substrings import substring_dedup_cut
+
+    rng = random.Random(23)
+    shared = "this exact passage is repeated verbatim across two documents"
+    a = _rand_text(rng, 70) + shared + _rand_text(rng, 30)
+    b = _rand_text(rng, 15) + shared + _rand_text(rng, 55)
+    clean = "".join(rng.choice("0123456789") for _ in range(150))
+    df = _doc_df(spark, [(1, a), (2, b), (3, clean)])
+    got = {r["doc_id"]: r for r in substring_dedup_cut(df).collect()}
+    # duplicated docs lose at least the shared passage's span
+    for d, orig in ((1, a), (2, b)):
+        assert got[d]["orig_len"] == len(orig)
+        assert got[d]["cut_chars"] >= len(shared) - 2 * (WIN_K - 1)
+        assert got[d]["cleaned_len"] == len(orig) - got[d]["cut_chars"]
+    # the clean doc passes through bit-identically
+    assert got[3]["cut_chars"] == 0
+    assert got[3]["cleaned_md5"] == hashlib.md5(clean.encode()).hexdigest()

@@ -198,3 +198,58 @@ def substring_dedup_report(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_dedup_cut(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CUT the duplicated spans out of each document — the action the
+    coverage report gates. Spans are merged islands (non-overlapping,
+    sorted), so the cleaned text is the ordered concatenation of the
+    between-span segments: a single fold over the per-doc span array,
+    map-side after one groupBy(doc) of the span rows. Every document is
+    returned (docs with no duplicated spans pass through unchanged).
+
+    Output: (doc_id, orig_len, cleaned_len, cut_chars, cleaned_md5) —
+    the md5 pins the exact reconstruction cross-engine without hauling
+    full text through the comparator."""
+    spans = substring_dup_spans(docs, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.length(F.col(text_col)).cast("long").alias("orig_len"),
+    ).join(per_doc, "doc_id", "left")
+    t = F.col("_t")
+
+    def step(acc: Column, s: Column) -> Column:
+        seg = t.substr(
+            acc["pos"], F.greatest(s["span_start"] - acc["pos"], F.lit(0))
+        )
+        return F.struct(
+            F.concat(acc["out"], seg).alias("out"),
+            (s["span_end"] + 1).alias("pos"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("out"), F.lit(1).cast("long").alias("pos")
+    )
+    finish = lambda acc: F.concat(  # noqa: E731
+        acc["out"], t.substr(acc["pos"], F.greatest(F.col("orig_len"), F.lit(1)))
+    )
+    cleaned = F.when(
+        F.col("_spans").isNull(), t
+    ).otherwise(
+        F.aggregate("_spans", init, step, finish)
+    )
+    return base.select(
+        "doc_id",
+        "orig_len",
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        (F.col("orig_len") - F.length(cleaned)).cast("long").alias("cut_chars"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

@@ -63,7 +63,6 @@ _DRIVER_WINDOW = [
     "streaming_event_window_counts",
     "outbox_dedup_append",
     "reverse_invalidation",
-    "sync_outbox_tick",
     # changed (code or oracle) in round 3
     "pack_utilization",
     "doc_mixture_report",
@@ -96,6 +95,7 @@ _DRIVER_WINDOW = [
     "doc_weighted_sample",
     "streaming_dedup_keys",
     "dedup_pagerank_centrality",
+    "doc_substring_dedup_cut",
     # one representative per operator family (all green in r2)
     "article_search_documents",
     "search_documents_flat",
@@ -112,9 +112,9 @@ _DRIVER_WINDOW = [
     # dedup_simhash, sync_diff_classify, outbox_drain_cap, pii_redaction,
     # dedup_incremental, dedup_best_of_cluster, article_analysis,
     # dedup_minhash_lsh (its signature+banding pipeline runs in-window
-    # inside dedup_edit_distance), outbox_dashboard (green r1) — all
-    # green in r1 or r2, self-contained families, in-repo parity still
-    # runs them
+    # inside dedup_edit_distance), outbox_dashboard and sync_outbox_tick
+    # (green r1) — all green in r1 or r2, self-contained families,
+    # in-repo parity still runs them
 ]
 
 

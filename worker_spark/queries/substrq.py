@@ -117,3 +117,50 @@ def q_doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return S.substring_dedup_report(docs)
+
+
+@register(
+    "doc_substring_dedup_cut",
+    _SPAN_CTE
+    + """
+    , sp AS (
+        SELECT doc_id, span_start, span_end,
+               lag(span_end, 1, 0) OVER (PARTITION BY doc_id
+                                         ORDER BY span_start) AS prev_end
+        FROM spans
+    ),
+    segs AS (
+        SELECT s.doc_id, s.prev_end + 1 AS pos,
+               substr(d.text, CAST(s.prev_end + 1 AS INT),
+                      CAST(greatest(s.span_start - s.prev_end - 1, 0)
+                           AS INT)) AS seg
+        FROM sp s JOIN documents d USING (doc_id)
+        UNION ALL
+        SELECT m.doc_id, m.last_end + 1 AS pos,
+               substr(d.text, CAST(m.last_end + 1 AS INT)) AS seg
+        FROM (SELECT doc_id, max(span_end) AS last_end
+              FROM spans GROUP BY doc_id) m
+        JOIN documents d USING (doc_id)
+    ),
+    cleanedt AS (
+        SELECT doc_id, string_agg(seg, '' ORDER BY pos) AS cleaned
+        FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS orig_len,
+           CAST(length(coalesce(c.cleaned, d.text)) AS BIGINT)
+               AS cleaned_len,
+           CAST(length(d.text) - length(coalesce(c.cleaned, d.text))
+                AS BIGINT) AS cut_chars,
+           md5(coalesce(c.cleaned, d.text)) AS cleaned_md5
+    FROM documents d LEFT JOIN cleanedt c USING (doc_id)
+    """,
+    doc="Substring-dedup ACTION: cut every duplicated span and emit the "
+    "cleaned text's length + md5 (the md5 pins the exact reconstruction "
+    "cross-engine). Spans are merged non-overlapping islands, so the "
+    "cut is one ordered fold over the per-doc span array — map-side "
+    "after the span groupBy; untouched documents pass through.",
+)
+def q_doc_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.substring_dedup_cut(docs)
