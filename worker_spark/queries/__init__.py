@@ -59,7 +59,6 @@ _DRIVER_WINDOW = [
     # green in r1 but outside the r2 window
     "similarity_cosine_topk",
     "similarity_lsh_ann",
-    "dedup_embedding_blocked",
     "streaming_event_window_counts",
     "outbox_dedup_append",
     "reverse_invalidation",
@@ -96,6 +95,7 @@ _DRIVER_WINDOW = [
     "streaming_dedup_keys",
     "dedup_pagerank_centrality",
     "doc_substring_dedup_cut",
+    "documents_profile",
     # one representative per operator family (all green in r2)
     "article_search_documents",
     "search_documents_flat",
@@ -112,8 +112,9 @@ _DRIVER_WINDOW = [
     # dedup_simhash, sync_diff_classify, outbox_drain_cap, pii_redaction,
     # dedup_incremental, dedup_best_of_cluster, article_analysis,
     # dedup_minhash_lsh (its signature+banding pipeline runs in-window
-    # inside dedup_edit_distance), outbox_dashboard and sync_outbox_tick
-    # (green r1) — all green in r1 or r2, self-contained families,
+    # inside dedup_edit_distance), outbox_dashboard, sync_outbox_tick and
+    # dedup_embedding_blocked (green r1; the ANN family keeps nine other
+    # in-window rows) — all green in r1 or r2, self-contained families,
     # in-repo parity still runs them
 ]
 
@@ -128,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         domain,
         multimodalq,
         packq,
+        profileq,
         relational,
         retrievalq,
         sampleq,
