@@ -127,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedupq,
         docflat,
         domain,
+        embstatsq,
         multimodalq,
         packq,
         profileq,
