@@ -94,9 +94,14 @@ def bigram_collocations(
             "pair_n",
             "left_n",
             "right_n",
+            # cast each factor to double BEFORE multiplying: at the 100 TB
+            # corpus scale this module targets, n_total*pair_n as a BIGINT
+            # product overflows int64 (silent wrap non-ANSI, error under
+            # ANSI); double products round once but identically in both
+            # engines when the oracle mirrors the cast order
             F.round(
-                (F.col("n_total") * F.col("pair_n")).cast("double")
-                / (F.col("left_n") * F.col("right_n")).cast("double"),
+                (F.col("n_total").cast("double") * F.col("pair_n").cast("double"))
+                / (F.col("left_n").cast("double") * F.col("right_n").cast("double")),
                 6,
             ).alias("lift"),
         )

@@ -255,7 +255,12 @@ def weighted_priority_sample(
 
     Engine-exactness: w and h are exact integers, so q is one double
     division over exact inputs — bit-identical in both engines — and
-    ties break on the id. Deterministic (id-hashed), reproducible, and
+    ties break on the id. The divisor is ``h + 1`` (range [1, 2^32]):
+    the raw 32-bit hash prefix is 0 with p = 2^-32 per doc, and a zero
+    divisor diverges across engines (NULL-drop non-ANSI Spark, error
+    under ANSI, +inf in DuckDB); the +1 shift keeps the priority total
+    and bit-identical everywhere at no statistical cost.
+    Deterministic (id-hashed), reproducible, and
     mergeable at scale: top-k by priority is a partial-aggregatable
     TopK (each partition keeps its local k, the reducer keeps the
     global k) — no full sort at 100 TB.
@@ -274,7 +279,7 @@ def weighted_priority_sample(
         F.col(id_col).alias("doc_id"),
         w.alias("weight"),
         (
-            (w * F.lit(4294967296.0)) / h.cast("double")
+            (w * F.lit(4294967296.0)) / (h + F.lit(1)).cast("double")
         ).alias("_q"),
     )
     # orderBy + limit compiles to TakeOrderedAndProject: each partition

@@ -142,18 +142,36 @@ def kmv_distinct(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
     """Bottom-k (KMV) distinct estimate per group: keep the k smallest
     distinct 32-bit hashes; the k-th minimum h_k estimates distinct
     count as (k-1) * 2^32 / h_k. Groups with fewer than k distinct
-    values report their exact count (the sketch IS the full set)."""
-    from pyspark.sql import Window
+    values report their exact count (the sketch IS the full set).
 
+    Mergeable shape (matches the module's scale claim): a two-level
+    aggregation, never a per-group sort funnel. Level 1 reduces each
+    (group, input-partition) slice to its sorted bottom-k array — the
+    reduce work spreads over group x partition keys, so no single task
+    ever sees all of a group's distinct hashes. Level 2 merges the <= P
+    arrays of <= k values per group (union -> sort -> first k), the
+    textbook KMV merge. The result is partitioning-invariant, so the
+    oracle needs no mirror of the physical two-level shape."""
     h = md5_prefix32(F.col(value_col))
-    hashes = df.select(*group_cols, h.alias("hv")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("hv")
-    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KMV_K
+    local = (
+        df.select(*group_cols, h.alias("hv"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_cols, "_pid")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("hv")), 1, KMV_K).alias("_arr")
+        )
     )
-    agg = bottom.groupBy(*group_cols).agg(
-        F.max("hv").alias("hk"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    merged = local.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_arr")))),
+            1,
+            KMV_K,
+        ).alias("_arr")
+    )
+    agg = merged.select(
+        *group_cols,
+        F.element_at(F.col("_arr"), F.size("_arr")).alias("hk"),
+        F.size("_arr").cast("long").alias("n_kept"),
     )
     exact = df.groupBy(*group_cols).agg(
         F.countDistinct(value_col).alias("exact_distinct")

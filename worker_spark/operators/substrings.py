@@ -17,8 +17,8 @@ Spark-first shape (100 TB story):
 * Selection is ONE window-function pass over per-position K-gram rows.
   The rightmost-min-per-window rule needs an argmin with rightmost
   tie-break, which a plain frame min cannot express — so hash and
-  position are packed into a single BIGINT, ``v = h * 2^24 +
-  (2^24 - 1 - p)``: minimizing ``v`` minimizes the hash and, among
+  position are packed into a single BIGINT, ``v = h * 2^31 +
+  (2^31 - 1 - p)``: minimizing ``v`` minimizes the hash and, among
   ties, MAXIMIZES the position. One ``min() OVER (ROWS W-1 PRECEDING)``
   does the whole selection, in both engines.
 * The per-position explode multiplies rows by ~len(text); shuffling
@@ -55,9 +55,14 @@ WIN_K = 12  # K-gram length (chars)
 WIN_W = 16  # winnow window (in K-grams)
 # guarantee: every exact repeat of >= WIN_W + WIN_K - 1 = 27 chars is caught
 WIN_GAP = WIN_K + WIN_W  # island merge distance between fingerprint hits
-# position packing: supports documents up to 2^24 chars (16.7M); the packed
-# value h * 2^24 + (2^24-1-p) stays < 2^56, BIGINT- and ANSI-safe
-POS_SHIFT = 1 << 24
+# position packing: 31-bit position field. The packed value
+# h * 2^31 + (2^31-1-p) tops out at (2^32-1)*2^31 + (2^31-1) = 2^63-1 —
+# exactly the signed-BIGINT max, ANSI-safe in both engines. The bound is
+# structural, not assumed: a document would need >= 2^31 chars to overflow
+# the field, which exceeds the JVM string/array limit, so no text Spark can
+# hold corrupts the packing (the previous 24-bit field silently corrupted
+# fingerprints past 16.7M chars).
+POS_SHIFT = 1 << 31
 
 
 def _kgram_hash(text: Column, p: Column) -> Column:

@@ -39,8 +39,9 @@ _TOKS = """
     total AS (SELECT CAST(sum(tok_n) AS BIGINT) AS n_total FROM unigrams)
     SELECT b.left_tok, b.right_tok, b.pair_n,
            ul.tok_n AS left_n, ur.tok_n AS right_n,
-           round(CAST(t.n_total * b.pair_n AS DOUBLE)
-                 / CAST(ul.tok_n * ur.tok_n AS DOUBLE), 6) AS lift
+           round((CAST(t.n_total AS DOUBLE) * CAST(b.pair_n AS DOUBLE))
+                 / (CAST(ul.tok_n AS DOUBLE) * CAST(ur.tok_n AS DOUBLE)),
+                 6) AS lift
     FROM bigrams b
     JOIN unigrams ul ON ul.tok = b.left_tok
     JOIN unigrams ur ON ur.tok = b.right_tok

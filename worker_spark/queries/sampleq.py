@@ -177,8 +177,8 @@ def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS weight,
                CAST(length(text) AS BIGINT) * 4294967296.0
-                   / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                          AS BIGINT) AS q
+                   / (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1) AS q
         FROM documents
     )
     SELECT doc_id, weight, round(q, 4) AS priority
