@@ -39,13 +39,76 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# In-window: every query that has never had a green driver row, queries whose
-# code or oracle changed this round, then one representative per operator
-# family. Rotated past the window: redundant single-operator exercises
-# (TPC-H-style rows whose operators richer in-window queries already cover) —
-# those stay pinned by the in-repo DuckDB parity test, which runs ALL entries.
+# Round-4 rotation (VERDICT r3 item 1): (a) the 3 queries that have NEVER
+# had a driver row, (b) the 3 whose last green row was round 1, (c) every
+# query whose code or oracle changed in round 4, then (d) the 41 queries
+# last green in round 2, longest-stale first-in. Everything past position
+# 50 was driver-green in round 3 and unchanged since; the in-repo DuckDB
+# parity test (tests/test_oracle_parity.py) still replays ALL entries.
 _DRIVER_WINDOW = [
-    # never driver-verified before round 3
+    # (a) never driver-verified (landed after the r3 driver run)
+    "doc_cdc_duplicate_chunks",
+    "dedup_substring_spans",
+    "embedding_label_centroids",
+    # (b) last green in round 1
+    "dedup_embedding_blocked",
+    "sync_outbox_tick",
+    "outbox_dashboard",
+    # (c) code/oracle changed in round 4 (ADVICE fixes: priority-sample
+    # divisor guard, lift cast order, 31-bit winnowing position field,
+    # mergeable KMV bottom-k)
+    "doc_weighted_sample",
+    "token_bigram_collocations",
+    "kmv_distinct_users",
+    "doc_substring_dup_spans",
+    "doc_substring_dedup_report",
+    "doc_substring_dedup_cut",
+    # (d) last green in round 2, filling the window to 50
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "doc_token_stats",
+    "doc_quality_filter",
+    "doc_lang_id",
+    "doc_fingerprint_dupes",
+    "event_value_percentiles",
+    "doc_repetition_scores",
+    "doc_tfidf_topk",
+    "benchmark_contamination",
+    "pii_redaction",
+    "dedup_best_of_cluster",
+    "inline_ref_codes",
+    "article_analysis",
+    "multimodal_features",
+    "doc_sequence_pack",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "orders_with_returns",
+    "customers_without_orders",
+    "status_counts",
+    "global_cursors",
+    "orders_per_customer_list",
+    "event_journey",
+    "customer_any_return",
+    "outbox_drain_cap",
+    "top3_orders_per_segment",
+    "active_entity_keys",
+    "sync_diff_classify",
+    "key_roundtrip",
+    "positional_list_parse",
+    "recent_event_stats",
+    "code_first_id_wins",
+    "name_fallback_resolution",
+    "event_sessions",
+    "order_rollup",
+    "cheapest_supplier_per_part",
+    # ---- driver window boundary: only the FIRST 50 entries above get a
+    # driver row this round; the r2-stale tail that overflows position 50
+    # leads the next rotation. Entries below were green in round 3 and are
+    # unchanged; parity-test-pinned until their next rotation. ----
     "doc_quota_sample",
     "similarity_ivf_ann",
     "similarity_quantized_topk",
@@ -56,13 +119,11 @@ _DRIVER_WINDOW = [
     "url_build_redact",
     "event_asof_attribution",
     "event_range_join",
-    # green in r1 but outside the r2 window
     "similarity_cosine_topk",
     "similarity_lsh_ann",
     "streaming_event_window_counts",
     "outbox_dedup_append",
     "reverse_invalidation",
-    # changed (code or oracle) in round 3
     "pack_utilization",
     "doc_mixture_report",
     "doc_stratified_sample",
@@ -73,49 +134,25 @@ _DRIVER_WINDOW = [
     "similarity_pq_kmeans_topk",
     "doc_cdc_chunks",
     "dedup_translit_shingles",
-    # new in round 3 (late additions)
     "doc_gopher_rules",
     "doc_lm_score",
     "doc_split_assign",
     "doc_mixture_weights",
     "doc_cdc_chunks_clamped",
-    "doc_substring_dup_spans",
-    "doc_substring_dedup_report",
     "hll_distinct_users",
-    "kmv_distinct_users",
     "token_cms_heavy_hitters",
     "bpe_train_merges",
     "dedup_edit_distance",
-    "token_bigram_collocations",
     "inverted_index_postings",
     "bpe_encode_stats",
     "streaming_view_purchase_join",
     "similarity_opq_kmeans_topk",
-    "doc_weighted_sample",
     "streaming_dedup_keys",
     "dedup_pagerank_centrality",
-    "doc_substring_dedup_cut",
     "documents_profile",
-    # one representative per operator family (all green in r2)
     "article_search_documents",
     "search_documents_flat",
     "doc_build_scale",
-    # rotated out for the round-3 additions (all green in r2, families
-    # still represented in-window): event_sessions, doc_sequence_pack
-    # (pack_utilization covers packing), doc_token_stats,
-    # doc_quality_filter, doc_lang_id (doc_gopher_rules/doc_lm_score
-    # cover the text-quality family), dedup_exact (dedup_best_of_cluster
-    # exercises the same hash-groupBy), inline_ref_codes (inline_ref_parse
-    # in-window covers the same operator with byte offsets),
-    # dedup_ngram_jaccard (minhash/incremental cover banded shingle dedup),
-    # multimodal_features, benchmark_contamination, doc_tfidf_topk,
-    # dedup_simhash, sync_diff_classify, outbox_drain_cap, pii_redaction,
-    # dedup_incremental, dedup_best_of_cluster, article_analysis,
-    # dedup_minhash_lsh (its signature+banding pipeline runs in-window
-    # inside dedup_edit_distance), outbox_dashboard, sync_outbox_tick and
-    # dedup_embedding_blocked (green r1; the ANN family keeps nine other
-    # in-window rows) — all green in r1 or r2, self-contained families,
-    # in-repo parity still runs them
 ]
 
 
