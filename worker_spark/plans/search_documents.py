@@ -55,33 +55,14 @@ def _with_concepts(articles: DataFrame, concepts: DataFrame | None) -> DataFrame
 
 
 def extract_article_features(articles: DataFrame, concepts: DataFrame | None = None) -> DataFrame:
-    """Map-only extraction projections over (dictionary, id, data)."""
+    """Map-only extraction projections over (dictionary, id, data).
+
+    Uses the process-memoized shared-subtree column dict
+    (extraction.cached_feature_columns) — the per-call Python-side
+    construction of ~19 deep HOF trees was the flagship build's dominant
+    fixed overhead (VERDICT r3 item 4)."""
     out = _with_concepts(articles, concepts)
-    d = F.col("data")
-    c = F.col("concepts")
-    return out.withColumns(
-        {
-            "lemmas": X.lemmas_col(d),
-            "suggest": X.suggest_col(d),
-            "inflections": X.inflections_col(d),
-            "paradigm_tags": X.paradigm_tags_col(d),
-            "inflection_tags": X.inflection_tags_col(d),
-            "has_split_inf": X.has_split_inf_col(d),
-            "etymology_text": F.array_join(X.etymology_parts_col(d, c), " "),
-            "pronunciation_text": F.array_join(X.pronunciation_parts_col(d), " "),
-            "dialect_forms": X.dialect_form_parts_col(d),
-            "dialect_places": X.dialect_places_col(d),
-            "etymology_languages": X.etymology_languages_col(d),
-            "definition_text": F.array_join(X.definition_parts_col(d), " "),
-            "example_text": F.array_join(X.example_parts_col(d), " "),
-            "written_forms": X.written_forms_col(d),
-            "sub_article_lemmas": X.sub_article_lemmas_col(d),
-            "older_source_ids": X.older_source_bibl_ids_col(d),
-            "written_form_source_ids": X.written_form_bibl_ids_col(d),
-            "attestation_source_ids": X.attestation_bibl_ids_col(d),
-            "bibliography_ids": X.all_bibl_ids_col(d),
-        }
-    ).drop("concepts")
+    return out.withColumns(X.cached_feature_columns()).drop("concepts")
 
 
 def _cat_entries(cats: dict[str, Column]) -> Column:
@@ -151,12 +132,21 @@ def _category_lookup(
         .pivot("cat", list(cats.keys()))
         .agg(*[F.first(f"agg_{f}").alias(f"agg_{f}") for f in fields])
     )
-    # pivot names: "{cat}_agg_{field}" -> rename to requested output names
-    for cat in cats:
-        for f in fields:
-            src = f"{cat}_agg_{f}" if len(fields) > 1 else f"{cat}"
-            pivoted = pivoted.withColumnRenamed(src, out_names[(cat, f)])
-    return pivoted
+    # pivot names: "{cat}_agg_{field}" -> requested output names, in ONE
+    # select (a withColumnRenamed per column re-analyzes the whole plan —
+    # 16-25 analysis passes over a tree containing the giant extraction
+    # projection; part of VERDICT r3 item 4)
+    return pivoted.select(
+        "dictionary",
+        "id",
+        *[
+            F.col(f"{cat}_agg_{f}" if len(fields) > 1 else cat).alias(
+                out_names[(cat, f)]
+            )
+            for cat in cats
+            for f in fields
+        ],
+    )
 
 
 def article_bibliography_columns(articles_feat: DataFrame, bibliography: DataFrame) -> DataFrame:

@@ -63,6 +63,11 @@ _DRIVER_WINDOW = [
     "doc_substring_dup_spans",
     "doc_substring_dedup_report",
     "doc_substring_dedup_cut",
+    # (c cont.) extraction layer rebuilt as shared-subtree batched
+    # selects (analysis-overhead fix) — re-verify the flagship family
+    "search_documents_flat",
+    "article_search_documents",
+    "doc_build_scale",
     # (d) last green in round 2, filling the window to 50
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -83,12 +88,14 @@ _DRIVER_WINDOW = [
     "article_analysis",
     "multimodal_features",
     "doc_sequence_pack",
-    "pricing_summary",
+    # pricing_summary / status_counts / key_roundtrip displaced past the
+    # boundary by the flagship re-verification (their operators are covered
+    # in-window by outbox_dashboard and the relational family); they join
+    # the round-5 stale leads
     "top_revenue_orders",
     "revenue_by_nation",
     "orders_with_returns",
     "customers_without_orders",
-    "status_counts",
     "global_cursors",
     "orders_per_customer_list",
     "event_journey",
@@ -97,7 +104,6 @@ _DRIVER_WINDOW = [
     "top3_orders_per_segment",
     "active_entity_keys",
     "sync_diff_classify",
-    "key_roundtrip",
     "positional_list_parse",
     "recent_event_stats",
     "code_first_id_wins",
@@ -150,9 +156,11 @@ _DRIVER_WINDOW = [
     "streaming_dedup_keys",
     "dedup_pagerank_centrality",
     "documents_profile",
-    "article_search_documents",
-    "search_documents_flat",
-    "doc_build_scale",
+    # displaced from block (d) this round (last green r2; operators covered
+    # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "pricing_summary",
+    "status_counts",
+    "key_roundtrip",
 ]
 
 
