@@ -45,13 +45,59 @@ def test_pair_counts_weighted_by_frequency(spark):
 
 
 def test_train_merges_on_known_corpus(spark):
-    # "low" x30, "lower" x20: round 1 must merge (l, o) with count 50
+    # "low" x30, "lower" x20. Round-1 pair counts: (l,o)=50, (o,w)=50,
+    # (w,e)=20, (e,r)=20. Batched greedy disjoint selection in rank order:
+    # (l,o) kept; (o,w) skipped ('o' used); (e,r) kept; (w,e) skipped
+    # ('e' used). Round 2 over [lo,w] x30 / [lo,w,er] x20: (lo,w)=50
+    # kept, (w,er) skipped ('w' used).
     docs = _docs(spark, [(1, " ".join(["low"] * 30 + ["lower"] * 20))])
     merges = train_merges(docs, rounds=2)
-    assert merges[0] == (1, "l", "o", 50)
-    # after (l,o): sequences are [lo,w] x30 and [lo,w,e,r] x20 ->
-    # (lo,w)=50 wins round 2
-    assert merges[1] == (2, "lo", "w", 50)
+    assert merges == [
+        (1, 1, "l", "o", 50),
+        (1, 2, "e", "r", 20),
+        (2, 1, "lo", "w", 50),
+    ]
+
+
+def test_select_batch_greedy_disjoint():
+    from worker_spark.operators.bpe import select_batch
+
+    cands = [
+        ("a", "b", 100),  # kept
+        ("b", "c", 90),  # skipped: 'b' used
+        ("ab", "x", 80),  # skipped: merged output 'ab' used
+        ("c", "d", 70),  # kept
+        ("e", "cd", 60),  # skipped: 'cd' is a kept merged output
+        ("e", "f", 50),  # kept
+    ]
+    assert select_batch(cands, batch=16) == [
+        ("a", "b", 100),
+        ("c", "d", 70),
+        ("e", "f", 50),
+    ]
+    # the batch cap truncates in rank order
+    assert select_batch(cands, batch=2) == [
+        ("a", "b", 100),
+        ("c", "d", 70),
+    ]
+
+
+def test_apply_merges_batch_is_simultaneous(spark):
+    from worker_spark.operators.bpe import apply_merges
+
+    words = spark.createDataFrame(
+        [("abcd", 1), ("cdab", 1), ("abab", 1)],
+        schema="word: string, freq: bigint",
+    )
+    merged = {
+        r["word"]: r["syms"]
+        for r in apply_merges(
+            to_symbols(words), [("a", "b"), ("c", "d")]
+        ).collect()
+    }
+    assert merged["abcd"] == ["ab", "cd"]
+    assert merged["cdab"] == ["cd", "ab"]
+    assert merged["abab"] == ["ab", "ab"]
 
 
 def test_word_freqs_lowercases_and_skips_blank(spark):

@@ -1,4 +1,4 @@
-"""Distributed BPE tokenizer training (first merge rounds).
+"""Distributed BPE tokenizer training (batched merge rounds).
 
 Byte-pair encoding (Sennrich et al., ACL 2016) trains a tokenizer by
 repeatedly merging the most frequent adjacent symbol pair. The classic
@@ -13,18 +13,33 @@ Spark-first shape:
   the single corpus-proportional shuffle (vocab-bounded output).
 * pair counting per round: per-word adjacent pairs weighted by freq —
   map + groupBy over vocab rows.
-* the winning pair is a 1-row argmax collected to the driver (control
-  plane), then applied as a broadcast literal.
+* **batched rounds** (VERDICT r3 item 4): one merge per Spark job does
+  not survive a real 32k-merge vocabulary (32k chained jobs over an
+  ever-growing lineage). Each round instead collects the top
+  ``BPE_SCAN_CAP`` candidate pairs (a bounded TakeOrdered — control
+  plane), greedily selects up to ``BPE_BATCH`` mutually DISJOINT pairs
+  (no symbol of one selected pair may equal a symbol — or the merged
+  output — of another), and applies the whole batch in ONE fold pass.
+  Disjointness makes the simultaneous single-pass application
+  well-defined: a merge output can never feed another merge of the same
+  round, so the batch is order-independent and deterministic. A 32k
+  vocab becomes ~vocab/BPE_BATCH jobs, and ``localCheckpoint`` after
+  each round cuts the fold-over-fold lineage.
 * merge application is a greedy left-to-right fold over each word's
   symbol array (aggregate HOF with a (out, carry) struct state —
   map-only, no shuffle): carry the previous symbol; when (carry, s)
-  equals the merge pair emit the merged symbol and clear the carry.
+  equals a selected pair emit the merged symbol and clear the carry.
   Greedy non-overlapping left-to-right is the reference BPE semantics
   ("aaa" with merge (a,a) -> ["aa", "a"]).
 
-Determinism: ties in pair counts break on (count desc, left asc,
-right asc), so the learned merges — and therefore the whole oracle
-replay — are engine-exact.
+Batched BPE is the standard large-scale approximation of classical
+one-merge-at-a-time BPE (pair counts are refreshed between rounds, not
+between merges); the algorithm — ranking, disjoint selection, fold —
+is fully deterministic, so the DuckDB oracle replays it exactly.
+
+Determinism: candidates rank (count desc, left asc, right asc); the
+greedy scan visits them in that order, so the learned merges — and
+therefore the whole oracle replay — are engine-exact.
 
 No reference counterpart file — LLM-pipeline extension (SURVEY.md §2
 has token counting; this is the training side of that operator).
@@ -32,12 +47,12 @@ has token counting; this is the training side of that operator).
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BPE_ROUNDS = 3
+BPE_ROUNDS = 4  # batched rounds; up to BPE_ROUNDS * BPE_BATCH merges
+BPE_BATCH = 16  # max disjoint merges applied per round
+BPE_SCAN_CAP = 128  # ranked candidates scanned by the greedy selection
 
 
 def word_freqs(
@@ -89,31 +104,36 @@ def pair_counts(symbols: DataFrame) -> DataFrame:
     )
 
 
-def apply_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
-    """Greedy left-to-right non-overlapping merge of (left, right) into
-    one symbol — a fold over the symbol array, map-only."""
-    merged = F.lit(left + right)
-    l_lit, r_lit = F.lit(left), F.lit(right)
+def apply_merges(
+    symbols: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Greedy left-to-right non-overlapping SIMULTANEOUS application of a
+    batch of disjoint merge pairs — one fold over the symbol array,
+    map-only. Pairs must be mutually disjoint (select_batch guarantees
+    it); at most one pair can match a given (carry, s), so the chained
+    CASE is unambiguous."""
+    if not pairs:
+        return symbols
 
     def step(acc: Column, s: Column) -> Column:
         carry = acc["carry"]
-        return (
-            F.when(
-                carry.isNull(),
-                F.struct(acc["out"].alias("out"), s.alias("carry")),
-            )
-            .when(
-                (carry == l_lit) & (s == r_lit),
+        expr = F.when(
+            carry.isNull(), F.struct(acc["out"].alias("out"), s.alias("carry"))
+        )
+        for left, right in pairs:
+            expr = expr.when(
+                (carry == F.lit(left)) & (s == F.lit(right)),
                 F.struct(
-                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.concat(acc["out"], F.array(F.lit(left + right))).alias(
+                        "out"
+                    ),
                     F.lit(None).cast("string").alias("carry"),
                 ),
             )
-            .otherwise(
-                F.struct(
-                    F.concat(acc["out"], F.array(carry)).alias("out"),
-                    s.alias("carry"),
-                )
+        return expr.otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(carry)).alias("out"),
+                s.alias("carry"),
             )
         )
 
@@ -129,32 +149,76 @@ def apply_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def apply_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
+    """Single-pair merge (the classic BPE step) — batch of one."""
+    return apply_merges(symbols, [(left, right)])
+
+
+def select_batch(
+    candidates: list[tuple[str, str, int]], batch: int = BPE_BATCH
+) -> list[tuple[str, str, int]]:
+    """Greedy disjoint selection over rank-ordered candidates: walk the
+    (count desc, left, right) ranking, keep a pair iff none of
+    {left, right, left+right} collides with any symbol already used by a
+    kept pair (including kept pairs' merged outputs), stop at ``batch``.
+    Pure control-plane logic over the bounded collected candidate list;
+    mirrored exactly by the oracle's recursive scan CTE."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, n in candidates:
+        if len(out) >= batch:
+            break
+        if left in used or right in used or (left + right) in used:
+            continue
+        used.update((left, right, left + right))
+        out.append((left, right, n))
+    return out
+
+
 def train_merges(
-    docs: DataFrame, text_col: str = "text", rounds: int = BPE_ROUNDS
-) -> list[tuple[int, str, str, int]]:
-    """Run ``rounds`` BPE training rounds; returns [(round, left_sym,
-    right_sym, pair_count), ...] — each round's winning merge. The
-    argmax is a 1-row collect (control plane); ties break (count desc,
-    left asc, right asc) for cross-engine determinism."""
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+    batch: int = BPE_BATCH,
+    scan_cap: int = BPE_SCAN_CAP,
+) -> list[tuple[int, int, str, str, int]]:
+    """Run ``rounds`` batched BPE training rounds; returns
+    [(round, merge_rank, left_sym, right_sym, pair_count), ...] — up to
+    ``batch`` disjoint merges per round, ranked within the round by the
+    selection order. Per round, ONE bounded TakeOrdered job collects the
+    ``scan_cap`` top candidates (control plane); ``localCheckpoint``
+    (non-eager: it piggybacks on the next round's action) cuts the
+    fold-over-fold lineage so round count — not lineage depth — bounds
+    the plan. Pair counts reported are from the round's snapshot
+    (batched-BPE semantics)."""
     symbols = to_symbols(word_freqs(docs, text_col=text_col))
-    out: list[tuple[int, str, str, int]] = []
+    out: list[tuple[int, int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        top: Optional[tuple] = (
+        top = (
             pair_counts(symbols)
             .orderBy(
                 F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
             )
-            .limit(1)
+            .limit(scan_cap)
             .collect()
         )
-        if not top:
+        selected = select_batch(
+            [
+                (row["left_sym"], row["right_sym"], int(row["pair_count"]))
+                for row in top
+            ],
+            batch=batch,
+        )
+        if not selected:
             break
-        row = top[0]
-        out.append(
-            (r, row["left_sym"], row["right_sym"], int(row["pair_count"]))
+        out.extend(
+            (r, i + 1, left, right, n)
+            for i, (left, right, n) in enumerate(selected)
         )
         if r < rounds:
-            symbols = apply_merge(symbols, row["left_sym"], row["right_sym"])
+            symbols = apply_merges(
+                symbols, [(left, right) for left, right, _ in selected]
+            ).localCheckpoint(eager=False)
     return out
 
 
@@ -174,8 +238,13 @@ def encode_stats(
     emitted symbol; rises as merges take effect)."""
     merges = train_merges(docs, text_col=text_col, rounds=rounds)
     symbols = to_symbols(word_freqs(docs, text_col=text_col))
-    for _, left, right, _n in merges:
-        symbols = apply_merge(symbols, left, right)
+    by_round: dict[int, list[tuple[str, str]]] = {}
+    for rnd, _rank, left, right, _n in merges:
+        by_round.setdefault(rnd, []).append((left, right))
+    for rnd in sorted(by_round):
+        symbols = apply_merges(symbols, by_round[rnd]).localCheckpoint(
+            eager=False
+        )
     vocab = symbols.select(
         "word", F.size("syms").cast("long").alias("_n_sym")
     )

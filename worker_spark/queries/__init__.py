@@ -68,6 +68,10 @@ _DRIVER_WINDOW = [
     "search_documents_flat",
     "article_search_documents",
     "doc_build_scale",
+    # (c cont.) BPE training batched (disjoint merge batches per round,
+    # localCheckpoint lineage cuts) — both queries' code AND oracles changed
+    "bpe_train_merges",
+    "bpe_encode_stats",
     # (d) last green in round 2, filling the window to 50
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -97,8 +101,6 @@ _DRIVER_WINDOW = [
     "orders_with_returns",
     "customers_without_orders",
     "global_cursors",
-    "orders_per_customer_list",
-    "event_journey",
     "customer_any_return",
     "outbox_drain_cap",
     "top3_orders_per_segment",
@@ -147,10 +149,8 @@ _DRIVER_WINDOW = [
     "doc_cdc_chunks_clamped",
     "hll_distinct_users",
     "token_cms_heavy_hitters",
-    "bpe_train_merges",
     "dedup_edit_distance",
     "inverted_index_postings",
-    "bpe_encode_stats",
     "streaming_view_purchase_join",
     "similarity_opq_kmeans_topk",
     "streaming_dedup_keys",
@@ -158,6 +158,8 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "orders_per_customer_list",
+    "event_journey",
     "pricing_summary",
     "status_counts",
     "key_roundtrip",

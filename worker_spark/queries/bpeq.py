@@ -1,12 +1,16 @@
-"""BPE tokenizer-training query over ``documents``.
+"""BPE tokenizer-training queries over ``documents`` (batched rounds).
 
 Spark side: worker_spark.operators.bpe — one corpus groupBy builds the
-word-frequency table, then every merge round is vocab-bounded (pair
-count + 1-row argmax + greedy fold merge). Oracle side: the identical
-three rounds replayed in DuckDB — pair counting via UNNEST, the same
-(count desc, left asc, right asc) tie-break, and the greedy
-left-to-right merge fold replayed as a recursive CTE per word (the
-NOTES.md order-sensitive-ops-CAN-be-oracled technique).
+word-frequency table, then every merge round is vocab-bounded: pair
+count, a bounded TakeOrdered candidate collect, greedy DISJOINT batch
+selection (control plane), and one simultaneous fold merge per round.
+Oracle side: the identical rounds replayed in DuckDB — pair counting
+via UNNEST, the same (count desc, left asc, right asc) ranking, the
+greedy disjoint scan as a recursive CTE over the ranked candidates, and
+the batched left-to-right merge fold replayed as a recursive CTE per
+word with a LEFT JOIN against the round's selected-pair set (at most
+one pair can match a given (carry, next) because selected pairs are
+disjoint).
 """
 
 from __future__ import annotations
@@ -17,6 +21,8 @@ from worker_spark.operators import bpe as B
 from worker_spark.queries import register
 from worker_spark.sources import load_table
 
+_R, _BATCH, _CAP = B.BPE_ROUNDS, B.BPE_BATCH, B.BPE_SCAN_CAP
+
 _WORDS = """
     words AS (
         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -26,7 +32,7 @@ _WORDS = """
         ) WHERE length(word) >= 1
         GROUP BY word
     ),
-    syms0 AS (
+    syms0 AS MATERIALIZED (
         SELECT word, freq,
                list_transform(range(1, length(word) + 1),
                               i -> substr(word, CAST(i AS INT), 1)) AS syms
@@ -37,16 +43,59 @@ _WORDS = """
 
 def _pair_cte(n: int, src: str) -> str:
     return f"""
-    pc{n} AS (
+    pc{n} AS MATERIALIZED (
         SELECT syms[CAST(i AS INT)] AS left_sym,
                syms[CAST(i AS INT) + 1] AS right_sym,
                CAST(sum(freq) AS BIGINT) AS pair_count
         FROM {src}, UNNEST(range(1, len(syms))) t(i)
         GROUP BY 1, 2
+    )
+"""
+
+
+def _sel_cte(n: int) -> str:
+    """Ranked candidates -> recursive greedy disjoint scan -> the round's
+    selected merge batch. Mirrors bpe.select_batch exactly: visit
+    candidates in (count desc, left, right) order; keep a pair iff none
+    of {left, right, left||right} is already used by a kept pair; stop
+    at the batch size."""
+    selectable = (
+        f"(s.n_sel < {_BATCH}"
+        " AND NOT list_contains(s.used, c.left_sym)"
+        " AND NOT list_contains(s.used, c.right_sym)"
+        " AND NOT list_contains(s.used, c.left_sym || c.right_sym))"
+    )
+    return f"""
+    cand{n} AS MATERIALIZED (
+        SELECT left_sym, right_sym, pair_count,
+               CAST(row_number() OVER (
+                   ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+               ) AS BIGINT) AS rk
+        FROM pc{n}
+        ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+        LIMIT {_CAP}
     ),
-    m{n} AS (
-        SELECT left_sym, right_sym, pair_count FROM pc{n}
-        ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
+    scan{n} AS (
+        SELECT CAST(0 AS BIGINT) AS rk, CAST([] AS VARCHAR[]) AS used,
+               CAST(NULL AS VARCHAR) AS left_sym,
+               CAST(NULL AS VARCHAR) AS right_sym,
+               CAST(NULL AS BIGINT) AS pair_count,
+               CAST(0 AS BIGINT) AS n_sel
+        UNION ALL
+        SELECT c.rk,
+               CASE WHEN {selectable}
+                    THEN list_concat(s.used, [c.left_sym, c.right_sym,
+                                              c.left_sym || c.right_sym])
+                    ELSE s.used END,
+               CASE WHEN {selectable} THEN c.left_sym END,
+               CASE WHEN {selectable} THEN c.right_sym END,
+               CASE WHEN {selectable} THEN c.pair_count END,
+               s.n_sel + CASE WHEN {selectable} THEN 1 ELSE 0 END
+        FROM scan{n} s JOIN cand{n} c ON c.rk = s.rk + 1
+    ),
+    sel{n} AS MATERIALIZED (
+        SELECT left_sym, right_sym, pair_count, n_sel AS merge_rank
+        FROM scan{n} WHERE left_sym IS NOT NULL
     )
 """
 
@@ -60,17 +109,17 @@ def _merge_cte(n: int, src: str) -> str:
         UNION ALL
         SELECT w.word, w.freq, w.syms, w.i + 1,
                CASE WHEN w.carry IS NULL THEN w.syms[w.i + 1]
-                    WHEN w.carry = m.left_sym
-                         AND w.syms[w.i + 1] = m.right_sym THEN NULL
+                    WHEN m.left_sym IS NOT NULL THEN NULL
                     ELSE w.syms[w.i + 1] END,
                CASE WHEN w.carry IS NULL THEN w.out
-                    WHEN w.carry = m.left_sym
-                         AND w.syms[w.i + 1] = m.right_sym
+                    WHEN m.left_sym IS NOT NULL
                         THEN list_append(w.out, m.left_sym || m.right_sym)
                     ELSE list_append(w.out, w.carry) END
-        FROM walk{n} w, m{n} m WHERE w.i < len(w.syms)
+        FROM walk{n} w LEFT JOIN sel{n} m
+          ON m.left_sym = w.carry AND m.right_sym = w.syms[w.i + 1]
+        WHERE w.i < len(w.syms)
     ),
-    syms{n} AS (
+    syms{n} AS MATERIALIZED (
         SELECT word, freq,
                CASE WHEN carry IS NULL THEN out
                     ELSE list_append(out, carry) END AS syms
@@ -79,68 +128,68 @@ def _merge_cte(n: int, src: str) -> str:
 """
 
 
+def _train_ctes(rounds: int) -> str:
+    parts = [_WORDS]
+    for n in range(1, rounds + 1):
+        parts.append(_pair_cte(n, f"syms{n - 1}"))
+        parts.append(_sel_cte(n))
+        if n < rounds:
+            parts.append(_merge_cte(n, f"syms{n - 1}"))
+    return ",".join(parts)
+
+
 _BPE_SQL = (
     "WITH RECURSIVE "
-    + _WORDS
-    + ","
-    + _pair_cte(1, "syms0")
-    + ","
-    + _merge_cte(1, "syms0")
-    + ","
-    + _pair_cte(2, "syms1")
-    + ","
-    + _merge_cte(2, "syms1")
-    + ","
-    + _pair_cte(3, "syms2")
-    + """
-    SELECT CAST(1 AS INT) AS round, left_sym, right_sym, pair_count FROM m1
-    UNION ALL
-    SELECT CAST(2 AS INT), left_sym, right_sym, pair_count FROM m2
-    UNION ALL
-    SELECT CAST(3 AS INT), left_sym, right_sym, pair_count FROM m3
-    """
+    + _train_ctes(_R)
+    + "\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({n} AS INT) AS round, CAST(merge_rank AS INT) AS merge_rank,
+           left_sym, right_sym, pair_count
+    FROM sel{n}"""
+        for n in range(1, _R + 1)
+    )
 )
 
 
 @register(
     "bpe_train_merges",
     _BPE_SQL,
-    doc="Distributed BPE tokenizer training, first 3 merge rounds "
-    "(Sennrich'16): ONE corpus groupBy builds the word-frequency table, "
-    "then each round is vocab-bounded (adjacent-pair count weighted by "
-    "word freq, deterministic argmax, greedy left-to-right fold merge "
-    "as a map-only aggregate HOF). Oracle replays the fold as a "
-    "recursive CTE; ties break (count desc, left, right) so the learned "
-    "merges are engine-exact.",
+    doc=f"Distributed BPE tokenizer training, {_R} BATCHED merge rounds "
+    f"(Sennrich'16; up to {_BATCH} disjoint merges per round, "
+    f"{_R * _BATCH} total): ONE corpus groupBy builds the word-frequency "
+    "table, then each round is vocab-bounded (adjacent-pair count "
+    f"weighted by word freq, a {_CAP}-candidate TakeOrdered, greedy "
+    "disjoint batch selection, one simultaneous fold merge applied "
+    "map-only, localCheckpoint lineage cut). Batching bounds a 32k-merge "
+    "vocabulary at ~vocab/batch Spark jobs instead of one job per merge. "
+    "Oracle replays ranking, the greedy disjoint scan, and the batched "
+    "fold as recursive CTEs; everything deterministic, engine-exact.",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.train_merges(docs, rounds=3)
+    merges = B.train_merges(docs)
     return spark.createDataFrame(
         merges,
-        schema="round: int, left_sym: string, right_sym: string, "
-        "pair_count: bigint",
+        schema="round: int, merge_rank: int, left_sym: string, "
+        "right_sym: string, pair_count: bigint",
     )
+
+
+def _encode_ctes(rounds: int) -> str:
+    parts = [_WORDS]
+    for n in range(1, rounds + 1):
+        parts.append(_pair_cte(n, f"syms{n - 1}"))
+        parts.append(_sel_cte(n))
+        parts.append(_merge_cte(n, f"syms{n - 1}"))
+    return ",".join(parts)
 
 
 _ENCODE_SQL = (
     "WITH RECURSIVE "
-    + _WORDS
-    + ","
-    + _pair_cte(1, "syms0")
-    + ","
-    + _merge_cte(1, "syms0")
-    + ","
-    + _pair_cte(2, "syms1")
-    + ","
-    + _merge_cte(2, "syms1")
-    + ","
-    + _pair_cte(3, "syms2")
-    + ","
-    + _merge_cte(3, "syms2")
-    + """,
+    + _encode_ctes(_R)
+    + f""",
     vocab AS (
-        SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM syms3
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM syms{_R}
     ),
     doc_words AS (
         SELECT doc_id, word FROM (
@@ -166,11 +215,11 @@ _ENCODE_SQL = (
 @register(
     "bpe_encode_stats",
     _ENCODE_SQL,
-    doc="BPE ENCODE side: apply the 3 learned merges once per DISTINCT "
-    "word (vocab-bounded fold), join the symbol counts back onto per-doc "
-    "word occurrences, report chars/words/tokens and the compression "
-    "ratio per document. Oracle re-derives the merges and replays all "
-    "three folds as recursive CTEs.",
+    doc=f"BPE ENCODE side: apply the {_R} learned merge BATCHES once per "
+    "DISTINCT word (vocab-bounded folds), join the symbol counts back "
+    "onto per-doc word occurrences, report chars/words/tokens and the "
+    "compression ratio per document. Oracle re-derives the batches and "
+    "replays every fold as recursive CTEs.",
 )
 def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
