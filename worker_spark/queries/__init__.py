@@ -72,10 +72,11 @@ _DRIVER_WINDOW = [
     # localCheckpoint lineage cuts) — both queries' code AND oracles changed
     "bpe_train_merges",
     "bpe_encode_stats",
+    # (c cont.) edit-distance verify gained the prefix cap + thresholded DP
+    "dedup_edit_distance",
     # (d) last green in round 2, filling the window to 50
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
     "doc_token_stats",
@@ -149,7 +150,6 @@ _DRIVER_WINDOW = [
     "doc_cdc_chunks_clamped",
     "hll_distinct_users",
     "token_cms_heavy_hitters",
-    "dedup_edit_distance",
     "inverted_index_postings",
     "streaming_view_purchase_join",
     "similarity_opq_kmeans_topk",
@@ -158,6 +158,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "dedup_minhash_lsh",
     "orders_per_customer_list",
     "event_journey",
     "pricing_summary",

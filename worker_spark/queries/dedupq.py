@@ -498,19 +498,30 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_cands_cte()
     + f"""
     SELECT c.id_a, c.id_b,
-           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
-           round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                 / greatest(length(da.text), length(db.text)), 6)
-               AS rel_distance
+           CAST(levenshtein(substr(da.text, 1, {D.EDIT_VERIFY_MAX_CHARS}),
+                            substr(db.text, 1, {D.EDIT_VERIFY_MAX_CHARS}))
+                AS BIGINT) AS edit_distance,
+           round(CAST(levenshtein(substr(da.text, 1, {D.EDIT_VERIFY_MAX_CHARS}),
+                                  substr(db.text, 1, {D.EDIT_VERIFY_MAX_CHARS}))
+                      AS DOUBLE)
+                 / greatest(length(substr(da.text, 1, {D.EDIT_VERIFY_MAX_CHARS})),
+                            length(substr(db.text, 1, {D.EDIT_VERIFY_MAX_CHARS}))),
+                 6) AS rel_distance
     FROM cands c
     JOIN documents da ON da.doc_id = c.id_a
     JOIN documents db ON db.doc_id = c.id_b
-    WHERE levenshtein(da.text, db.text) * 100
-          <= {D.EDIT_MAX_REL_PCT} * greatest(length(da.text), length(db.text))
+    WHERE levenshtein(substr(da.text, 1, {D.EDIT_VERIFY_MAX_CHARS}),
+                      substr(db.text, 1, {D.EDIT_VERIFY_MAX_CHARS})) * 100
+          <= {D.EDIT_MAX_REL_PCT}
+             * greatest(length(substr(da.text, 1, {D.EDIT_VERIFY_MAX_CHARS})),
+                        length(substr(db.text, 1, {D.EDIT_VERIFY_MAX_CHARS})))
     """,
     doc=f"Fuzzy dedup with an edit-distance verify: MinHash/LSH banded "
-    "candidates (equi-join, no pair blowup), exact levenshtein kept at "
-    f"<= {D.EDIT_MAX_REL_PCT}% of the longer text. Sequence-aware "
+    "candidates (equi-join, no pair blowup), levenshtein kept at "
+    f"<= {D.EDIT_MAX_REL_PCT}% of the longer text. Per-pair cost is "
+    f"bounded: texts prefix-truncate to {D.EDIT_VERIFY_MAX_CHARS} chars "
+    "and the Spark DP is threshold-banded (cannot change the kept set — "
+    "the global threshold dominates every per-pair cut). Sequence-aware "
     "verification that penalizes reordering Jaccard forgives; integer "
     "distance + integer keep predicate = bit-identical across engines.",
 )
