@@ -152,6 +152,46 @@ def test_sweep_determinism_under_repartitioning(spark):
     assert 100 not in batches[0]  # later-stamped row sorts after the tied block
 
 
+def test_sweep_determinism_bibl_place_200_caps(spark):
+    """O2/T4 for the dimension sweeps: the reference takes unordered
+    LIMIT 200 batches over bibliography and places
+    (src/outbox.rs:329-345); the repo's deterministic ordering must make
+    those 200-row paths replayable too. Dimension tables have no
+    dictionary column and heavy timestamp ties — the id tie-break alone
+    must pin the batch."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from worker_spark.plans.outbox import stale_pending
+
+    old = datetime.datetime(2020, 1, 1)
+    # 350 stale rows: 300 tied on one timestamp, 50 slightly earlier (the
+    # earlier block must be selected in full, ahead of every tied row)
+    rows = [
+        (i, "pending_fetch", old - datetime.timedelta(seconds=1))
+        for i in range(1000, 1050)
+    ] + [(i, "pending_fetch", old) for i in range(300)]
+    base = spark.createDataFrame(
+        rows, schema="id: bigint, sync_status: string, status_changed_at: timestamp"
+    )
+    batches = []
+    for n_parts, seed in [(1, 0), (13, 1), (32, 2)]:
+        shuffled = base.repartition(
+            n_parts, F.pmod(F.col("id") * (seed + 7), F.lit(n_parts))
+        )
+        got = [
+            r["id"]
+            for r in stale_pending(shuffled, "pending_fetch", limit=200).collect()
+        ]
+        batches.append(got)
+    assert all(b == batches[0] for b in batches)
+    assert len(batches[0]) == 200
+    # earlier-stamped block first (all 50), then the 150 smallest tied ids
+    assert batches[0][:50] == list(range(1000, 1050))
+    assert batches[0][50:] == list(range(150))
+
+
 @given(
     st.lists(st.integers(0, 500), max_size=200),
     st.integers(1, 300),
