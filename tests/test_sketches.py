@@ -77,3 +77,63 @@ def test_cms_never_underestimates_and_grid_is_bounded(spark):
         assert r["cms_estimate"] >= r["true_count"]
         assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
     assert cms_cells(toks, "token").count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_bloom_no_false_negatives_and_mergeable_shape(spark):
+    from worker_spark.operators.sketches import (
+        BLOOM_WORDS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(300)], schema="id: bigint, k: string"
+    )
+    bloom = bloom_build(corpus, "k")
+    rows = bloom.collect()
+    assert len(rows) <= BLOOM_WORDS  # sparse word rows, bounded
+    assert all(r["bits"] > 0 for r in rows)
+
+    probes = spark.createDataFrame(
+        [(f"m{i}", "member", f"key-{i}") for i in range(0, 300, 7)]
+        + [(f"a{i}", "absent", f"nope-{i}") for i in range(50)],
+        schema="probe_id: string, kind: string, k: string",
+    )
+    got = {
+        r["probe_id"]: r["maybe_member"]
+        for r in bloom_probe(probes, bloom, "k", ["probe_id", "kind"]).collect()
+    }
+    # THE bloom invariant: a member can never probe false
+    assert all(got[f"m{i}"] for i in range(0, 300, 7))
+    # absent probes are mostly false (false positives allowed, bounded)
+    fp = sum(1 for i in range(50) if got[f"a{i}"])
+    assert fp < 15
+
+
+def test_bloom_merge_is_bitwise_or(spark):
+    """Two half-corpus filters OR-merged equal the full-corpus filter —
+    the property that makes the sketch usable incrementally."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.sketches import bloom_build
+
+    half_a = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(0, 150)], schema="id: bigint, k: string"
+    )
+    half_b = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(150, 300)],
+        schema="id: bigint, k: string",
+    )
+    full = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(300)], schema="id: bigint, k: string"
+    )
+    merged = {
+        r["word"]: r["bits"]
+        for r in bloom_build(half_a, "k")
+        .unionByName(bloom_build(half_b, "k"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    direct = {r["word"]: r["bits"] for r in bloom_build(full, "k").collect()}
+    assert merged == direct

@@ -1,0 +1,122 @@
+"""Importance-weighted data selection (DSIR-style).
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023 —
+public method) picks pretraining documents from a RAW pool that look
+like a small TARGET distribution: fit cheap hashed-n-gram bag models to
+both, score every raw document by its importance log-weight
+
+    log w(doc) = sum_f cnt_f * (ln p_target(f) - ln p_raw(f))
+
+and keep the top-weighted documents. This module is the distributable
+core with char-bigram features (the same features the LM-scoring filter
+uses — worker_spark.operators.text.doc_bigram_counts):
+
+* per-doc feature counts are map-side run-length sums — the only
+  exploded rows are DISTINCT bigrams per doc, bounded by |alphabet|^2;
+* BOTH models are groupBys onto <= |alphabet|^2 keys, broadcast back —
+  no shuffle ever carries full text, and the scoring join is map-only;
+* add-one smoothing over the RAW vocabulary keeps every target
+  probability finite: p_X(f) = (c_X(f) + 1) / (T_X + |V|);
+* each ln(p) is quantized to integer MICROS before the subtraction, so
+  the per-document weight is an exact integer sum — deterministic under
+  any partitioning and bit-identical to the DuckDB oracle (the same
+  LM_MICRO trick as text.bigram_lm_scores);
+* the top-k selection is orderBy+limit — a distributed TakeOrdered
+  (per-partition local top-k, merged on the driver), never a global
+  sort, with doc_id as the deterministic tie-break.
+
+No reference counterpart file — LLM-pipeline extension (SURVEY.md §2
+text family; selection complements the dedup/quality operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from worker_spark.operators.text import LM_MICRO, doc_bigram_counts
+
+DSIR_TOP_K = 100
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights against the subset of
+    ``docs`` matching ``target_pred``. Output: (doc_id, is_target,
+    n_bigrams, logw, avg_logratio) where ``logw`` is the total
+    importance log-weight (nats, 6dp) and ``avg_logratio`` its per-
+    bigram mean."""
+    flagged = docs.withColumn("_is_target", target_pred)
+    per_doc = doc_bigram_counts(flagged, text_col=text_col).cache()
+    targets = flagged.select("doc_id", "_is_target")
+    raw_model = per_doc.groupBy("bigram").agg(F.sum("cnt").alias("c_raw"))
+    tgt_model = (
+        per_doc.join(targets, "doc_id")
+        .filter(F.col("_is_target"))
+        .groupBy("bigram")
+        .agg(F.sum("cnt").alias("c_tgt"))
+    )
+    # one broadcast row of scalars: raw total, target total, vocab size
+    totals = raw_model.agg(
+        F.sum("c_raw").alias("t_raw"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        F.broadcast(tgt_model.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt")))
+    )
+    model = (
+        raw_model.join(tgt_model, "bigram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tgt") + F.col("v")).cast("double")
+                    )
+                    * LM_MICRO
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (F.col("c_raw") + 1).cast("double")
+                        / (F.col("t_raw") + F.col("v")).cast("double")
+                    )
+                    * LM_MICRO
+                ).cast("long")
+            ).alias("lr_micro"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).alias("_w_micro"),
+        )
+        .join(targets, "doc_id")
+        .select(
+            "doc_id",
+            F.col("_is_target").alias("is_target"),
+            "n_bigrams",
+            F.round(
+                F.col("_w_micro").cast("double") / F.lit(float(LM_MICRO)), 6
+            ).alias("logw"),
+            F.round(
+                F.col("_w_micro").cast("double")
+                / (F.lit(float(LM_MICRO)) * F.col("n_bigrams").cast("double")),
+                6,
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+def select_top_k(
+    weights: DataFrame, k: int = DSIR_TOP_K
+) -> DataFrame:
+    """The DSIR selection: top-k documents by importance log-weight,
+    deterministic doc_id tie-break. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition local top-k merged on the
+    driver, never a global sort."""
+    return weights.orderBy(F.desc("logw"), F.asc("doc_id")).limit(k)

@@ -196,6 +196,88 @@ def kmv_distinct(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
     )
 
 
+BLOOM_WORDS = 64  # filter size: 64 words x 62 usable bits = 3968 bits
+BLOOM_BITS_PER_WORD = 62  # keep set bits in [0, 61]: 2^bit stays positive
+BLOOM_K = 4  # hash functions per key
+
+
+def _bloom_positions(value: Column) -> Column:
+    """The K bit positions of a key as an array of (word, bit) structs:
+    seeded md5-prefix hashes modulo the filter size. Identical in DuckDB
+    via the same string concat + md5-prefix + modulo chain."""
+    m = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda s: F.struct(
+            (md5_prefix32(F.concat_ws(":", s, value)) % m)
+            .cast("long")
+            .alias("bitpos")
+        ),
+    )
+
+
+def bloom_build(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
+    """Bloom filter (Bloom, CACM 1970) per group as sparse word rows:
+    (group..., word, bits) with ``bits`` the BIGINT OR of 2^bit for every
+    key bit landing in that word.
+
+    Mergeable shape: bit_or is partial-aggregatable (map-side combine),
+    so the shuffle carries at most BLOOM_WORDS rows per partition per
+    group no matter the corpus size — the membership pre-filter that
+    makes incremental dedup affordable at 100 TB (probe the tiny filter
+    first; only probable members pay the exact anti-join)."""
+    placed = df.select(
+        *group_cols,
+        F.explode(_bloom_positions(F.col(value_col))).alias("p"),
+    ).select(
+        *group_cols,
+        F.expr(f"p.bitpos div {BLOOM_BITS_PER_WORD}").alias("word"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            f"cast(p.bitpos % {BLOOM_BITS_PER_WORD} as int))"
+        ).alias("bit"),
+    )
+    return placed.groupBy(*group_cols, "word").agg(
+        F.bit_or("bit").alias("bits")
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bloom: DataFrame, value_col: str, id_cols: list[str]
+) -> DataFrame:
+    """Probe keys against a built filter: a key is a probable member iff
+    ALL K of its bits are set. The filter is broadcast (it is at most
+    BLOOM_WORDS rows); the probe side never shuffles — map-only at any
+    probe volume. Output: probe id columns + ``maybe_member``.
+
+    No false negatives (a member's bits are all set by construction);
+    false-positive rate ~ (1 - e^(-K*n/m))^K, auditable against exact
+    membership downstream."""
+    pos = (
+        probes.select(
+            *id_cols, F.explode(_bloom_positions(F.col(value_col))).alias("p")
+        )
+        .select(
+            *id_cols,
+            F.expr(f"p.bitpos div {BLOOM_BITS_PER_WORD}").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), "
+                f"cast(p.bitpos % {BLOOM_BITS_PER_WORD} as int))"
+            ).alias("bit"),
+        )
+    )
+    hit = pos.join(F.broadcast(bloom), "word", "left").select(
+        *id_cols,
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+            != 0
+        ).alias("_hit"),
+    )
+    return hit.groupBy(*id_cols).agg(
+        F.min("_hit").alias("maybe_member")  # AND over the K probes
+    )
+
+
 def cms_cells(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """Count-Min grid over a token column: (row, col, cell_count) for
     d x w cells. Each token lands in one column per row via seeded

@@ -408,29 +408,15 @@ def with_gopher_rules(
 LM_MICRO = 1_000_000
 
 
-def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Character-bigram language-model score per document — the classic
-    KenLM-style perplexity filter reduced to its distributable core: train
-    bigram statistics ON the corpus itself (one bounded groupBy), then
-    score every document by its average bigram log-probability. Gibberish,
-    base64 blobs, and wrong-language text sit far below the corpus norm;
-    thresholding avg_logp is the perplexity filter of CCNet/RefinedWeb
-    (public pipelines; LLM-pipeline extension, no reference counterpart).
+def doc_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-bigram counts, (doc_id, bigram, cnt) — the
+    shared feature extraction for LM scoring and importance-weight data
+    selection.
 
-    Scale shape (100 TB):
-    * Per-document bigram COUNTS are derived map-side as run lengths of
-      the sorted bigram array (aggregate HOF — no per-character explode);
-      the only exploded rows are DISTINCT bigrams per doc, bounded by
-      |alphabet|^2 regardless of document length.
-    * The model is a groupBy over those rows onto <= |alphabet|^2 keys —
-      a tiny aggregate that is then BROADCAST back; the grand total rides
-      along as a broadcast 1-row aggregate. No shuffle touches full text.
-    * Per-bigram ln(p) is quantized to integer micros, so the per-doc
-      score is an exact integer sum: deterministic under any partitioning
-      or aggregation order, and oracle-checkable bit-for-bit.
-
-    Output: (doc_id, n_bigrams, avg_logp) with avg_logp rounded 6dp.
-    """
+    Scale shape (100 TB): counts are derived map-side as run lengths of
+    the sorted bigram array (aggregate HOF — no per-character explode);
+    the only exploded rows are DISTINCT bigrams per doc, bounded by
+    |alphabet|^2 regardless of document length."""
     cs = F.split(F.lower(F.col(text_col)), "")
     base = (
         docs.filter(F.length(F.col(text_col)) >= 2)
@@ -481,12 +467,33 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.array_append(acc["acc"], pair(acc))
         ),
     )
-    per_doc = (
+    return (
         base.withColumn("_rle", rle)
         .select("doc_id", F.explode("_rle").alias("p"))
         .select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.cnt").alias("cnt"))
     )
-    per_doc = per_doc.cache()
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-bigram language-model score per document — the classic
+    KenLM-style perplexity filter reduced to its distributable core: train
+    bigram statistics ON the corpus itself (one bounded groupBy), then
+    score every document by its average bigram log-probability. Gibberish,
+    base64 blobs, and wrong-language text sit far below the corpus norm;
+    thresholding avg_logp is the perplexity filter of CCNet/RefinedWeb
+    (public pipelines; LLM-pipeline extension, no reference counterpart).
+
+    Scale shape (100 TB): per-doc features via doc_bigram_counts (map-
+    side RLE, explode bounded by |alphabet|^2 per doc); the model is a
+    groupBy onto <= |alphabet|^2 keys, BROADCAST back; the grand total
+    rides along as a broadcast 1-row aggregate. No shuffle touches full
+    text. Per-bigram ln(p) is quantized to integer micros, so the
+    per-doc score is an exact integer sum: deterministic under any
+    partitioning or aggregation order, and oracle-checkable bit-for-bit.
+
+    Output: (doc_id, n_bigrams, avg_logp) with avg_logp rounded 6dp.
+    """
+    per_doc = doc_bigram_counts(docs, text_col=text_col).cache()
     model = per_doc.groupBy("bigram").agg(F.sum("cnt").alias("c"))
     total = model.agg(F.sum("c").alias("t"))
     logp = (

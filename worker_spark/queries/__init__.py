@@ -50,6 +50,8 @@ _DRIVER_WINDOW = [
     "doc_cdc_duplicate_chunks",
     "dedup_substring_spans",
     "embedding_label_centroids",
+    # (a cont.) new in round 4
+    "bloom_membership_audit",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -110,7 +112,6 @@ _DRIVER_WINDOW = [
     "positional_list_parse",
     "recent_event_stats",
     "code_first_id_wins",
-    "name_fallback_resolution",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -158,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "name_fallback_resolution",
     "dedup_minhash_lsh",
     "orders_per_customer_list",
     "event_journey",

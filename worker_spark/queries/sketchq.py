@@ -173,3 +173,85 @@ def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     ).filter(F.length("token") > 0)
     return K.cms_heavy_hitters(toks, "token", top_n=20)
+
+
+_BW, _BPW, _BK = K.BLOOM_WORDS, K.BLOOM_BITS_PER_WORD, K.BLOOM_K
+_BM = _BW * _BPW
+_BSEEDS = "[" + ",".join(str(s) for s in range(_BK)) + "]"
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """Seeded md5-prefix bit position of ``key_expr`` for seed column s —
+    identical to sketches._bloom_positions."""
+    return (
+        "(CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || "
+        f"{key_expr}), 1, 8)) AS BIGINT) % {_BM})"
+    )
+
+
+@register(
+    "bloom_membership_audit",
+    f"""
+    WITH cpos AS (
+        SELECT {_bloom_pos_sql("text")} AS bitpos
+        FROM documents, UNNEST({_BSEEDS}) t(s)
+    ),
+    bloom AS (
+        SELECT bitpos // {_BPW} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bitpos % {_BPW} AS INT))
+                   AS bits
+        FROM cpos GROUP BY 1
+    ),
+    probes AS (
+        SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS probe_id,
+               'member' AS kind, text AS key
+        FROM documents
+        UNION ALL
+        SELECT 'absent:' || CAST(i AS VARCHAR), 'absent',
+               'absent:' || CAST(i AS VARCHAR)
+        FROM range(200) t(i)
+    ),
+    ppos AS (
+        SELECT probe_id, kind,
+               {_bloom_pos_sql("key")} AS bitpos
+        FROM probes, UNNEST({_BSEEDS}) t(s)
+    ),
+    hits AS (
+        SELECT p.probe_id, p.kind,
+               (coalesce(b.bits, 0)
+                & (CAST(1 AS BIGINT) << CAST(p.bitpos % {_BPW} AS INT)))
+                   <> 0 AS hit
+        FROM ppos p LEFT JOIN bloom b ON b.word = p.bitpos // {_BPW}
+    )
+    SELECT probe_id, kind, bool_and(hit) AS maybe_member
+    FROM hits GROUP BY probe_id, kind
+    """,
+    doc=f"Bloom filter (Bloom, CACM 1970; {_BW}x{_BPW}-bit words, "
+    f"k={_BK} seeded md5 hashes) built over document texts with a "
+    "bit_or aggregation (map-side combinable — the shuffle carries at "
+    "most the word count per partition), then audited: every member "
+    "probe must hit (no false negatives by construction) and 200 absent "
+    "probes measure the deterministic false-positive set. The membership "
+    "pre-filter that makes incremental dedup affordable at corpus scale "
+    "— probe the tiny broadcast filter first, pay the exact anti-join "
+    "only for probable members.",
+)
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = K.bloom_build(docs, "text")
+    members = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "probe_id"
+        ),
+        F.lit("member").alias("kind"),
+        F.col("text").alias("key"),
+    )
+    absent = spark.range(200).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias(
+            "probe_id"
+        ),
+        F.lit("absent").alias("kind"),
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+    )
+    probes = members.unionByName(absent)
+    return K.bloom_probe(probes, bloom, "key", ["probe_id", "kind"])
