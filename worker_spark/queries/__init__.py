@@ -52,6 +52,7 @@ _DRIVER_WINDOW = [
     "embedding_label_centroids",
     # (a cont.) new in round 4
     "bloom_membership_audit",
+    "doc_dsir_selection",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW = [
     "sync_diff_classify",
     "positional_list_parse",
     "recent_event_stats",
-    "code_first_id_wins",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "code_first_id_wins",
     "name_fallback_resolution",
     "dedup_minhash_lsh",
     "orders_per_customer_list",
@@ -184,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         retrievalq,
         sampleq,
+        selectionq,
         sketchq,
         simq,
         streamq,

@@ -1,0 +1,92 @@
+"""Importance-weighted data selection query over ``documents``.
+
+Spark side: worker_spark.operators.selection — DSIR-style importance
+log-weights (target = English documents) from char-bigram bag models
+with add-one smoothing, integer-micro ln quantization, and a
+TakeOrdered top-k selection. Oracle side: the identical models, the
+identical per-bigram micro-quantized log-ratio, and the identical
+integer weight sums replayed in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_spark.operators import selection as S
+from worker_spark.operators.text import LM_MICRO
+from worker_spark.queries import register
+from worker_spark.sources import load_table
+
+_K = S.DSIR_TOP_K
+_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+    WITH dbc AS (
+        SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bigram
+            FROM documents, UNNEST(range(1, length(text))) AS t(i)
+            WHERE length(text) >= 2
+        ) GROUP BY 1, 2
+    ),
+    flags AS (
+        SELECT doc_id, lang = '{_TARGET_LANG}' AS is_target FROM documents
+    ),
+    raw AS (
+        SELECT bigram, CAST(sum(cnt) AS BIGINT) AS c_raw FROM dbc GROUP BY 1
+    ),
+    tgt AS (
+        SELECT d.bigram, CAST(sum(d.cnt) AS BIGINT) AS c_tgt
+        FROM dbc d JOIN flags f USING (doc_id)
+        WHERE f.is_target GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+               CAST(count(*) AS BIGINT) AS v
+        FROM raw
+    ),
+    ttot AS (
+        SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS t_tgt FROM tgt
+    ),
+    model AS (
+        SELECT r.bigram,
+               CAST(round(ln(CAST(coalesce(g.c_tgt, 0) + 1 AS DOUBLE)
+                             / (tt.t_tgt + t.v)) * {LM_MICRO}) AS BIGINT)
+             - CAST(round(ln(CAST(r.c_raw + 1 AS DOUBLE)
+                             / (t.t_raw + t.v)) * {LM_MICRO}) AS BIGINT)
+                   AS lr_micro
+        FROM raw r LEFT JOIN tgt g USING (bigram), tot t, ttot tt
+    ),
+    w AS (
+        SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+               CAST(sum(d.cnt * m.lr_micro) AS BIGINT) AS w_micro
+        FROM dbc d JOIN model m USING (bigram) GROUP BY 1
+    )
+    SELECT w.doc_id, f.is_target, w.n_bigrams,
+           round(CAST(w.w_micro AS DOUBLE) / {float(LM_MICRO)!r}, 6) AS logw,
+           round(CAST(w.w_micro AS DOUBLE)
+                 / ({float(LM_MICRO)!r} * w.n_bigrams), 6) AS avg_logratio
+    FROM w JOIN flags f USING (doc_id)
+    ORDER BY logw DESC, w.doc_id ASC
+    LIMIT {_K}
+"""
+
+
+@register(
+    "doc_dsir_selection",
+    _DSIR_SQL,
+    doc=f"DSIR-style importance-weighted data selection (Xie et al. "
+    f"2023): char-bigram bag models for the TARGET (lang={_TARGET_LANG}) "
+    "and RAW distributions (two bounded groupBys broadcast back — no "
+    "shuffle carries text), add-one smoothing over the raw vocab, "
+    "per-bigram log-ratio quantized to integer micros so document "
+    f"weights are exact integer sums, top-{_K} selection via distributed "
+    "TakeOrdered with doc_id tie-break. The data-SELECTION complement to "
+    "the dedup/quality operator families.",
+)
+def q_doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.select_top_k(
+        S.importance_weights(docs, F.col("lang") == _TARGET_LANG)
+    )
