@@ -109,3 +109,37 @@ def test_opq_groups_partition_dims_and_balance_variance(spark):
     assert sorted(flat) == list(range(1, PQ_M * PQ_SUBDIM + 1))
     assert all(len(g) == PQ_SUBDIM for g in groups)
     assert all(g == sorted(g) for g in groups)
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.similarity import semantic_dedup
+
+    base = [float(i % 7) + 1.0 for i in range(8)]
+    other = [float((i * 3) % 5) - 2.0 for i in range(8)]
+    rows = [
+        (0, base),          # medoid (id % 4 == 0), also lowest id
+        (1, base),          # exact copy -> dropped, dup_of 0
+        (2, other),         # different direction -> kept
+        (3, [x * 2.0 for x in base]),  # same direction scaled -> dropped
+        (4, other),         # medoid for its own cell
+        (5, [x * 0.5 for x in other]),  # dropped, dup_of in {2, 4}
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id: bigint, embedding: array<float>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, centroid_every=4, tau=0.95).collect()
+    }
+    assert len(got) == 6  # one verdict row per vector
+    assert got[0]["kept"] and got[0]["dup_of"] is None
+    assert not got[1]["kept"] and got[1]["dup_of"] == 0
+    assert not got[3]["kept"] and got[3]["dup_of"] == 0
+    assert got[2]["kept"]
+    assert not got[5]["kept"] and got[5]["dup_of"] == 2
+    # canonical keep-lowest-id: every dropped vector points below itself
+    assert all(
+        r["dup_of"] < vid for vid, r in got.items() if not r["kept"]
+    )

@@ -53,6 +53,7 @@ _DRIVER_WINDOW = [
     # (a cont.) new in round 4
     "bloom_membership_audit",
     "doc_dsir_selection",
+    "semdedup_prune",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW = [
     "active_entity_keys",
     "sync_diff_classify",
     "positional_list_parse",
-    "recent_event_stats",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "recent_event_stats",
     "code_first_id_wins",
     "name_fallback_resolution",
     "dedup_minhash_lsh",

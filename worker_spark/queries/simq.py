@@ -505,3 +505,57 @@ def _opq_sub_prelude() -> str:
 def q_similarity_opq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.opq_pq_kmeans_topk(emb, k=10)
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({x}.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) "
+        f"*  sqrt(list_sum(list_transform({y}.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+    )
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings
+        WHERE vec_id % {S.SEMDEDUP_CENTROID_EVERY} = 0
+    ),
+    scored AS (
+        SELECT a.vec_id, c.cent_id, {_cos_sql("a", "c")} AS sim
+        FROM embeddings a JOIN cents c ON TRUE
+    ),
+    cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a, {_cos_sql("a", "b")} AS sim
+        FROM embeddings a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN cells cb ON cb.cell_id = ca.cell_id
+        JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+    ),
+    dup AS (
+        SELECT id_b, CAST(min(id_a) AS BIGINT) AS dup_of
+        FROM pairs WHERE sim >= {S.SEMDEDUP_TAU} GROUP BY id_b
+    )
+    SELECT c.vec_id, c.cell_id, d.dup_of IS NULL AS kept, d.dup_of
+    FROM cells c LEFT JOIN dup d ON d.id_b = c.vec_id
+    """,
+    doc=f"SemDeDup semantic pruning (Abbas'23): embeddings clustered to "
+    f"coarse medoid cells (every {S.SEMDEDUP_CENTROID_EVERY}th id), "
+    "within-cell cosine pairs only (~N^2/K, never a cross join), drop "
+    f"every vector with cosine >= {S.SEMDEDUP_TAU} to a lower-id "
+    "cell-mate (keep-lowest-id canonical). One row per vector with its "
+    "cell, keep verdict, and offending representative.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb)
