@@ -55,6 +55,11 @@ HEADLINE = [
     "token_bigram_collocations",
     "inverted_index_postings",
     "similarity_opq_kmeans_topk",
+    # round-4 additions (no prior anchor; they join the anchor set in r4)
+    "search_documents_flat",
+    "bloom_membership_audit",
+    "doc_dsir_selection",
+    "semdedup_prune",
 ]
 
 

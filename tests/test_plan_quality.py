@@ -319,3 +319,19 @@ def test_collocations_broadcast_unigram_sides(spark):
     # nested-loop is the 1-row total broadcast (scalar control plane)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4_operators_plan_shapes(spark):
+    """Bloom probe: the filter side is broadcast (tiny word table) and
+    nothing degenerates to a cartesian/nested-loop product. SemDeDup:
+    pair generation is a within-cell equi-join, never a cross join.
+    DSIR: the model join is broadcast; no product joins anywhere."""
+    for name, want_bcast in [
+        ("bloom_membership_audit", True),
+        ("semdedup_prune", False),
+        ("doc_dsir_selection", True),
+    ]:
+        plan = _physical(_SPECS[name].run(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        if want_bcast:
+            assert "BroadcastHashJoin" in plan, name

@@ -414,63 +414,80 @@ def doc_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     selection.
 
     Scale shape (100 TB): counts are derived map-side as run lengths of
-    the sorted bigram array (aggregate HOF — no per-character explode);
-    the only exploded rows are DISTINCT bigrams per doc, bounded by
-    |alphabet|^2 regardless of document length."""
+    the sorted bigram array; the only exploded rows are DISTINCT bigrams
+    per doc, bounded by |alphabet|^2 regardless of document length. Two
+    deliberate perf choices (the original fold-based RLE ran 59s single-
+    task at sf0.1):
+    * the input is repartitioned on doc rows FIRST — a small parquet
+      lands in one input split, and without the spread every per-doc
+      HOF evaluation funnels through one task;
+    * run lengths come from BOUNDARY positions (filter + zip_with —
+      linear array ops), not an aggregate fold that array_appends into
+      an accumulator (quadratic copying per distinct bigram)."""
     cs = F.split(F.lower(F.col(text_col)), "")
-    base = (
-        docs.filter(F.length(F.col(text_col)) >= 2)
-        .select(F.col("doc_id"), F.col(text_col))
-        .withColumn("_cs", cs)
-        .withColumn(
-            "_bg",
-            F.array_sort(
-                F.transform(
-                    # sequence(1, 0) DESCENDS (see NOTES.md) — guard short
-                    # docs even though the length filter precedes this:
-                    # Catalyst may evaluate the projection inside another
-                    # stage's predicate via subexpression elimination
-                    F.when(
-                        F.size(F.col("_cs")) >= 2,
-                        F.sequence(F.lit(1), F.size(F.col("_cs")) - 1),
-                    ).otherwise(F.array().cast("array<int>")),
-                    lambda i: F.concat(
-                        F.element_at(F.col("_cs"), i),
-                        F.element_at(F.col("_cs"), (i + 1).cast("int")),
-                    ),
-                )
-            ),
-        )
+    spread = docs.filter(F.length(F.col(text_col)) >= 2).select(
+        F.col("doc_id"), F.col(text_col)
     )
-    # run-length encode the sorted bigram array map-side (no explode of
-    # per-position rows; same pattern as with_char_entropy)
-    run = lambda acc: acc["run"]  # noqa: E731
-    pair = lambda acc: F.struct(  # noqa: E731
-        acc["prev"].alias("bigram"), run(acc).alias("cnt")
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    rle = F.aggregate(
-        F.col("_bg"),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.array().cast("array<struct<bigram:string,cnt:long>>").alias("acc"),
+    base = spread.withColumn("_cs", cs).withColumn(
+        "_bg",
+        F.array_sort(
+            F.transform(
+                # sequence(1, 0) DESCENDS (see NOTES.md) — guard short
+                # docs even though the length filter precedes this:
+                # Catalyst may evaluate the projection inside another
+                # stage's predicate via subexpression elimination
+                F.when(
+                    F.size(F.col("_cs")) >= 2,
+                    F.sequence(F.lit(1), F.size(F.col("_cs")) - 1),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat(
+                    F.element_at(F.col("_cs"), i),
+                    F.element_at(F.col("_cs"), (i + 1).cast("int")),
+                ),
+            )
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], run(acc) + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(x == acc["prev"], acc["acc"])
-            .when(acc["prev"].isNull(), acc["acc"])
-            .otherwise(F.array_append(acc["acc"], pair(acc)))
-            .alias("acc"),
-        ),
-        lambda acc: F.when(acc["prev"].isNull(), acc["acc"]).otherwise(
-            F.array_append(acc["acc"], pair(acc))
+    )
+    # linear RLE over the sorted array: a run ENDS at i where s[i] !=
+    # s[i+1] (or at n); run lengths are adjacent differences of the end
+    # positions (zip_with ends against [0] ++ ends[:-1])
+    s = F.col("_bg")
+    n = F.size(s)
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n)
+        | (F.element_at(s, i) != F.try_element_at(s, (i + 1).cast("int"))),
+    )
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    entries = F.zip_with(
+        ends,
+        starts,
+        lambda e, st: F.struct(
+            F.element_at(s, e.cast("int")).alias("bigram"),
+            (e - st).cast("long").alias("cnt"),
         ),
     )
     return (
-        base.withColumn("_rle", rle)
-        .select("doc_id", F.explode("_rle").alias("p"))
-        .select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.cnt").alias("cnt"))
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(n >= 1, entries).otherwise(
+                    F.array().cast(
+                        "array<struct<bigram:string,cnt:long>>"
+                    )
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.bigram").alias("bigram"),
+            F.col("p.cnt").alias("cnt"),
+        )
     )
 
 

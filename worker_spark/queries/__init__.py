@@ -78,6 +78,8 @@ _DRIVER_WINDOW = [
     "bpe_encode_stats",
     # (c cont.) edit-distance verify gained the prefix cap + thresholded DP
     "dedup_edit_distance",
+    # (c cont.) doc_bigram_counts rewritten (linear RLE + repartition)
+    "doc_lm_score",
     # (d) last green in round 2, filling the window to 50
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -111,7 +113,6 @@ _DRIVER_WINDOW = [
     "top3_orders_per_segment",
     "active_entity_keys",
     "sync_diff_classify",
-    "positional_list_parse",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -145,7 +146,6 @@ _DRIVER_WINDOW = [
     "doc_cdc_chunks",
     "dedup_translit_shingles",
     "doc_gopher_rules",
-    "doc_lm_score",
     "doc_split_assign",
     "doc_mixture_weights",
     "doc_cdc_chunks_clamped",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "positional_list_parse",
     "recent_event_stats",
     "code_first_id_wins",
     "name_fallback_resolution",
