@@ -120,10 +120,53 @@ R2_ANCHOR = {
 
 
 # Round-4 anchor: serialized (no concurrent Spark sessions) best-of-two run
-# at sf0.1 local[32] taken during round 4. Supersedes the contested r3
-# fragment (BENCH_r03.json parsed=null; see NOTES.md on session contention).
-# Filled by tools/record_anchor.py after the round's clean run.
-R4_ANCHOR: dict[str, float] = {}
+# at sf0.1 local[32], recorded by tools/record_anchor.py during round 4
+# (total 59.819s over 39 queries; total_vs_r1 0.612, total_vs_r2 0.936).
+# Supersedes the contested r3 fragment (BENCH_r03.json parsed=null; see
+# NOTES.md on session contention). Caveat for ratio readers: the FIRST
+# bench run after heavy pytest activity measured ~1.4-3x inflated (cold
+# page cache / JIT); always anchor from a second back-to-back run.
+R4_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.487,
+    "top_revenue_orders": 1.18,
+    "revenue_by_nation": 0.866,
+    "orders_with_returns": 0.441,
+    "customer_any_return": 0.442,
+    "sync_diff_classify": 0.524,
+    "event_journey": 0.187,
+    "outbox_drain_cap": 0.279,
+    "doc_token_stats": 0.169,
+    "dedup_minhash_lsh": 2.698,
+    "dedup_simhash": 2.655,
+    "similarity_cosine_topk": 0.846,
+    "similarity_lsh_ann": 2.093,
+    "dedup_embedding_blocked": 1.843,
+    "multimodal_features": 0.336,
+    "event_value_percentiles": 0.214,
+    "reverse_invalidation": 0.504,
+    "doc_build_scale": 1.672,
+    "dedup_cluster_components": 5.483,
+    "doc_sequence_pack": 0.417,
+    "doc_stratified_sample": 0.172,
+    "similarity_quantized_topk": 0.58,
+    "benchmark_contamination": 2.777,
+    "similarity_pq_refined_topk": 4.094,
+    "similarity_pq_kmeans_topk": 4.187,
+    "doc_cdc_chunks": 1.709,
+    "dedup_translit_shingles": 4.147,
+    "doc_substring_dedup_report": 0.347,
+    "hll_distinct_users": 0.282,
+    "token_cms_heavy_hitters": 2.154,
+    "bpe_train_merges": 2.629,
+    "dedup_edit_distance": 1.88,
+    "token_bigram_collocations": 0.742,
+    "inverted_index_postings": 0.599,
+    "similarity_opq_kmeans_topk": 5.775,
+    "search_documents_flat": 1.174,
+    "bloom_membership_audit": 0.432,
+    "doc_dsir_selection": 2.05,
+    "semdedup_prune": 0.753,
+}
 
 
 def main() -> None:
