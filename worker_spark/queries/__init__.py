@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "bloom_membership_audit",
     "doc_dsir_selection",
     "semdedup_prune",
+    "streaming_hll_window_users",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW = [
     "customer_any_return",
     "outbox_drain_cap",
     "top3_orders_per_segment",
-    "active_entity_keys",
     "sync_diff_classify",
     "event_sessions",
     "order_rollup",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "active_entity_keys",
     "positional_list_parse",
     "recent_event_stats",
     "code_first_id_wins",

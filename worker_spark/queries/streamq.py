@@ -331,3 +331,167 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _hll_stream_oracle() -> str:
+    from worker_spark.operators import sketches as K
+
+    m, wb = K.HLL_M, K.HLL_WBITS
+    est_num = repr(K.HLL_ALPHA * K.HLL_M * K.HLL_M * (1 << (wb + 1)))
+    h32 = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    bitlen = K.bitlen_sql(f"(h // {m})", wb)
+    return f"""
+    WITH vals AS (
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, {h32} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT window_start, event_type, h % {m} AS bucket,
+               CAST({wb + 1} - {bitlen} AS INT) AS rho
+        FROM vals
+    ),
+    sparse AS (
+        SELECT window_start, event_type, bucket, max(rho) AS max_rho
+        FROM ranked GROUP BY 1, 2, 3
+    ),
+    sk AS (
+        SELECT window_start, event_type,
+               CAST(sum(CAST(1 AS BIGINT) << (27 - max_rho))
+                    + ({m} - count(*)) * (CAST(1 AS BIGINT) << 27)
+                    AS BIGINT) AS s_int,
+               CAST({m} - count(*) AS BIGINT) AS n_zero_buckets
+        FROM sparse GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1, 2
+    )
+    SELECT sk.window_start, sk.event_type,
+           round({est_num} / CAST(s_int AS DOUBLE), 3) AS hll_estimate,
+           ex.exact_distinct, sk.n_zero_buckets,
+           round(abs({est_num} / CAST(s_int AS DOUBLE)
+                     - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+               AS rel_error
+    FROM sk JOIN ex USING (window_start, event_type)
+    """
+
+
+@register(
+    "streaming_hll_window_users",
+    _hll_stream_oracle(),
+    doc="HyperLogLog registers maintained INSIDE a Structured Streaming "
+    "aggregation: per (1-minute window, event_type, bucket) the stream "
+    "state holds max(rho) — a streaming-mergeable max, so state size is "
+    "bounded by windows x groups x m registers no matter the event "
+    "volume (THE reason sketches belong in streams; an exact "
+    "count-distinct would hold every user id in state). availableNow "
+    "drain, then a batch finalization turns registers into estimates "
+    "(absent bucket == zero bucket since rho >= 1) and audits them "
+    "against the exact per-window distinct.",
+)
+def q_streaming_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.operators import sketches as K
+
+    m, wb = K.HLL_M, K.HLL_WBITS
+    est_num = K.HLL_ALPHA * K.HLL_M * K.HLL_M * (1 << (wb + 1))
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        ranked = (
+            stream.withWatermark("ts", "10 minutes")
+            .select(
+                F.col("ts"),
+                F.col("event_type"),
+                h.alias("_h"),
+            )
+            .select(
+                "ts",
+                "event_type",
+                (F.col("_h") % m).alias("bucket"),
+                F.expr(
+                    f"cast({wb + 1} - "
+                    + K.bitlen_sql(f"(_h div {m})", wb)
+                    + " as int)"
+                ).alias("rho"),
+            )
+        )
+        regs = ranked.groupBy(
+            F.window("ts", "1 minute"), F.col("event_type"), F.col("bucket")
+        ).agg(F.max("rho").alias("max_rho"))
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_hll_window_users: availableNow drain exceeded 300s"
+            )
+        sk = (
+            spark.table(sink)
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "max_rho",
+            )
+            .groupBy("window_start", "event_type")
+            .agg(
+                (
+                    F.sum(F.expr("shiftleft(cast(1 as bigint), 27 - max_rho)"))
+                    + (F.lit(m) - F.count(F.lit(1)))
+                    * F.lit(1 << 27).cast("long")
+                ).alias("s_int"),
+                (F.lit(m) - F.count(F.lit(1))).cast("long").alias(
+                    "n_zero_buckets"
+                ),
+            )
+        )
+        exact = events.groupBy(
+            F.date_format(
+                F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+        est = F.lit(est_num) / F.col("s_int").cast("double")
+        result = (
+            sk.join(exact, ["window_start", "event_type"])
+            .select(
+                "window_start",
+                "event_type",
+                F.round(est, 3).alias("hll_estimate"),
+                "exact_distinct",
+                "n_zero_buckets",
+                F.round(
+                    F.abs(est - F.col("exact_distinct"))
+                    / F.col("exact_distinct").cast("double"),
+                    4,
+                ).alias("rel_error"),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
