@@ -255,3 +255,115 @@ def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = members.unionByName(absent)
     return K.bloom_probe(probes, bloom, "key", ["probe_id", "kind"])
+
+
+@register(
+    "bloom_incremental_dedup",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT 'new:' || CAST(doc_id AS VARCHAR) AS probe_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'refetch:' || CAST(doc_id AS VARCHAR), text
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 9 = 0
+    ),
+    cpos AS (
+        SELECT {_bloom_pos_sql("text")} AS bitpos
+        FROM corpus, UNNEST({_BSEEDS}) t(s)
+    ),
+    bloom AS (
+        SELECT bitpos // {_BPW} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bitpos % {_BPW} AS INT))
+                   AS bits
+        FROM cpos GROUP BY 1
+    ),
+    ppos AS (
+        SELECT probe_id, {_bloom_pos_sql("text")} AS bitpos
+        FROM batch, UNNEST({_BSEEDS}) t(s)
+    ),
+    probed AS (
+        SELECT p.probe_id,
+               bool_and((coalesce(b.bits, 0)
+                   & (CAST(1 AS BIGINT) << CAST(p.bitpos % {_BPW} AS INT)))
+                   <> 0) AS maybe_member
+        FROM ppos p LEFT JOIN bloom b ON b.word = p.bitpos // {_BPW}
+        GROUP BY p.probe_id
+    ),
+    ck AS (SELECT DISTINCT md5(text) AS kh FROM corpus),
+    verdicts AS (
+        SELECT pr.probe_id, pr.maybe_member,
+               CASE WHEN pr.maybe_member
+                    THEN (ck.kh IS NOT NULL) ELSE FALSE END AS exact_dup
+        FROM probed pr
+        JOIN batch ba USING (probe_id)
+        LEFT JOIN ck ON pr.maybe_member AND ck.kh = md5(ba.text)
+    )
+    SELECT probe_id, maybe_member, exact_dup,
+           CASE WHEN NOT maybe_member THEN 'new_skip_join'
+                WHEN exact_dup THEN 'dup'
+                ELSE 'false_positive' END AS verdict
+    FROM verdicts
+    """,
+    doc="Bloom-ACCELERATED incremental dedup — the sketch composed into "
+    "the pipeline it exists for: an incoming batch (novel docs + "
+    "refetched corpus content) probes the corpus filter first; probes "
+    "the filter rejects are verdicted new WITHOUT touching the exact "
+    "join (at 100TB that skips the shuffle for the overwhelming "
+    "majority of genuinely-new content), and only probable members pay "
+    "the md5 equality check that separates true dups from bloom false "
+    "positives.",
+)
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.concat(F.lit("new:"), F.col("doc_id").cast("string")).alias(
+                "probe_id"
+            ),
+            F.col("text").alias("key"),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 9 == 0)
+            ).select(
+                F.concat(
+                    F.lit("refetch:"), F.col("doc_id").cast("string")
+                ).alias("probe_id"),
+                F.col("text").alias("key"),
+            )
+        )
+    )
+    bloom = K.bloom_build(corpus, "text")
+    probed = K.bloom_probe(batch, bloom, "key", ["probe_id"])
+    corpus_keys = corpus.select(F.md5("text").alias("kh")).distinct()
+    maybe = (
+        probed.filter(F.col("maybe_member"))
+        .join(batch, "probe_id")
+        .withColumn("kh", F.md5("key"))
+        # corpus_keys is corpus-sized — never broadcast it; the probable-
+        # member batch is the small side and AQE picks the right strategy
+        .join(corpus_keys.withColumnRenamed("kh", "ck"),
+              F.col("kh") == F.col("ck"), "left")
+        .select(
+            "probe_id",
+            "maybe_member",
+            F.col("ck").isNotNull().alias("exact_dup"),
+        )
+    )
+    fresh = probed.filter(~F.col("maybe_member")).select(
+        "probe_id", "maybe_member", F.lit(False).alias("exact_dup")
+    )
+    return maybe.unionByName(fresh).select(
+        "probe_id",
+        "maybe_member",
+        "exact_dup",
+        F.when(~F.col("maybe_member"), F.lit("new_skip_join"))
+        .when(F.col("exact_dup"), F.lit("dup"))
+        .otherwise(F.lit("false_positive"))
+        .alias("verdict"),
+    )
