@@ -56,6 +56,7 @@ _DRIVER_WINDOW = [
     "semdedup_prune",
     "streaming_hll_window_users",
     "bloom_incremental_dedup",
+    "contrastive_hard_negatives",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW = [
     "global_cursors",
     "customer_any_return",
     "outbox_drain_cap",
-    "top3_orders_per_segment",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "top3_orders_per_segment",
     "sync_diff_classify",
     "active_entity_keys",
     "positional_list_parse",

@@ -559,3 +559,54 @@ def _cos_sql(x: str, y: str) -> str:
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb)
+
+
+@register(
+    "contrastive_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    sims AS (
+        SELECT a.vec_id AS q_id, a.label AS q_label,
+               b.vec_id AS c_id, b.label AS c_label, {_COS} AS cos_sim
+        FROM q a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_id, c_label, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM sims
+    )
+    SELECT q_id, q_label, c_id, c_label, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Contrastive hard-negative mining for embedding-model training: "
+    "for each anchor (vec_id % 20 = 0) the 3 most-similar vectors with a "
+    "DIFFERENT label — the pairs that sharpen a contrastive objective "
+    "most (highest-loss negatives). Exact cosine with the broadcast "
+    "anchor side; the anti-label predicate rides inside the join so "
+    "same-label pairs never materialize.",
+)
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("c_id"), F.col("label").alias("c_label"))
+    q_labels = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    anchors = emb.filter(F.col("vec_id") % 20 == 0)
+    sims = (
+        S.cosine_neighbors(anchors, emb, threshold=-2.0)
+        .join(F.broadcast(q_labels), "q_id")
+        .join(labels, "c_id")
+        .filter(F.col("q_label") != F.col("c_label"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "q_label", "c_id", "c_label", "cos_sim", "rnk")
+    )
