@@ -773,6 +773,12 @@ def pq_kmeans_topk(
             .groupBy("s", "cid")
             .agg(*[F.avg(f"x{d}").alias(f"c{d}") for d in range(PQ_SUBDIM)])
         )
+    # Deliberately NO localCheckpoint between Lloyd rounds at the demo
+    # iteration count: measured at sf0.1 (serialized A/B, best-of-two) a
+    # per-round localCheckpoint(eager=False) made pq 4.41->5.07s and opq
+    # 5.24->5.87s — the materialization round-trips cost more than the
+    # re-executed broadcast-light chains they would save. Revisit only if
+    # iters grows past ~8, where lineage depth starts to dominate.
     codes = assign_against(cents)
 
     qd = (
