@@ -57,6 +57,7 @@ _DRIVER_WINDOW = [
     "streaming_hll_window_users",
     "bloom_incremental_dedup",
     "contrastive_hard_negatives",
+    "doc_curation_decision",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -107,7 +108,6 @@ _DRIVER_WINDOW = [
     # in-window by outbox_dashboard and the relational family); they join
     # the round-5 stale leads
     "top_revenue_orders",
-    "revenue_by_nation",
     "orders_with_returns",
     "customers_without_orders",
     "global_cursors",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "revenue_by_nation",
     "top3_orders_per_segment",
     "sync_diff_classify",
     "active_entity_keys",

@@ -524,3 +524,102 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.bigram_lm_scores(d)
+
+
+# Curation gate thresholds (fixed constants — a production pipeline tunes
+# per corpus; sf-corpus distributions: avg_logp in [-4.76,-4.52], ttr
+# median 0.46, tbr max 0.17, so every gate has real pass AND fail sets)
+CURATION_MIN_QUALITY = 0.5
+CURATION_MIN_TTR = 0.35
+CURATION_MAX_TBR = 0.15
+CURATION_MIN_LOGP = -4.65
+
+
+def _curation_oracle() -> str:
+    from worker_spark.queries import _REGISTRY
+
+    lang_sql = _REGISTRY["doc_lang_id"].oracle
+    qual_sql = _REGISTRY["doc_quality_filter"].oracle.replace(
+        "WHERE quality_score >= 0.5", ""
+    )
+    rep_sql = _REGISTRY["doc_repetition_scores"].oracle
+    lm_sql = _REGISTRY["doc_lm_score"].oracle
+    gopher_sql = _REGISTRY["doc_gopher_rules"].oracle
+    reason = f"""CASE
+        WHEN l.pred_lang = 'und' THEN 'lang_und'
+        WHEN q.quality_score < {CURATION_MIN_QUALITY} THEN 'low_quality'
+        WHEN r.type_token_ratio < {CURATION_MIN_TTR}
+             OR r.top_bigram_ratio > {CURATION_MAX_TBR} THEN 'repetitive'
+        WHEN m.avg_logp < {CURATION_MIN_LOGP} THEN 'lm_outlier'
+        WHEN NOT g.passes_gopher THEN 'gopher_fail'
+        ELSE 'kept' END"""
+    return f"""
+    SELECT d.doc_id, l.pred_lang, q.quality_score,
+           r.type_token_ratio, r.top_bigram_ratio, m.avg_logp,
+           g.passes_gopher,
+           ({reason}) = 'kept' AS keep,
+           {reason} AS reject_reason
+    FROM documents d
+    JOIN ({lang_sql}) l USING (doc_id)
+    JOIN ({qual_sql}) q USING (doc_id)
+    JOIN ({rep_sql}) r USING (doc_id)
+    JOIN ({lm_sql}) m USING (doc_id)
+    JOIN ({gopher_sql}) g USING (doc_id)
+    """
+
+
+@register(
+    "doc_curation_decision",
+    _curation_oracle(),
+    doc="The end-to-end curation decision table — the surface a FineWeb/"
+    "RefinedWeb-style pipeline actually materializes: language-ID, "
+    "heuristic quality, repetition, LM-score, and Gopher gates composed "
+    "per document into keep + first-failing-gate reject_reason. All "
+    "five signal layers are the already-oracled operators joined on "
+    "doc_id; every join is per-doc equi (shuffle-partitioned by id at "
+    "scale), every signal map-only or broadcast-model as before.",
+)
+def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lang = T.with_lang_id(d).select("doc_id", "pred_lang")
+    qual = T.with_quality_score(d).select("doc_id", "quality_score")
+    rep = q_doc_repetition_scores(spark, sf_dir).select(
+        "doc_id", "type_token_ratio", "top_bigram_ratio"
+    )
+    lm = T.bigram_lm_scores(d).select("doc_id", "avg_logp")
+    gopher = T.with_gopher_rules(
+        d, min_words=_GOPHER_MIN_WORDS, required_stopwords=_GOPHER_SW
+    ).select("doc_id", "passes_gopher")
+    joined = (
+        d.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .join(gopher, "doc_id")
+    )
+    reason = (
+        F.when(F.col("pred_lang") == "und", F.lit("lang_und"))
+        .when(
+            F.col("quality_score") < CURATION_MIN_QUALITY, F.lit("low_quality")
+        )
+        .when(
+            (F.col("type_token_ratio") < CURATION_MIN_TTR)
+            | (F.col("top_bigram_ratio") > CURATION_MAX_TBR),
+            F.lit("repetitive"),
+        )
+        .when(F.col("avg_logp") < CURATION_MIN_LOGP, F.lit("lm_outlier"))
+        .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        "pred_lang",
+        "quality_score",
+        "type_token_ratio",
+        "top_bigram_ratio",
+        "avg_logp",
+        "passes_gopher",
+        (reason == "kept").alias("keep"),
+        reason.alias("reject_reason"),
+    )
