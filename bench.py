@@ -60,6 +60,8 @@ HEADLINE = [
     "bloom_membership_audit",
     "doc_dsir_selection",
     "semdedup_prune",
+    # joins the anchor set in r5
+    "doc_curation_decision",
 ]
 
 
