@@ -30,10 +30,12 @@ Spark-first shape (100 TB story):
 * Duplicate detection is a groupBy on the fingerprint hash — never a
   pair join: a fingerprint shared by 1e6 docs contributes 1e6 hit rows
   (linear), not 1e12 pairs.
-* Hashes are md5-prefix integers (NOTES.md portable-exact trick), so
+* Hashes are mod-folded polynomial integers over codepoints (exact
+  integer arithmetic, unrolled identically in the DuckDB oracle), so
   Spark and DuckDB select bit-identical fingerprints and the whole
   pipeline — positions, spans, coverage fractions — hash-checks across
-  engines.
+  engines. (Originally md5-prefix; the scaling probe showed md5 per
+  position dominated the operator's linear slope.)
 
 A previous formulation kept the hash array in-row and selected via
 nested array HOFs; Catalyst's project collapse inlined the md5
@@ -65,13 +67,32 @@ WIN_GAP = WIN_K + WIN_W  # island merge distance between fingerprint hits
 POS_SHIFT = 1 << 31
 
 
-def _kgram_hash(text: Column, p: Column) -> Column:
-    """md5-prefix BIGINT of the K-gram starting at 1-based char ``p`` —
-    `conv(substr(md5(...),1,8),16,10)` equals DuckDB's
-    `('0x'||substr(md5(...),1,8))::BIGINT` bit-for-bit."""
-    return F.conv(
-        F.substring(F.md5(text.substr(p, F.lit(WIN_K))), 1, 8), 16, 10
-    ).cast("long")
+# Polynomial K-gram hash (replaces the original md5-prefix hash): the
+# scaling probe showed winnowing's linear slope was entirely md5 cost —
+# one md5 + hex + base-conv per text POSITION. A mod-folded polynomial
+# over codepoints is exact-integer, ~an order of magnitude cheaper, and
+# replays bit-for-bit in DuckDB as the same unrolled expression. Folding
+# keeps every intermediate < KG_M * KG_B + c < 2^48 (ANSI-safe); the
+# final hash is < KG_M = 2^31 - 1, which the 31-bit position packing
+# already assumed as the hash ceiling's order of magnitude (packed value
+# < (2^31-1) * 2^31 + 2^31 < 2^62).
+# Engine-parity caveat: character codes come from Spark `ascii` (first
+# UTF-16 code unit) vs DuckDB `ord` (codepoint) — identical for all
+# Basic-Multilingual-Plane text; supplementary-plane codepoints (rare
+# emoji etc.) would hash differently per engine. Winnowing correctness
+# (shared-substring guarantee) is unaffected either way.
+KG_B = 65599
+KG_M = (1 << 31) - 1
+
+
+def _kgram_hash(codes: Column, p: Column) -> Column:
+    """Mod-folded polynomial hash of the K codepoints starting at 1-based
+    position ``p`` of the per-document codepoint array ``codes``."""
+    h = F.element_at(codes, p.cast("int")).cast("long")
+    for j in range(1, WIN_K):
+        c = F.element_at(codes, (p + F.lit(j)).cast("int")).cast("long")
+        h = (h * F.lit(KG_B) + c) % F.lit(KG_M)
+    return h
 
 
 def winnow_fingerprints(
@@ -91,7 +112,11 @@ def winnow_fingerprints(
         docs.filter(m_expr >= 1)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_t"),
+            # codepoint array computed ONCE per document; each position's
+            # hash then reads K array elements instead of re-substringing
+            F.transform(
+                F.split(F.col(text_col), "(?!^)"), lambda ch: F.ascii(ch)
+            ).alias("_codes"),
             m_expr.cast("long").alias("_m"),
         )
         # shuffle the cheap side: document rows, BEFORE the per-position
@@ -103,13 +128,13 @@ def winnow_fingerprints(
         "doc_id",
         "_m",
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("_m"))).alias("p"),
-        "_t",
+        "_codes",
     ).select(
         "doc_id",
         "_m",
         "p",
         (
-            _kgram_hash(F.col("_t"), F.col("p")) * F.lit(POS_SHIFT)
+            _kgram_hash(F.col("_codes"), F.col("p")) * F.lit(POS_SHIFT)
             + (F.lit(POS_SHIFT - 1) - F.col("p"))
         ).alias("_v"),
     )

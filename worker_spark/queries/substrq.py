@@ -3,10 +3,10 @@
 Spark side: worker_spark.operators.substrings (map-only fingerprint
 selection, one groupBy on the fingerprint hash, per-doc span windows).
 Oracle side: the identical winnowing selection replayed in DuckDB —
-K-gram md5-prefix hashes per position, rightmost-min-per-window via a
-frame min + an equality range join, the same gaps-and-islands span
-merge. Fingerprints, spans, and coverage fractions are bit-identical
-across engines (md5-prefix integers, NOTES.md portable-exact trick).
+K-gram polynomial hashes per position (mod-folded over codepoints,
+unrolled identically in both engines), rightmost-min-per-window via a
+frame min, the same gaps-and-islands span merge. Fingerprints, spans,
+and coverage fractions are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -20,6 +20,22 @@ from worker_spark.sources import load_table
 _K, _W, _GAP = S.WIN_K, S.WIN_W, S.WIN_GAP
 _PS = S.POS_SHIFT
 
+
+def _kgram_hash_sql() -> str:
+    """The mod-folded polynomial K-gram hash, unrolled exactly like
+    substrings._kgram_hash: h = fold_j (h * B + ord(text[p+j])) % M."""
+    # every term BIGINT-cast: DuckDB's ord() is INT32 and an INT32 fold
+    # overflows at the first multiply
+    h = "CAST(ord(substr(text, CAST(p AS INT), 1)) AS BIGINT)"
+    for j in range(1, _K):
+        h = (
+            f"(({h}) * CAST({S.KG_B} AS BIGINT)"
+            f" + ord(substr(text, CAST(p + {j} AS INT), 1)))"
+            f" % CAST({S.KG_M} AS BIGINT)"
+        )
+    return h
+
+
 _SPAN_CTE = f"""
     WITH docs AS (
         SELECT doc_id, text,
@@ -29,8 +45,7 @@ _SPAN_CTE = f"""
     kg AS (
         -- packed (hash, position): min(v) = min hash, rightmost tie-break
         SELECT doc_id, m, CAST(p AS BIGINT) AS p,
-               CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), {_K})),
-                                    1, 8)) AS BIGINT) * {_PS}
+               CAST({_kgram_hash_sql()} AS BIGINT) * {_PS}
                    + ({_PS} - 1 - CAST(p AS BIGINT)) AS v
         FROM docs, UNNEST(range(1, m + 1)) AS t(p)
     ),
@@ -82,7 +97,7 @@ _SPAN_CTE = f"""
     SELECT doc_id, span_start, span_end, n_fp FROM spans
     """,
     doc=f"Exact-substring duplicate spans via winnowing (Schleimer/MOSS, "
-    f"SIGMOD'03): K={_K}-gram md5-prefix hashes, rightmost-min per "
+    f"SIGMOD'03): K={_K}-gram polynomial hashes, rightmost-min per "
     f"W={_W} window — every verbatim repeat >= {_W + _K - 1} chars is "
     "guaranteed a shared fingerprint. Map-only selection, one groupBy "
     "on the hash (no pair join), per-doc island merge — the distributed "
