@@ -58,6 +58,7 @@ _DRIVER_WINDOW = [
     "bloom_incremental_dedup",
     "contrastive_hard_negatives",
     "doc_curation_decision",
+    "crawl_frontier_schedule",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -110,7 +111,6 @@ _DRIVER_WINDOW = [
     "top_revenue_orders",
     "orders_with_returns",
     "customers_without_orders",
-    "global_cursors",
     "customer_any_return",
     "outbox_drain_cap",
     "event_sessions",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "global_cursors",
     "revenue_by_nation",
     "top3_orders_per_segment",
     "sync_diff_classify",
@@ -185,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         docflat,
         domain,
         embstatsq,
+        frontierq,
         multimodalq,
         packq,
         profileq,
