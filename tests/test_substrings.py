@@ -128,3 +128,40 @@ def test_cut_removes_spans_and_preserves_clean_docs(spark):
     # the clean doc passes through bit-identically
     assert got[3]["cut_chars"] == 0
     assert got[3]["cleaned_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_polynomial_hash_cross_engine_on_bmp_unicode(spark):
+    """Differential parity guard for the polynomial k-gram hash: random
+    BMP text (incl. Norwegian å/ø/æ — the reference's domain — accents
+    and CJK) must select IDENTICAL winnowing fingerprints in Spark and
+    DuckDB. Guards the Spark-ascii-vs-DuckDB-ord equivalence the hash
+    depends on (identical for the Basic Multilingual Plane)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from worker_spark.operators.substrings import winnow_fingerprints
+    from worker_spark.queries.substrq import _SPAN_CTE
+
+    rng = random.Random(4242)
+    alphabet = "abc åøæéüß 汉字語 xyz"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(30, 200))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id: bigint, text: string")
+    got = {
+        (r["doc_id"], r["pos"], r["fhash"])
+        for r in winnow_fingerprints(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _SPAN_CTE + " SELECT doc_id, pos, fhash FROM fps"
+        ).fetchall()
+    }
+    assert got == want
