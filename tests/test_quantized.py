@@ -143,3 +143,16 @@ def test_semantic_dedup_drops_higher_id_near_dups(spark):
     assert all(
         r["dup_of"] < vid for vid, r in got.items() if not r["kept"]
     )
+
+
+def test_semantic_dedup_fails_loud_without_medoids(spark):
+    import pytest
+
+    from worker_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i + 1, [float(i), 1.0]) for i in range(5)],
+        schema="vec_id: bigint, embedding: array<float>",
+    )
+    with pytest.raises(ValueError, match="no medoid centroids"):
+        semantic_dedup(vecs, centroid_every=100)

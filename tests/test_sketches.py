@@ -137,3 +137,37 @@ def test_bloom_merge_is_bitwise_or(spark):
     }
     direct = {r["word"]: r["bits"] for r in bloom_build(full, "k").collect()}
     assert merged == direct
+
+
+def test_kmv_ignores_nulls_and_omits_all_null_groups(spark):
+    from worker_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", None), ("g2", "x"), ("g2", None)],
+        schema="grp: string, val: string",
+    )
+    rows = {r["grp"]: r for r in kmv_distinct(df, "val", "grp").collect()}
+    assert "g1" not in rows  # all-NULL group omitted (no crash)
+    assert rows["g2"]["exact_distinct"] == 1
+
+
+def test_bloom_rejects_grouped_filter_and_drops_null_keys(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [("t1", "a"), ("t1", None), ("t2", "b")],
+        schema="tenant: string, k: string",
+    )
+    grouped = bloom_build(df, "k", "tenant")
+    probes = df.select(F.col("k").alias("pid"), "k")
+    with pytest.raises(ValueError, match="ungrouped"):
+        bloom_probe(probes, grouped, "k", ["pid"])
+    # NULL keys dropped on both sides: build doesn't crash, NULL probe absent
+    flat = bloom_build(df, "k")
+    got = bloom_probe(probes, flat, "k", ["pid"]).collect()
+    assert sorted(r["pid"] for r in got) == ["a", "b"]
+    assert all(r["maybe_member"] for r in got)

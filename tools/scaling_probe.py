@@ -39,7 +39,11 @@ def replicated_docs(spark, factor: int):
 
     base = load_table(spark, SF_DIR, "documents")
     if factor == 1:
-        return base
+        # identical physical layout to the replicated frames — without
+        # this the 1x baseline runs on the parquet's 1-2 input splits
+        # while 4x/10x run on defaultParallelism partitions, and the
+        # reported ratios compare layouts, not volumes
+        return base.repartition(spark.sparkContext.defaultParallelism)
     copies = spark.range(factor).select(F.col("id").alias("_copy"))
     return (
         base.crossJoin(copies)
@@ -52,7 +56,7 @@ def replicated_docs(spark, factor: int):
             ).alias("text"),
             "lang",
             "source",
-            F.col("n_chars") + F.lit(10),
+            (F.col("n_chars") + F.lit(10)).alias("n_chars"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )

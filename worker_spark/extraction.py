@@ -575,8 +575,11 @@ def build_feature_columns(data: Column, concepts: Column) -> dict[str, Column]:
 
 # Unresolved Columns reference only the py4j gateway, not a SparkSession,
 # so one built dict serves every plan in the JVM's lifetime; key on the
-# active SparkContext so a stop/start (fresh gateway objects) rebuilds.
-_FEATURE_CACHE: dict[int, dict[str, Column]] = {}
+# active SparkContext's applicationId so a stop/start (fresh gateway
+# objects) rebuilds. (id(sc) is NOT a safe key: CPython can reuse the
+# address after the old context is garbage-collected, handing back
+# Columns bound to a dead gateway.)
+_FEATURE_CACHE: dict[str, dict[str, Column]] = {}
 
 
 def cached_feature_columns() -> dict[str, Column]:
@@ -585,7 +588,7 @@ def cached_feature_columns() -> dict[str, Column]:
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    key = id(sc)
+    key = sc.applicationId if sc is not None else "<none>"
     cached = _FEATURE_CACHE.get(key)
     if cached is None:
         _FEATURE_CACHE.clear()  # a dead context's Columns are unusable

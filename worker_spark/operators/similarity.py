@@ -922,6 +922,16 @@ def semantic_dedup(
     dup_of) with ``dup_of`` the smallest offending lower id (NULL for
     kept vectors)."""
     centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
+    if centroids.isEmpty():
+        # a silent empty result would read as 'everything pruned'; the
+        # medoid rule needs at least one id divisible by centroid_every
+        # (1-row control-plane check, same hard-fail convention as
+        # cosine_topk_matrix's query-side cap)
+        raise ValueError(
+            "semantic_dedup: no medoid centroids — no vec_id is divisible "
+            f"by centroid_every={centroid_every}; lower centroid_every or "
+            "remap ids"
+        )
     cells = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     v = vectors.select(
         F.col(id_col).alias("_id"),

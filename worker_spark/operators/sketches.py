@@ -151,10 +151,17 @@ def kmv_distinct(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
     ever sees all of a group's distinct hashes. Level 2 merges the <= P
     arrays of <= k values per group (union -> sort -> first k), the
     textbook KMV merge. The result is partitioning-invariant, so the
-    oracle needs no mirror of the physical two-level shape."""
+    oracle needs no mirror of the physical two-level shape.
+
+    NULL handling: NULL values are ignored (matching COUNT(DISTINCT)
+    semantics in both engines); a group whose values are ALL NULL has
+    no distinct values to estimate and is omitted from the output —
+    without the filter an all-NULL group produced an empty bottom-k
+    array and element_at(arr, 0) is a runtime error."""
     h = md5_prefix32(F.col(value_col))
     local = (
         df.select(*group_cols, h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
         .withColumn("_pid", F.spark_partition_id())
         .groupBy(*group_cols, "_pid")
         .agg(
@@ -225,8 +232,14 @@ def bloom_build(df: DataFrame, value_col: str, *group_cols: str) -> DataFrame:
     so the shuffle carries at most BLOOM_WORDS rows per partition per
     group no matter the corpus size — the membership pre-filter that
     makes incremental dedup affordable at 100 TB (probe the tiny filter
-    first; only probable members pay the exact anti-join)."""
-    placed = df.select(
+    first; only probable members pay the exact anti-join).
+
+    NULL keys are ignored: Spark's concat_ws would silently hash a NULL
+    key as the bare seed string while the oracle's '||' concatenation
+    NULL-propagates — filtering NULLs on build AND probe keeps both
+    engines identical and avoids every NULL aliasing to one phantom
+    member."""
+    placed = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.explode(_bloom_positions(F.col(value_col))).alias("p"),
     ).select(
@@ -252,9 +265,20 @@ def bloom_probe(
 
     No false negatives (a member's bits are all set by construction);
     false-positive rate ~ (1 - e^(-K*n/m))^K, auditable against exact
-    membership downstream."""
+    membership downstream. NULL probe keys are dropped (see
+    bloom_build). The filter must be UNGROUPED — exactly (word, bits)
+    columns; probing a per-group build through this join would mix
+    every group's bits and AND hits across groups, so it is rejected
+    loudly."""
+    extra = [c for c in bloom.columns if c not in ("word", "bits")]
+    if extra:
+        raise ValueError(
+            "bloom_probe requires an ungrouped filter with exactly "
+            f"(word, bits) columns; got extra columns {extra} — probe "
+            "each group's filter separately"
+        )
     pos = (
-        probes.select(
+        probes.filter(F.col(value_col).isNotNull()).select(
             *id_cols, F.explode(_bloom_positions(F.col(value_col))).alias("p")
         )
         .select(

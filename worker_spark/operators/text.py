@@ -418,9 +418,13 @@ def doc_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per doc, bounded by |alphabet|^2 regardless of document length. Two
     deliberate perf choices (the original fold-based RLE ran 59s single-
     task at sf0.1):
-    * the input is repartitioned on doc rows FIRST — a small parquet
-      lands in one input split, and without the spread every per-doc
-      HOF evaluation funnels through one task;
+    * the input is spread across cores FIRST when it arrives under-
+      split — a small parquet lands in one input split, and without
+      the spread every per-doc HOF evaluation funnels through one
+      task. The repartition is CONDITIONAL (only when partitions <
+      defaultParallelism): at real scale the input is already
+      well-split and an unconditional repartition would pointlessly
+      shuffle every text byte down to local parallelism;
     * run lengths come from BOUNDARY positions (filter + zip_with —
       linear array ops), not an aggregate fold that array_appends into
       an accumulator (quadratic copying per distinct bigram)."""
@@ -428,9 +432,9 @@ def doc_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     spread = docs.filter(F.length(F.col(text_col)) >= 2).select(
         F.col("doc_id"), F.col(text_col)
     )
-    spread = spread.repartition(
-        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    parallelism = spread.sparkSession.sparkContext.defaultParallelism
+    if spread.rdd.getNumPartitions() < parallelism:
+        spread = spread.repartition(parallelism, "doc_id")
     base = spread.withColumn("_cs", cs).withColumn(
         "_bg",
         F.array_sort(

@@ -46,9 +46,11 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_filter",
-    f"""
+# Filterless quality-score SQL, shared verbatim by the doc_quality_filter
+# oracle (which adds the >= 0.5 cut) and the doc_curation_decision oracle
+# (which needs every document scored) — a string-replace between the two
+# would silently no-op the moment either text drifts.
+_QUALITY_SCORED_SQL = f"""
     WITH scored AS (
         SELECT doc_id, lang,
                len({_TOKS}) AS n_tokens,
@@ -66,7 +68,13 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     SELECT doc_id, lang, stopword_ratio, quality_score
-    FROM q WHERE quality_score >= 0.5
+    FROM q
+"""
+
+
+@register(
+    "doc_quality_filter",
+    _QUALITY_SCORED_SQL + """    WHERE quality_score >= 0.5
     """,
     doc="Heuristic quality scoring (length/punct/stopword bands) + filter — "
     "training-data quality gate.",
@@ -539,9 +547,7 @@ def _curation_oracle() -> str:
     from worker_spark.queries import _REGISTRY
 
     lang_sql = _REGISTRY["doc_lang_id"].oracle
-    qual_sql = _REGISTRY["doc_quality_filter"].oracle.replace(
-        "WHERE quality_score >= 0.5", ""
-    )
+    qual_sql = _QUALITY_SCORED_SQL
     rep_sql = _REGISTRY["doc_repetition_scores"].oracle
     lm_sql = _REGISTRY["doc_lm_score"].oracle
     gopher_sql = _REGISTRY["doc_gopher_rules"].oracle
