@@ -495,3 +495,171 @@ def q_streaming_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _cms_stream_oracle() -> str:
+    from worker_spark.operators import sketches as K
+
+    d, wdt = K.CMS_DEPTH, K.CMS_WIDTH
+    h32 = (
+        "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' "
+        "|| CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               user_id
+        FROM events
+    ),
+    cells AS (
+        SELECT window_start, CAST(r AS BIGINT) AS row,
+               {h32} % {wdt} AS col,
+               CAST(count(*) AS BIGINT) AS cell_count
+        FROM ev, UNNEST(range({d})) t(r)
+        GROUP BY 1, 2, 3
+    ),
+    top5 AS (
+        SELECT window_start, user_id, true_count FROM (
+            SELECT window_start, user_id,
+                   CAST(count(*) AS BIGINT) AS true_count,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY count(*) DESC, user_id)
+                       AS rk
+            FROM ev GROUP BY 1, 2
+        ) WHERE rk <= 5
+    ),
+    probes AS (
+        SELECT window_start, user_id, true_count, CAST(r AS BIGINT) AS row,
+               {h32} % {wdt} AS col
+        FROM top5, UNNEST(range({d})) t(r)
+    )
+    SELECT p.window_start, p.user_id, p.true_count,
+           min(c.cell_count) AS cms_estimate,
+           min(c.cell_count) - p.true_count AS overestimate
+    FROM probes p
+    JOIN cells c USING (window_start, row, col)
+    GROUP BY p.window_start, p.user_id, p.true_count
+    """
+
+
+@register(
+    "streaming_cms_window_users",
+    _cms_stream_oracle(),
+    doc="Count-Min cells maintained INSIDE a Structured Streaming "
+    "aggregation: per (1-minute window, row, col) the stream state holds "
+    "a plain SUM — streaming-combinable, state bounded by windows x the "
+    "cells actually hit (<= d*w), never by user cardinality. availableNow "
+    "drain, then a batch pass probes each window's true top-5 users "
+    "against the drained grid: estimate = min over rows, never "
+    "underestimates. Completes the sketches-in-streams pair with the "
+    "windowed HLL.",
+)
+def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from worker_spark.operators import sketches as K
+
+    d, wdt = K.CMS_DEPTH, K.CMS_WIDTH
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        placed = (
+            stream.withWatermark("ts", "10 minutes")
+            .select(
+                "ts",
+                F.col("user_id"),
+                F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+            )
+            .select(
+                "ts",
+                F.col("row").cast("long").alias("row"),
+                (
+                    K.md5_prefix32(
+                        F.concat_ws(":", F.col("row"), F.col("user_id"))
+                    )
+                    % wdt
+                ).alias("col"),
+            )
+        )
+        grid = placed.groupBy(
+            F.window("ts", "1 minute"), F.col("row"), F.col("col")
+        ).agg(F.count(F.lit(1)).alias("cell_count"))
+        q = (
+            grid.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_cms_window_users: availableNow drain exceeded 300s"
+            )
+        cells = spark.table(sink).select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "row",
+            "col",
+            F.col("cell_count").cast("long").alias("cell_count"),
+        )
+        per_user = events.groupBy(
+            F.date_format(
+                F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "user_id",
+        ).agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        wk = W.partitionBy("window_start").orderBy(
+            F.desc("true_count"), F.asc("user_id")
+        )
+        top5 = (
+            per_user.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 5)
+            .drop("rk")
+        )
+        probes = top5.select(
+            "window_start",
+            "user_id",
+            "true_count",
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+        ).select(
+            "window_start",
+            "user_id",
+            "true_count",
+            F.col("row").cast("long").alias("row"),
+            (
+                K.md5_prefix32(F.concat_ws(":", F.col("row"), F.col("user_id")))
+                % wdt
+            ).alias("col"),
+        )
+        result = (
+            probes.join(cells, ["window_start", "row", "col"])
+            .groupBy("window_start", "user_id", "true_count")
+            .agg(F.min("cell_count").alias("cms_estimate"))
+            .select(
+                "window_start",
+                "user_id",
+                "true_count",
+                "cms_estimate",
+                (F.col("cms_estimate") - F.col("true_count")).alias(
+                    "overestimate"
+                ),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
