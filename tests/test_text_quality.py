@@ -107,3 +107,25 @@ def test_mixture_weights_normalize_and_flatten(spark):
     # epochs is the duplication factor realizing the mixture
     for r in out:
         assert r["epochs"] > 0
+
+
+def test_curation_reject_reason_priority(spark):
+    """A document failing several gates reports the FIRST failing gate in
+    the fixed priority order (lang > quality > repetition > lm > gopher)."""
+    from worker_spark.queries.textops import q_doc_curation_decision
+
+    # run on the oracle corpus and validate the invariants per row
+    rows = q_doc_curation_decision(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["reject_reason"] == "lang_und":
+            assert r["pred_lang"] == "und"
+        elif r["reject_reason"] == "low_quality":
+            assert r["pred_lang"] != "und" and r["quality_score"] < 0.5
+        elif r["reject_reason"] == "kept":
+            assert r["keep"] and r["pred_lang"] != "und"
+            assert r["quality_score"] >= 0.5 and r["passes_gopher"]
+        if r["keep"]:
+            assert r["reject_reason"] == "kept"
+    reasons = {r["reject_reason"] for r in rows}
+    assert "kept" in reasons and len(reasons) >= 4  # real decision spread
