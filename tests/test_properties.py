@@ -287,3 +287,29 @@ def test_winnow_guarantee_on_random_plants(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fhash"])
     common = set.intersection(*[by_doc[d] for d in range(1, 6)])
     assert common, "guaranteed shared fingerprint missing"
+
+
+def test_mixture_interleave_prefix_proportionality(spark):
+    """Stride scheduling's lag bound: in any prefix of the training
+    order, each stratum's count stays within ~1 of its weighted share."""
+    import math
+
+    from worker_spark.operators.sampling import MIX_Q, mixture_interleave
+
+    rows = [(i, ["a", "b", "c"][min(i % 10, 2) if i % 10 < 3 else 0]) for i in range(300)]
+    # strata sizes: a=240, b=30, c=30 -> sqrt shares rebalance toward b/c
+    df = spark.createDataFrame(rows, schema="doc_id: bigint, lang: string")
+    got = mixture_interleave(df, "lang", top_n=120).collect()
+    sizes = {"a": 240, "b": 30, "c": 30}
+    wq = {s: math.floor(math.sqrt(n / 300) * MIX_Q) for s, n in sizes.items()}
+    tot = sum(wq.values())
+    for prefix in (30, 60, 120):
+        from collections import Counter
+
+        c = Counter(r["stratum"] for r in got[:prefix])
+        for s in sizes:
+            expect = prefix * wq[s] / tot
+            assert abs(c.get(s, 0) - expect) <= 2, (prefix, s, c)
+    # deterministic under repartitioning
+    again = mixture_interleave(df.repartition(17), "lang", top_n=120).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

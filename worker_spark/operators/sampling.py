@@ -294,3 +294,84 @@ def weighted_priority_sample(
             F.round("_q", 4).alias("priority"),
         )
     )
+
+
+INTERLEAVE_TOP_N = 200
+
+
+def mixture_interleave(
+    df: DataFrame,
+    strat_col: str,
+    top_n: int = INTERLEAVE_TOP_N,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture-weighted TRAINING ORDER via stride
+    scheduling (Waldspurger & Weihl, OSDI '95 — the classic
+    proportional-share interleave): the k-th document of stratum s is
+    consumed at virtual time (2k+1) / w_s, so any prefix of the global
+    order contains each stratum in proportion to its weight (within one
+    document — the stride-scheduling lag bound). Weights are the
+    temperature-mixture integers of ``mixture_weights`` (w_q =
+    floor(sqrt(share) * 2^20) — exact in both engines); within a
+    stratum documents are pseudo-shuffled by md5 then consumed in that
+    fixed order, so the whole schedule is reproducible bit-for-bit.
+
+    This is the LAST step of a training-data pipeline: the order
+    samples are actually fed to the trainer. Emitting the first
+    ``top_n`` positions is a distributed TakeOrdered (per-partition
+    local top-n, merged on the driver — never a global sort); a full
+    shard-writing run would range-sort on vtime instead, which Spark
+    distributes.
+
+    Output: (doc_id, stratum, k, vtime) for the first ``top_n``
+    positions, ordered. vtime = (2k+1)/w_q is one IEEE division of
+    exact integers — identical in both engines — rounded 10dp for the
+    hash surface; ties break (stratum, doc_id)."""
+    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("stratum_rows")
+    )
+    tot = per.agg(F.sum("stratum_rows").alias("total_rows"))
+    wq = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.floor(
+                F.sqrt(
+                    F.col("stratum_rows").cast("double")
+                    / F.col("total_rows").cast("double")
+                )
+                * F.lit(MIX_Q)
+            )
+            .cast("long")
+            .alias("w_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order_w = Window.partitionBy(F.col(strat_col)).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        (F.row_number().over(order_w) - 1).cast("long").alias("k"),
+    )
+    vt = (
+        ranked.join(F.broadcast(wq), "stratum")
+        .select(
+            "doc_id",
+            "stratum",
+            "k",
+            (
+                (F.col("k") * 2 + 1).cast("double")
+                / F.col("w_q").cast("double")
+            ).alias("_vt"),
+        )
+    )
+    return (
+        vt.orderBy(F.asc("_vt"), F.asc("stratum"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            "doc_id", "stratum", "k", F.round("_vt", 10).alias("vtime")
+        )
+    )

@@ -60,6 +60,7 @@ _DRIVER_WINDOW = [
     "doc_curation_decision",
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
+    "doc_mixture_interleave",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW = [
     "top_revenue_orders",
     "orders_with_returns",
     "customers_without_orders",
-    "customer_any_return",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -159,6 +159,7 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "customer_any_return",
     "outbox_drain_cap",
     "global_cursors",
     "revenue_by_nation",

@@ -195,3 +195,50 @@ def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return S.weighted_priority_sample(docs)
+
+
+@register(
+    "doc_mixture_interleave",
+    f"""
+    WITH per AS (
+        SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS stratum_rows
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(stratum_rows) AS BIGINT) AS total_rows FROM per),
+    wq AS (
+        SELECT stratum,
+               CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE)
+                               / CAST(total_rows AS DOUBLE))
+                          * {S.MIX_Q}) AS BIGINT) AS w_q
+        FROM per, tot
+    ),
+    ranked AS (
+        SELECT doc_id, lang AS stratum,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS k
+        FROM documents
+    ),
+    vt AS (
+        SELECT r.doc_id, r.stratum, r.k,
+               CAST(r.k * 2 + 1 AS DOUBLE) / CAST(w.w_q AS DOUBLE) AS _vt
+        FROM ranked r JOIN wq w USING (stratum)
+    )
+    SELECT doc_id, stratum, k, round(_vt, 10) AS vtime
+    FROM vt
+    ORDER BY _vt ASC, stratum ASC, doc_id ASC
+    LIMIT {S.INTERLEAVE_TOP_N}
+    """,
+    doc=f"Deterministic mixture-weighted training ORDER via stride "
+    "scheduling (Waldspurger'95): k-th doc of a stratum is consumed at "
+    "virtual time (2k+1)/w_q with the temperature-mixture integer "
+    "weights, so every prefix matches the mixture within one document; "
+    "md5 pseudo-shuffle within strata makes the whole schedule "
+    f"reproducible. First {S.INTERLEAVE_TOP_N} positions via distributed "
+    "TakeOrdered (full shard writes would range-sort on vtime). The "
+    "last pipeline step: the order samples actually reach the trainer.",
+)
+def q_doc_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.mixture_interleave(docs, "lang")
