@@ -313,3 +313,15 @@ def test_mixture_interleave_prefix_proportionality(spark):
     # deterministic under repartitioning
     again = mixture_interleave(df.repartition(17), "lang", top_n=120).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_stratum_wq_clamps_to_one(spark):
+    """A vanishingly small stratum must get w_q >= 1 — a zero weight
+    divides to NULL vtime, which sorts NULL-first in Spark asc but
+    NULL-last in DuckDB (cross-engine divergence)."""
+    from worker_spark.operators.sampling import _stratum_wq
+
+    rows = [(i, "big") for i in range(500)] + [(10_000, "tiny")]
+    df = spark.createDataFrame(rows, schema="doc_id: bigint, lang: string")
+    got = {r["stratum"]: r["w_q"] for r in _stratum_wq(df, "lang").collect()}
+    assert got["tiny"] >= 1 and got["big"] >= 1

@@ -179,6 +179,38 @@ def split_assign(
 MIX_Q = 1 << 20
 
 
+def _stratum_wq(
+    df: DataFrame, strat_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """The temperature-mixture integer weight per stratum — the SINGLE
+    definition of the quantization rule (floor(sqrt(share) * 2^20)),
+    shared by mixture_weights and mixture_interleave so the realized
+    interleave can never drift from the declared mixture. Output:
+    (stratum, stratum_rows, total_rows, w_q) with w_q >= 1: a stratum
+    with share < 2^-40 would quantize to 0 and a zero divisor diverges
+    across engines (NULL-first Spark asc sort vs NULL-last DuckDB — the
+    same hazard weighted_priority_sample guards), so the floor is
+    clamped to 1 in both engines."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.sum(w.cast("long")).alias("stratum_rows")
+    )
+    tot = per.agg(F.sum("stratum_rows").alias("total_rows"))
+    return per.crossJoin(F.broadcast(tot)).withColumn(
+        "w_q",
+        F.greatest(
+            F.floor(
+                F.sqrt(
+                    F.col("stratum_rows").cast("double")
+                    / F.col("total_rows").cast("double")
+                )
+                * F.lit(MIX_Q)
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+
+
 def mixture_weights(
     df: DataFrame, strat_col: str, weight_col: str | None = None
 ) -> DataFrame:
@@ -199,21 +231,7 @@ def mixture_weights(
     ``weight_col`` optionally weights rows (e.g. by token count) instead
     of counting them.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1)
-    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
-        F.sum(w.cast("long")).alias("stratum_rows")
-    )
-    tot = per.agg(F.sum("stratum_rows").alias("total_rows"))
-    q = per.crossJoin(F.broadcast(tot)).withColumn(
-        "w_q",
-        F.floor(
-            F.sqrt(
-                F.col("stratum_rows").cast("double")
-                / F.col("total_rows").cast("double")
-            )
-            * F.lit(MIX_Q)
-        ).cast("long"),
-    )
+    q = _stratum_wq(df, strat_col, weight_col)
     qtot = q.agg(F.sum("w_q").alias("w_q_total"))
     return (
         q.crossJoin(F.broadcast(qtot))
@@ -327,25 +345,7 @@ def mixture_interleave(
     positions, ordered. vtime = (2k+1)/w_q is one IEEE division of
     exact integers — identical in both engines — rounded 10dp for the
     hash surface; ties break (stratum, doc_id)."""
-    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
-        F.count(F.lit(1)).cast("long").alias("stratum_rows")
-    )
-    tot = per.agg(F.sum("stratum_rows").alias("total_rows"))
-    wq = (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "stratum",
-            F.floor(
-                F.sqrt(
-                    F.col("stratum_rows").cast("double")
-                    / F.col("total_rows").cast("double")
-                )
-                * F.lit(MIX_Q)
-            )
-            .cast("long")
-            .alias("w_q"),
-        )
-    )
+    wq = _stratum_wq(df, strat_col).select("stratum", "w_q")
     from pyspark.sql import Window
 
     order_w = Window.partitionBy(F.col(strat_col)).orderBy(

@@ -302,6 +302,26 @@ def bloom_probe(
     )
 
 
+def cms_place(key: Column, row: Column) -> Column:
+    """The Count-Min column index of ``key`` for hash row ``row`` — the
+    SINGLE definition of the cell placement (seeded md5-prefix modulo
+    grid width), shared by the batch build, the batch probe, and the
+    streaming variants so a seed/width change can never silently break
+    the never-underestimates invariant in one copy."""
+    return md5_prefix32(F.concat_ws(":", row, key)) % CMS_WIDTH
+
+
+def cms_place_sql(key_expr: str, row_expr: str = "r") -> str:
+    """The identical placement as DuckDB SQL (for oracle generators)."""
+    return (
+        "CAST(('0x' || substr(md5(CAST("
+        + row_expr
+        + " AS VARCHAR) || ':' || CAST("
+        + key_expr
+        + f" AS VARCHAR)), 1, 8)) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
 def cms_cells(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """Count-Min grid over a token column: (row, col, cell_count) for
     d x w cells. Each token lands in one column per row via seeded
@@ -312,10 +332,7 @@ def cms_cells(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     ).alias("row")
     placed = tokens.select(F.col(token_col).alias("_tok"), rows).select(
         F.col("row").cast("long").alias("row"),
-        (
-            md5_prefix32(F.concat_ws(":", F.col("row"), F.col("_tok")))
-            % CMS_WIDTH
-        ).alias("col"),
+        cms_place(F.col("_tok"), F.col("row")).alias("col"),
     )
     return placed.groupBy("row", "col").agg(
         F.count(F.lit(1)).alias("cell_count")
@@ -342,10 +359,7 @@ def cms_heavy_hitters(
         "token",
         "true_count",
         F.col("row").cast("long").alias("row"),
-        (
-            md5_prefix32(F.concat_ws(":", F.col("row"), F.col("token")))
-            % CMS_WIDTH
-        ).alias("col"),
+        cms_place(F.col("token"), F.col("row")).alias("col"),
     )
     est = (
         probes.join(F.broadcast(cells), ["row", "col"])

@@ -148,8 +148,10 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(stratum_rows) AS BIGINT) AS total_rows FROM per),
     q AS (
         SELECT stratum, stratum_rows, total_rows,
-               CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE) / total_rows)
-                          * {S.MIX_Q}) AS BIGINT) AS w_q
+               greatest(CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE)
+                                        / total_rows)
+                                   * {S.MIX_Q}) AS BIGINT),
+                        CAST(1 AS BIGINT)) AS w_q
         FROM per, tot
     ),
     qt AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_q_total FROM q)
@@ -207,9 +209,10 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(stratum_rows) AS BIGINT) AS total_rows FROM per),
     wq AS (
         SELECT stratum,
-               CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE)
-                               / CAST(total_rows AS DOUBLE))
-                          * {S.MIX_Q}) AS BIGINT) AS w_q
+               greatest(CAST(floor(sqrt(CAST(stratum_rows AS DOUBLE)
+                                        / CAST(total_rows AS DOUBLE))
+                                   * {S.MIX_Q}) AS BIGINT),
+                        CAST(1 AS BIGINT)) AS w_q
         FROM per, tot
     ),
     ranked AS (

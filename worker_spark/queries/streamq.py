@@ -500,11 +500,8 @@ def q_streaming_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cms_stream_oracle() -> str:
     from worker_spark.operators import sketches as K
 
-    d, wdt = K.CMS_DEPTH, K.CMS_WIDTH
-    h32 = (
-        "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' "
-        "|| CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-    )
+    d = K.CMS_DEPTH
+    place = K.cms_place_sql("user_id", "r")
     return f"""
     WITH ev AS (
         SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
@@ -514,7 +511,7 @@ def _cms_stream_oracle() -> str:
     ),
     cells AS (
         SELECT window_start, CAST(r AS BIGINT) AS row,
-               {h32} % {wdt} AS col,
+               {place} AS col,
                CAST(count(*) AS BIGINT) AS cell_count
         FROM ev, UNNEST(range({d})) t(r)
         GROUP BY 1, 2, 3
@@ -531,7 +528,7 @@ def _cms_stream_oracle() -> str:
     ),
     probes AS (
         SELECT window_start, user_id, true_count, CAST(r AS BIGINT) AS row,
-               {h32} % {wdt} AS col
+               {place} AS col
         FROM top5, UNNEST(range({d})) t(r)
     )
     SELECT p.window_start, p.user_id, p.true_count,
@@ -562,7 +559,7 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from worker_spark.operators import sketches as K
 
-    d, wdt = K.CMS_DEPTH, K.CMS_WIDTH
+    d = K.CMS_DEPTH
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -582,12 +579,7 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "ts",
                 F.col("row").cast("long").alias("row"),
-                (
-                    K.md5_prefix32(
-                        F.concat_ws(":", F.col("row"), F.col("user_id"))
-                    )
-                    % wdt
-                ).alias("col"),
+                K.cms_place(F.col("user_id"), F.col("row")).alias("col"),
             )
         )
         grid = placed.groupBy(
@@ -638,10 +630,7 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "true_count",
             F.col("row").cast("long").alias("row"),
-            (
-                K.md5_prefix32(F.concat_ws(":", F.col("row"), F.col("user_id")))
-                % wdt
-            ).alias("col"),
+            K.cms_place(F.col("user_id"), F.col("row")).alias("col"),
         )
         result = (
             probes.join(cells, ["window_start", "row", "col"])
