@@ -61,6 +61,9 @@ _DRIVER_WINDOW = [
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",
+    # (c cont.) shared w_q / cms_place helpers touched these two
+    "doc_mixture_weights",
+    "token_cms_heavy_hitters",
     # (b) last green in round 1
     "dedup_embedding_blocked",
     "sync_outbox_tick",
@@ -111,8 +114,6 @@ _DRIVER_WINDOW = [
     # in-window by outbox_dashboard and the relational family); they join
     # the round-5 stale leads
     "top_revenue_orders",
-    "orders_with_returns",
-    "customers_without_orders",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
@@ -147,10 +148,8 @@ _DRIVER_WINDOW = [
     "dedup_translit_shingles",
     "doc_gopher_rules",
     "doc_split_assign",
-    "doc_mixture_weights",
     "doc_cdc_chunks_clamped",
     "hll_distinct_users",
-    "token_cms_heavy_hitters",
     "inverted_index_postings",
     "streaming_view_purchase_join",
     "similarity_opq_kmeans_topk",
@@ -159,6 +158,8 @@ _DRIVER_WINDOW = [
     "documents_profile",
     # displaced from block (d) this round (last green r2; operators covered
     # in-window); stale-leads for round 5 together with the 3 (d) overflows
+    "orders_with_returns",
+    "customers_without_orders",
     "customer_any_return",
     "outbox_drain_cap",
     "global_cursors",
