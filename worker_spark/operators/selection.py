@@ -87,7 +87,14 @@ def importance_weights(
                 ).cast("long")
             ).alias("lr_micro"),
         )
+        # Materialize the model now (vocab-sized, slim) so the per_doc
+        # cache — populated while building the raw/target counts — can be
+        # released before returning instead of leaking for the session's
+        # lifetime (ADVICE r4). The scoring join below re-derives per_doc
+        # once from source; one extra map-side pass, zero leaked blocks.
+        .localCheckpoint(eager=True)
     )
+    per_doc.unpersist()
     return (
         per_doc.join(F.broadcast(model), "bigram")
         .groupBy("doc_id")

@@ -57,13 +57,17 @@ WIN_K = 12  # K-gram length (chars)
 WIN_W = 16  # winnow window (in K-grams)
 # guarantee: every exact repeat of >= WIN_W + WIN_K - 1 = 27 chars is caught
 WIN_GAP = WIN_K + WIN_W  # island merge distance between fingerprint hits
-# position packing: 31-bit position field. The packed value
-# h * 2^31 + (2^31-1-p) tops out at (2^32-1)*2^31 + (2^31-1) = 2^63-1 —
-# exactly the signed-BIGINT max, ANSI-safe in both engines. The bound is
-# structural, not assumed: a document would need >= 2^31 chars to overflow
-# the field, which exceeds the JVM string/array limit, so no text Spark can
-# hold corrupts the packing (the previous 24-bit field silently corrupted
-# fingerprints past 16.7M chars).
+# position packing: 31-bit position field. The K-gram hash below is a
+# mod-KG_M polynomial with KG_M < 2^31, so the packed value
+# h * 2^31 + (2^31-1-p) tops out below (2^31-1)*2^31 + (2^31-1) < 2^62 —
+# comfortably inside signed-BIGINT range in both engines (ADVICE r4: the
+# old comment derived the ceiling from the retired 32-bit md5 hash; even
+# that packing peaked at exactly 2^63-1, so widening the hash back to 32
+# bits would still be safe, but anything wider would overflow). The
+# position bound is structural, not assumed: a document would need
+# >= 2^31 chars to overflow the field, which exceeds the JVM string/array
+# limit, so no text Spark can hold corrupts the packing (the previous
+# 24-bit field silently corrupted fingerprints past 16.7M chars).
 POS_SHIFT = 1 << 31
 
 

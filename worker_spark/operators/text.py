@@ -525,7 +525,14 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .cast("long")
             .alias("lp_micro"),
         )
+        # Materialize the model now (it is tiny: <= |alphabet|^2 rows) so the
+        # per_doc cache — populated during this job — can be released before
+        # returning. The final scoring pass below re-derives per_doc once
+        # from source (one map-side pass); the alternative was leaking a
+        # corpus-sized cached frame for the session's lifetime.
+        .localCheckpoint(eager=True)
     )
+    per_doc.unpersist()
     return (
         per_doc.join(F.broadcast(logp), "bigram")
         .groupBy("doc_id")

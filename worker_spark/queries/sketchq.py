@@ -88,7 +88,11 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmv_distinct_users",
     f"""
     WITH h AS (
+        -- mirror the Spark side's NULL handling (sketches.kmv_distinct
+        -- filters NULL hashes): NULL user_ids contribute no hash, and an
+        -- all-NULL group is omitted rather than emitted as a 0/NaN row
         SELECT DISTINCT event_type, {_H32} AS hv FROM events
+        WHERE user_id IS NOT NULL
     ),
     r AS (
         SELECT event_type, hv,
