@@ -372,3 +372,149 @@ def cms_heavy_hitters(
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
     )
+
+
+QSK_K = 512  # quantile sketch capacity: sampled values kept per group
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *group_cols: str,
+    quantiles: tuple[tuple[int, int, str], ...] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+    k: int = QSK_K,
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch (VERDICT r4 item 2 — the
+    replacement for exact ``percentile()``, whose aggregation state
+    buffers every value per group and single-executor-OOMs at 100 TB).
+
+    Construction — bottom-k rank sampling: hash each row's stable key
+    (md5-prefix 32-bit) and keep, per group, the k rows with the
+    smallest (hash, value) pairs. That is a uniform-without-replacement
+    sample of the group's value multiset, selected by hash rank instead
+    of an RNG, so the sketch is a pure function of the row SET:
+    partitioning-invariant, mergeable (bottom-k of a union = bottom-k of
+    bottom-k's — the KMV merge), and bit-identical in any engine that
+    can hash and sort. Classical KLL compaction (Karnin-Lang-Liberty,
+    FOCS 2016) reaches a better eps-vs-space exponent but its compaction
+    decisions depend on merge ORDER — two partitionings of the same data
+    yield different (both valid) sketches, which can never hash-match a
+    single-threaded oracle. Rank sampling trades the KLL exponent
+    (sample error is O(sqrt(ln(1/d)/k)) rank error) for determinism;
+    groups with n <= k keep everything and are EXACT.
+
+    Physical shape — the KMV two-level bounded aggregation
+    (sketches.kmv_distinct): level 1 reduces each (group, input
+    partition) slice to its sorted bottom-k array, so no task ever
+    holds more than k rows per slice; level 2 merges the <= P arrays of
+    <= k entries. The shuffle carries <= k structs per group per
+    partition regardless of group size — contrast exact percentile()'s
+    per-group full-value buffer.
+
+    Estimates are nearest-rank order statistics of the sampled values:
+    the q=num/den quantile is sample value #ceil(m*num/den), computed
+    with INTEGER ceiling division ((m*num + den - 1) div den) so no
+    float rounding can diverge across engines. NULL and NaN values are
+    excluded (NaN orders differently across engines; percentile
+    semantics ignore NULLs); a group that is all-NULL/NaN is omitted.
+
+    Output: (group..., m, <label>_est per quantile) with m the sample
+    size (== group size when exact). Audit columns (exact rank of each
+    estimate) are a separate scale-safe pass: quantile_sketch_audit.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(
+        *group_cols,
+        md5_prefix32(F.col(key_col)).alias("hv"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    local = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_cols, "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("hv", "v"))), 1, k
+            ).alias("_arr")
+        )
+    )
+    merged = local.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_arr"))), 1, k
+        ).alias("_arr")
+    )
+    sampled = merged.select(
+        *group_cols,
+        F.size("_arr").cast("long").alias("m"),
+        F.array_sort(
+            F.transform("_arr", lambda s: s.getField("v"))
+        ).alias("_vs"),
+    )
+    est_cols = [
+        F.element_at(
+            F.col("_vs"),
+            F.expr(f"CAST((m * {num} + {den - 1}) DIV {den} AS INT)"),
+        ).alias(f"{label}_est")
+        for num, den, label in quantiles
+    ]
+    return sampled.select(*group_cols, "m", *est_cols)
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *group_cols: str,
+    quantiles: tuple[tuple[int, int, str], ...] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+    k: int = QSK_K,
+) -> DataFrame:
+    """quantile_sketch plus its own accuracy audit, all scale-safe: the
+    exact rank fraction of each estimate is ONE conditional count over
+    the group (sum of v <= est after broadcasting the tiny per-group
+    estimate row back onto the data) — never a per-group value buffer.
+    Output: (group..., n, m, <label>_est, <label>_rank_err) where
+    rank_err = |count(v <= est)/n - q| rounded 6dp; for an exact group
+    (m == n) the error is only the nearest-rank tie/granularity gap
+    (<= 1/n), and for sampled groups it realizes the O(sqrt(1/k)) rank
+    deviation — the per-group evidence a profiling run records beside
+    each estimate."""
+    est = quantile_sketch(
+        df, value_col, key_col, *group_cols, quantiles=quantiles, k=k
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(*group_cols, F.col(value_col).cast("double").alias("v"))
+    joined = base.join(F.broadcast(est), list(group_cols))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for _num, _den, label in quantiles:
+        aggs.append(
+            F.sum(
+                (F.col("v") <= F.col(f"{label}_est")).cast("long")
+            ).alias(f"_c_{label}")
+        )
+    counted = joined.groupBy(
+        *group_cols, "m", *[f"{label}_est" for _, _, label in quantiles]
+    ).agg(*aggs)
+    out_cols = list(group_cols) + ["n", "m"]
+    for num, den, label in quantiles:
+        out_cols.append(f"{label}_est")
+        out_cols.append(
+            F.round(
+                F.abs(
+                    F.col(f"_c_{label}").cast("double")
+                    / F.col("n").cast("double")
+                    - F.lit(num / den)
+                ),
+                6,
+            ).alias(f"{label}_rank_err")
+        )
+    return counted.select(*out_cols)

@@ -39,88 +39,50 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Round-4 rotation (VERDICT r3 item 1): (a) the 3 queries that have NEVER
-# had a driver row, (b) the 3 whose last green row was round 1, (c) every
-# query whose code or oracle changed in round 4, then (d) the 41 queries
-# last green in round 2, longest-stale first-in. Everything past position
-# 50 was driver-green in round 3 and unchanged since; the in-repo DuckDB
-# parity test (tests/test_oracle_parity.py) still replays ALL entries.
+# Steady state for 108 queries / 50 slots: every entry gets a driver row at
+# least every ~2.3 rounds; new or changed queries always re-enter the window
+# immediately, then the longest-stale class fills the remainder.
 _DRIVER_WINDOW = [
-    # (a) never driver-verified (landed after the r3 driver run)
-    "doc_cdc_duplicate_chunks",
-    "dedup_substring_spans",
-    "embedding_label_centroids",
-    # (a cont.) new in round 4
-    "bloom_membership_audit",
-    "doc_dsir_selection",
-    "semdedup_prune",
-    "streaming_hll_window_users",
-    "bloom_incremental_dedup",
-    "contrastive_hard_negatives",
-    "doc_curation_decision",
-    "crawl_frontier_schedule",
-    "streaming_cms_window_users",
-    "doc_mixture_interleave",
-    # (c cont.) shared w_q / cms_place helpers touched these two
-    "doc_mixture_weights",
-    "token_cms_heavy_hitters",
-    # (b) last green in round 1
-    "dedup_embedding_blocked",
-    "sync_outbox_tick",
-    "outbox_dashboard",
-    # (c) code/oracle changed in round 4 (ADVICE fixes: priority-sample
-    # divisor guard, lift cast order, 31-bit winnowing position field,
-    # mergeable KMV bottom-k)
-    "doc_weighted_sample",
-    "token_bigram_collocations",
+    # Round-5 rotation (VERDICT r4 item 1). (a) new or changed this round:
+    # event_quantile_sketch is new (the deterministic mergeable quantile
+    # sketch, VERDICT item 2); kmv_distinct_users' oracle gained the NULL
+    # filter; doc_lm_score / doc_dsir_selection / doc_curation_decision
+    # share the bigram-model cache-release rework; event_value_percentiles
+    # is doc-only (small-group-only scale note) but rides along.
+    "event_quantile_sketch",
     "kmv_distinct_users",
-    "doc_substring_dup_spans",
-    "doc_substring_dedup_report",
-    "doc_substring_dedup_cut",
-    # (c cont.) extraction layer rebuilt as shared-subtree batched
-    # selects (analysis-overhead fix) — re-verify the flagship family
-    "search_documents_flat",
-    "article_search_documents",
-    "doc_build_scale",
-    # (c cont.) BPE training batched (disjoint merge batches per round,
-    # localCheckpoint lineage cuts) — both queries' code AND oracles changed
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    # (c cont.) edit-distance verify gained the prefix cap + thresholded DP
-    "dedup_edit_distance",
-    # (c cont.) doc_bigram_counts rewritten (linear RLE + repartition)
     "doc_lm_score",
-    # (d) last green in round 2, filling the window to 50
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_incremental",
-    "doc_token_stats",
-    "doc_quality_filter",
-    "doc_lang_id",
-    "doc_fingerprint_dupes",
+    "doc_dsir_selection",
+    "doc_curation_decision",
     "event_value_percentiles",
-    "doc_repetition_scores",
-    "doc_tfidf_topk",
-    "benchmark_contamination",
-    "pii_redaction",
-    "dedup_best_of_cluster",
-    "inline_ref_codes",
-    "article_analysis",
-    "multimodal_features",
-    "doc_sequence_pack",
-    # pricing_summary / status_counts / key_roundtrip displaced past the
-    # boundary by the flagship re-verification (their operators are covered
-    # in-window by outbox_dashboard and the relational family); they join
-    # the round-5 stale leads
-    "top_revenue_orders",
+    # (b) every query whose last driver-green row is round 2 — the full
+    # 22-entry stale set (the 17 enumerated in the r4 NOTES roadmap plus
+    # the 5 relational/outbox entries displaced with them), longest-stale
+    # class first per the rotation scheme.
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
-    # ---- driver window boundary: only the FIRST 50 entries above get a
-    # driver row this round; the r2-stale tail that overflows position 50
-    # leads the next rotation. Entries below were green in round 3 and are
-    # unchanged; parity-test-pinned until their next rotation. ----
+    "pricing_summary",
+    "status_counts",
+    "key_roundtrip",
+    "orders_per_customer_list",
+    "event_journey",
+    "dedup_minhash_lsh",
+    "positional_list_parse",
+    "recent_event_stats",
+    "code_first_id_wins",
+    "name_fallback_resolution",
+    "active_entity_keys",
+    "sync_diff_classify",
+    "top3_orders_per_segment",
+    "revenue_by_nation",
+    "orders_with_returns",
+    "customers_without_orders",
+    "customer_any_return",
+    "outbox_drain_cap",
+    "global_cursors",
+    # (c) round-3-green block, oldest remaining class, filling the window
+    # to exactly 50. The 13 r3 entries that do not fit lead round 6.
     "doc_quota_sample",
     "similarity_ivf_ann",
     "similarity_quantized_topk",
@@ -143,6 +105,11 @@ _DRIVER_WINDOW = [
     "inline_ref_parse",
     "doc_char_entropy",
     "search_index_config",
+    # ---- driver window boundary: only the FIRST 50 entries above get a
+    # driver row this round. Below: the 13 r3-green entries that did not
+    # fit (they lead the round-6 window), then the round-4-green block —
+    # all unchanged since their last green row and re-pinned every session
+    # by tests/test_oracle_parity.py, which replays ALL entries. ----
     "similarity_pq_kmeans_topk",
     "doc_cdc_chunks",
     "dedup_translit_shingles",
@@ -156,27 +123,52 @@ _DRIVER_WINDOW = [
     "streaming_dedup_keys",
     "dedup_pagerank_centrality",
     "documents_profile",
-    # displaced from block (d) this round (last green r2; operators covered
-    # in-window); stale-leads for round 5 together with the 3 (d) overflows
-    "orders_with_returns",
-    "customers_without_orders",
-    "customer_any_return",
-    "outbox_drain_cap",
-    "global_cursors",
-    "revenue_by_nation",
-    "top3_orders_per_segment",
-    "sync_diff_classify",
-    "active_entity_keys",
-    "positional_list_parse",
-    "recent_event_stats",
-    "code_first_id_wins",
-    "name_fallback_resolution",
-    "dedup_minhash_lsh",
-    "orders_per_customer_list",
-    "event_journey",
-    "pricing_summary",
-    "status_counts",
-    "key_roundtrip",
+    # round-4-green (unchanged since CORRECTNESS_r04)
+    "doc_cdc_duplicate_chunks",
+    "dedup_substring_spans",
+    "embedding_label_centroids",
+    "bloom_membership_audit",
+    "semdedup_prune",
+    "streaming_hll_window_users",
+    "bloom_incremental_dedup",
+    "contrastive_hard_negatives",
+    "crawl_frontier_schedule",
+    "streaming_cms_window_users",
+    "doc_mixture_interleave",
+    "doc_mixture_weights",
+    "token_cms_heavy_hitters",
+    "dedup_embedding_blocked",
+    "sync_outbox_tick",
+    "outbox_dashboard",
+    "doc_weighted_sample",
+    "token_bigram_collocations",
+    "doc_substring_dup_spans",
+    "doc_substring_dedup_report",
+    "doc_substring_dedup_cut",
+    "search_documents_flat",
+    "article_search_documents",
+    "doc_build_scale",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    "doc_token_stats",
+    "doc_quality_filter",
+    "doc_lang_id",
+    "doc_fingerprint_dupes",
+    "doc_repetition_scores",
+    "doc_tfidf_topk",
+    "benchmark_contamination",
+    "pii_redaction",
+    "dedup_best_of_cluster",
+    "inline_ref_codes",
+    "article_analysis",
+    "multimodal_features",
+    "doc_sequence_pack",
+    "top_revenue_orders",
 ]
 
 

@@ -165,7 +165,14 @@ def q_doc_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     doc="Exact interpolated percentiles per group — the distribution-"
-    "profiling aggregate a data-quality pipeline runs per shard.",
+    "profiling aggregate a data-quality pipeline runs per shard. "
+    "SMALL-GROUP-ONLY (VERDICT r4): percentile()'s aggregation state "
+    "buffers every value of a group on one executor, so this exact form "
+    "is for bounded-cardinality shards (<= ~10M values/group), matching "
+    "the reference's per-dictionary stats scope. The 100 TB path is "
+    "event_quantile_sketch (sketches.quantile_sketch): bottom-k rank "
+    "sampling, <= k rows per group per partition on the shuffle, "
+    "deterministic and oracle-checked with a per-group rank-error audit.",
 )
 def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
