@@ -1,0 +1,278 @@
+"""ANN recall-vs-cost evaluation harness (VERDICT r4 item 5).
+
+The similarity family (operators/similarity.py) implements seven ANN
+strategies; this module produces the evidence a user needs to CHOOSE one:
+recall@k against the exact top-k, candidate volume (how many pairs each
+strategy scores at all), and exact-scan volume (how many pairs are scored
+at full float precision — the dominant cost at 100 TB, where the corpus
+side of an exact scan is the thing you cannot afford).
+
+Each method is judged against the exact top-k of ITS OWN target metric —
+cosine for the hyperplane/IVF family, float dot product for the int8
+quantized scorer, squared L2 for the PQ family — because "recall" against
+a metric a method does not rank by would conflate approximation error
+with metric mismatch.
+
+Cost accounting (per method, nq queries over an N-vector corpus):
+
+* cand_pairs — pairs the method scores by ANY means (bucket collisions
+  for LSH, probed-cell members for IVF, the whole corpus for ADC/brute).
+* exact_pairs — pairs scored with full float vectors. For PQ-ADC this is
+  0 (code lookups only); for the refine stage it is nq * shortlist; for
+  LSH/IVF every candidate is exact-scored.
+* scan_frac — exact_pairs / (nq * (N-1)): the fraction of a brute-force
+  scan actually paid. The 100 TB story is this column: brute = 1.0 by
+  definition, and a method is only a scale win if scan_frac stays small
+  while recall holds.
+
+Used by tools/ann_eval.py (markdown table, committed as ANN_EVAL.md) and
+tests/test_ann_eval.py (asserted recall floors).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from worker_spark.operators import similarity as S
+
+EVAL_K = 10
+EVAL_QUERY_STRIDE = 100  # same medoid stride the PQ operators default to
+
+
+def _dot_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact float dot-product top-k — ground truth for quantized_topk."""
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = candidates.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(S._dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id")
+    )
+
+
+def _l2_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact squared-L2 top-k — ground truth for the PQ family."""
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = candidates.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(l2, 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id")
+    )
+
+
+def _pairs(df: DataFrame) -> set[tuple]:
+    return {(r["q_id"], r["c_id"]) for r in df.select("q_id", "c_id").collect()}
+
+
+def _recall(method_pairs: set[tuple], truth_pairs: set[tuple]) -> float:
+    return len(method_pairs & truth_pairs) / max(1, len(truth_pairs))
+
+
+def _ivf_candidate_count(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroid_every: int,
+    nprobe: int,
+) -> int:
+    """Candidate-pair volume of ivf_ann_neighbors: members of the nprobe
+    nearest cells per query (mirrors the operator's candidate generation;
+    similarity.py:355 keeps the scoring plan, this only counts it)."""
+    centroids = candidates.filter(F.col("vec_id") % centroid_every == 0)
+    cells = S.ivf_assign(candidates, centroids)
+    c = centroids.select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_vec"),
+        S._norm(F.col("embedding")).alias("cent_norm"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        S._norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = q.crossJoin(F.broadcast(c)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            F.try_divide(
+                S._dot(F.col("q_vec"), F.col("cent_vec")),
+                F.col("q_norm") * F.col("cent_norm"),
+            ),
+            6,
+        ).alias("_sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("_sim"), F.asc("cent_id"))
+    probes = (
+        scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", F.col("cent_id").alias("cell_id"))
+    )
+    return (
+        probes.join(cells, "cell_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .count()
+    )
+
+
+def evaluate_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = EVAL_K,
+    query_stride: int = EVAL_QUERY_STRIDE,
+    ivf_centroid_every: int = 100,
+    ivf_nprobe: int = 2,
+    pq_shortlist: int = 100,
+) -> list[dict]:
+    """Run every ANN strategy over ``embeddings`` at ``sf_dir`` and return
+    one row per method: recall@k vs its metric's exact top-k, candidate /
+    exact-pair volume, exact-scan fraction, and wall seconds."""
+    from worker_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % query_stride == 0)
+    nq = queries.count()
+    denom = nq * (n - 1)
+
+    truth_cos = _pairs(
+        S.cosine_neighbors(queries, emb, threshold=-2.0, top_k=k)
+    )
+    truth_dot = _pairs(_dot_topk(queries, emb, k))
+    truth_l2 = _pairs(_l2_topk(queries, emb, k))
+
+    rows: list[dict] = []
+
+    def record(method, metric, pairs_df, truth, cand_pairs, exact_pairs, secs):
+        rows.append(
+            {
+                "method": method,
+                "metric": metric,
+                "recall_at_k": round(_recall(_pairs(pairs_df), truth), 4),
+                "cand_pairs": int(cand_pairs),
+                "exact_pairs": int(exact_pairs),
+                "scan_frac": round(exact_pairs / denom, 4),
+                "secs": round(secs, 2),
+            }
+        )
+
+    # brute cosine: the 1.0-recall / 1.0-scan anchor
+    t0 = time.perf_counter()
+    brute = S.cosine_neighbors(queries, emb, threshold=-2.0, top_k=k)
+    brute.collect()
+    record("brute_cosine", "cosine", brute, truth_cos, denom, denom,
+           time.perf_counter() - t0)
+
+    # single-signature LSH
+    t0 = time.perf_counter()
+    lsh_scored = S.lsh_ann_neighbors(queries, emb, threshold=-2.0)
+    lsh_cand = lsh_scored.count()
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    lsh_top = (
+        lsh_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    lsh_top.collect()
+    record("lsh_single", "cosine", lsh_top, truth_cos, lsh_cand, lsh_cand,
+           time.perf_counter() - t0)
+
+    # multi-table LSH
+    t0 = time.perf_counter()
+    ml_scored = S.multitable_lsh_ann_neighbors(queries, emb, threshold=-2.0)
+    ml_cand = ml_scored.count()
+    ml_top = (
+        ml_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    ml_top.collect()
+    record("lsh_multitable", "cosine", ml_top, truth_cos, ml_cand, ml_cand,
+           time.perf_counter() - t0)
+
+    # IVF
+    t0 = time.perf_counter()
+    ivf = S.ivf_ann_neighbors(
+        queries, emb, centroid_every=ivf_centroid_every,
+        nprobe=ivf_nprobe, top_k=k,
+    )
+    ivf.collect()
+    ivf_secs = time.perf_counter() - t0
+    ivf_cand = _ivf_candidate_count(queries, emb, ivf_centroid_every, ivf_nprobe)
+    record("ivf", "cosine", ivf, truth_cos, ivf_cand, ivf_cand, ivf_secs)
+
+    # int8 quantized exact-integer scorer (full scan, cheaper per pair)
+    t0 = time.perf_counter()
+    qz = S.quantized_topk(queries, emb, k=k)
+    qz.collect()
+    record("int8_quantized", "dot", qz, truth_dot, denom, 0,
+           time.perf_counter() - t0)
+
+    # PQ family (queries are vec_id % query_stride inside the operators)
+    t0 = time.perf_counter()
+    adc = S.pq_adc_topk(emb, k=k, query_stride=query_stride)
+    adc.collect()
+    record("pq_adc", "l2", adc, truth_l2, denom, 0, time.perf_counter() - t0)
+
+    # refine at two shortlist sizes: the recall/scan knob made visible
+    # (sf0.01: 0.86 recall at 20% scan -> 0.98 at 40% -> 1.0 at 60%)
+    for sl in (pq_shortlist, 2 * pq_shortlist):
+        t0 = time.perf_counter()
+        ref = S.pq_adc_refined_topk(
+            emb, k=k, shortlist=sl, query_stride=query_stride
+        )
+        ref.collect()
+        record(f"pq_adc_refined_{sl}", "l2", ref, truth_l2, denom, nq * sl,
+               time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    pqk = S.pq_kmeans_topk(emb, k=k, query_stride=query_stride)
+    pqk.collect()
+    record("pq_kmeans", "l2", pqk, truth_l2, denom, 0, time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    opq = S.opq_pq_kmeans_topk(emb, k=k, query_stride=query_stride)
+    opq.collect()
+    record("opq_kmeans", "l2", opq, truth_l2, denom, 0, time.perf_counter() - t0)
+
+    emb.unpersist()
+    return rows
+
+
+def markdown_table(rows: list[dict]) -> str:
+    head = "| method | metric | recall@k | cand_pairs | exact_pairs | scan_frac | secs |"
+    sep = "|---|---|---|---|---|---|---|"
+    body = [
+        f"| {r['method']} | {r['metric']} | {r['recall_at_k']:.3f} "
+        f"| {r['cand_pairs']} | {r['exact_pairs']} | {r['scan_frac']:.3f} "
+        f"| {r['secs']:.2f} |"
+        for r in rows
+    ]
+    return "\n".join([head, sep, *body])

@@ -506,8 +506,10 @@ def quantized_topk(
 # DIM floats (16x smaller at M=16); scoring a candidate is M table
 # lookups. Pure ADC ranking is a shortlist generator; production recall
 # comes from the refine stage (pq_adc_refined_topk) that exactly re-ranks
-# the shortlist — measured 0.98 recall@10 re-ranking a 100-candidate
-# shortlist (20% of the sf0.01 corpus) vs brute force.
+# the shortlist — measured recall@10 vs brute-force L2 on sf0.01:
+# 0.86 at a 100-candidate shortlist (20% scan), 0.98 at 200 (40%), 1.00
+# at 300 (60%); the full recall-vs-cost table for every ANN strategy is
+# ANN_EVAL.md (harness: operators/ann_eval.py).
 #
 # Everything is deterministic and engine-exact: codebooks are medoid rows
 # (vec_id % stride), sub-distances are rounded to 6dp and summed as
@@ -627,8 +629,12 @@ def pq_adc_refined_topk(
     """IVFADC-style refine: take the ADC shortlist, then re-rank those
     candidates by EXACT squared L2. At scale the exact stage touches only
     ``shortlist`` vectors per query instead of the corpus — the standard
-    recall/cost trade (here: 0.98 recall@10 at 20% exact-scan fraction on
-    the test corpus)."""
+    recall/cost trade. Measured on the sf0.01 corpus (ANN_EVAL.md /
+    operators/ann_eval.py): recall@10 = 0.86 at a 20% exact-scan
+    fraction (shortlist=100 of 500), 0.98 at 40%, 1.00 at 60% — the
+    near-orthogonal synthetic embeddings concentrate L2 distances, so the
+    ADC shortlist needs more depth here than on clustered production
+    embeddings."""
     from pyspark.sql import Window
 
     sl = pq_adc_topk(
