@@ -62,14 +62,103 @@ def replicated_docs(spark, factor: int):
     )
 
 
-def probes(docs):
-    """(name, thunk) pairs — thunk runs the operator to completion."""
+def replicated_events(spark, factor: int):
+    """Events replicated with offset event/user ids: distinct-user and
+    distinct-key populations grow linearly with the factor, as a real
+    corpus's would."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.sources.registry import load_table
+
+    base = load_table(spark, SF_DIR, "events")
+    if factor == 1:
+        return base.repartition(spark.sparkContext.defaultParallelism)
+    copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("_copy") * F.lit(1_000_000_000)).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * F.lit(10_000_000)).alias(
+                "user_id"
+            ),
+            "event_type",
+            "value",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def replicated_embeddings(spark, factor: int):
+    """Embeddings replicated with offset ids AND per-copy per-dimension
+    perturbation. A constant shift would send every replica of a vector
+    to the same IVF cell as its original (cells 10x denser -> pair
+    volume 100x — an artifact, not corpus growth); the sin(copy, dim)
+    jitter makes replicas genuinely distinct vectors that spread across
+    the (also linearly grown) medoid-centroid set, which is the corpus
+    shape the bounded-cell-size claim is about."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.sources.registry import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    if factor == 1:
+        return base.repartition(spark.sparkContext.defaultParallelism)
+    copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    jittered = F.expr(
+        "transform(embedding, (x, i) -> "
+        "cast(x + sin(_copy * 31 + i) * 0.3 as float))"
+    )
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("_copy") * F.lit(10_000_000)).alias(
+                "vec_id"
+            ),
+            jittered.alias("embedding"),
+            "label",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def probes(docs, events, emb, fixed_batch):
+    """(name, thunk) pairs — thunk runs the operator to completion.
+    ``docs``/``events``/``emb`` grow with the factor; ``fixed_batch`` is
+    a constant 1000-doc probe batch (the incremental-dedup arrival)."""
     from pyspark.sql import functions as F
 
     from worker_spark.operators import dedup as D
+    from worker_spark.operators import sampling as SA
+    from worker_spark.operators import selection as SEL
+    from worker_spark.operators import similarity as SIM
     from worker_spark.operators import sketches as K
     from worker_spark.operators import substrings as SS
     from worker_spark.operators import text as T
+
+    # streaming HLL/CMS micro-batch core: the windowed register/cell
+    # aggregation the availableNow jobs run per batch (the streaming
+    # wrapper itself is engine-provided)
+    ev_day = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type",
+        "user_id", "event_id", "value",
+    )
+
+    def windowed_cms_count():
+        rows = F.explode(F.sequence(F.lit(0), F.lit(K.CMS_DEPTH - 1)))
+        return (
+            ev_day.select("day", "user_id", rows.alias("row"))
+            .select(
+                "day",
+                F.col("row").cast("long").alias("row"),
+                K.cms_place(F.col("user_id"), F.col("row")).alias("col"),
+            )
+            .groupBy("day", "row", "col")
+            .count()
+            .count()
+        )
 
     return [
         (
@@ -96,6 +185,47 @@ def probes(docs):
             "token_stats",
             lambda: T.with_text_stats(docs).agg(F.sum("n_tokens")).count(),
         ),
+        # --- r4 additions (VERDICT r4 item 4) + the r5 quantile sketch ---
+        (
+            # growing corpus filter, FIXED probe batch: cost is the build
+            # (linear); the broadcast filter keeps the probe itself flat
+            "bloom_probe_fixed_batch",
+            lambda: K.bloom_probe(
+                fixed_batch, K.bloom_build(docs, "text"), "text", ["doc_id"]
+            ).count(),
+        ),
+        (
+            "dsir_importance_weights",
+            lambda: SEL.importance_weights(
+                docs, F.col("lang") == "en"
+            ).count(),
+        ),
+        (
+            # stride medoids: centroid count grows with N, cell size stays
+            # bounded -> within-cell pair volume ~linear, not quadratic
+            "semdedup_prune",
+            lambda: SIM.semantic_dedup(emb).count(),
+        ),
+        (
+            "mixture_interleave",
+            lambda: SA.mixture_interleave(docs, "lang").count(),
+        ),
+        (
+            "windowed_hll_registers",
+            lambda: K.hll_distinct(
+                ev_day, "user_id", "day", "event_type"
+            ).count(),
+        ),
+        (
+            "windowed_cms_cells",
+            windowed_cms_count,
+        ),
+        (
+            "quantile_sketch",
+            lambda: K.quantile_sketch(
+                ev_day, "value", "event_id", "event_type"
+            ).count(),
+        ),
     ]
 
 
@@ -108,11 +238,19 @@ def main() -> None:
     spark.range(1).count()
     results: dict[str, dict[int, float]] = {}
     vols: dict[int, int] = {}
+    # constant-size arrival batch for the incremental bloom-probe check
+    fixed_batch = (
+        replicated_docs(spark, 1).limit(1000).localCheckpoint()
+    )
+    fixed_batch.count()
     for factor in FACTORS:
         docs = replicated_docs(spark, factor)
         docs = docs.localCheckpoint()  # pay replication once, not per probe
+        events = replicated_events(spark, factor).localCheckpoint()
+        emb = replicated_embeddings(spark, factor).localCheckpoint()
         vols[factor] = docs.count()
-        for name, thunk in probes(docs):
+        events.count(), emb.count()
+        for name, thunk in probes(docs, events, emb, fixed_batch):
             t0 = time.perf_counter()
             thunk()
             results.setdefault(name, {})[factor] = round(
