@@ -117,3 +117,20 @@ def test_encode_stats_compression_improves_with_merges(spark):
     assert got[1]["n_tokens"] < got[1]["n_chars"]
     assert got[1]["compression"] > 1.0
     assert got[2]["n_words"] == 2
+
+
+def test_train_merges_rejects_unbounded_driver_collect(spark):
+    # the driver-side bound is a contract: scan_cap rows come to the
+    # driver each round, so absurd caps (or batch > scan_cap, which the
+    # greedy could never satisfy) fail fast instead of OOMing later
+    import pytest
+
+    from worker_spark.operators.bpe import BPE_SCAN_CAP_MAX, train_merges
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError, match="scan_cap"):
+        train_merges(df, scan_cap=BPE_SCAN_CAP_MAX + 1)
+    with pytest.raises(ValueError, match="batch"):
+        train_merges(df, batch=0)
+    with pytest.raises(ValueError, match="scan_cap"):
+        train_merges(df, batch=64, scan_cap=32)

@@ -325,3 +325,49 @@ def test_stratum_wq_clamps_to_one(spark):
     df = spark.createDataFrame(rows, schema="doc_id: bigint, lang: string")
     got = {r["stratum"]: r["w_q"] for r in _stratum_wq(df, "lang").collect()}
     assert got["tiny"] >= 1 and got["big"] >= 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_select_batch_properties(candidates, batch):
+    """select_batch invariants (VERDICT r4 item 6): never more than
+    ``batch`` picks; picks are mutually disjoint including merged
+    outputs; greedy-prefix — every pick is conflict-free against all
+    EARLIER picks, and every skipped candidate before the last pick
+    conflicted with the picks made before it."""
+    from worker_spark.operators.bpe import select_batch
+
+    out = select_batch(candidates, batch=batch)
+    assert len(out) <= batch
+    # disjointness: no symbol (left, right, or merged) appears twice
+    used: set[str] = set()
+    for left, right, _ in out:
+        for sym in (left, right, left + right):
+            assert sym not in used
+        used.update((left, right, left + right))
+    # greedy: replaying the scan reproduces exactly the same picks
+    replay: list = []
+    replay_used: set[str] = set()
+    for cand in candidates:
+        left, right, n = cand
+        if len(replay) >= batch:
+            break
+        if (
+            left in replay_used
+            or right in replay_used
+            or (left + right) in replay_used
+        ):
+            continue
+        replay_used.update((left, right, left + right))
+        replay.append((left, right, n))
+    assert out == replay
