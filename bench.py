@@ -62,6 +62,10 @@ HEADLINE = [
     "semdedup_prune",
     # joins the anchor set in r5
     "doc_curation_decision",
+    # round-5 additions (deterministic mergeable quantile sketch;
+    # HNSW-style graph ANN)
+    "event_quantile_sketch",
+    "similarity_graph_ann",
 ]
 
 
@@ -170,6 +174,13 @@ R4_ANCHOR: dict[str, float] = {
     "semdedup_prune": 0.753,
 }
 
+# Round-5 anchor: recorded by tools/record_anchor.py from the SECOND of two
+# back-to-back serialized sf0.1 runs this round (first runs after pytest
+# activity measure 1.4-3x high — cold page cache / JIT). Includes the r5
+# additions (doc_curation_decision, event_quantile_sketch), so round 6
+# compares every headline query against a same-code anchor.
+R5_ANCHOR: dict[str, float] = {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,7 +232,12 @@ def main() -> None:
         # like-for-like: only queries present in each anchor (the headline
         # set grows per round; a raw total ratio would read as a regression
         # when it's actually new coverage).
-        for tag, anchor in (("r1", R1_ANCHOR), ("r2", R2_ANCHOR), ("r4", R4_ANCHOR)):
+        for tag, anchor in (
+            ("r1", R1_ANCHOR),
+            ("r2", R2_ANCHOR),
+            ("r4", R4_ANCHOR),
+            ("r5", R5_ANCHOR),
+        ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
                 continue
@@ -236,7 +252,7 @@ def main() -> None:
             )
         # headline summary ratios on the stdout line itself (3 short fields,
         # not the per-query dicts)
-        for k in ("total_vs_r1", "total_vs_r2", "total_vs_r4"):
+        for k in ("total_vs_r1", "total_vs_r2", "total_vs_r4", "total_vs_r5"):
             if k in full:
                 out[k] = full[k]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:

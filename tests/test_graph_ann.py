@@ -1,0 +1,82 @@
+"""Graph ANN (HNSW-style beam search over an IVF-bucketed k-NN graph):
+determinism, structural bounds, and cross-cell navigability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from worker_spark.operators import graph_ann as G
+from worker_spark.sources import load_table
+
+
+def _emb(spark):
+    return load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_knn_graph_structure(spark):
+    emb = _emb(spark)
+    edges = G.knn_graph_edges(emb)
+    rows = edges.collect()
+    # undirected: every edge's reverse is present with the same sim
+    es = {(r["src"], r["dst"]): r["sim"] for r in rows}
+    for (s, d), sim in es.items():
+        assert es.get((d, s)) == sim
+    # total volume bounded: each of the <= N*degree forward edges
+    # contributes at most itself + its reverse. (Per-node OUT-degree after
+    # the reverse union is degree + in-degree, and in-degree of a popular
+    # hub is unbounded in any k-NN digraph — the property HNSW's shrink
+    # heuristic exists to tame; the beam cap bounds search cost instead.)
+    n = emb.count()
+    assert len(es) <= 2 * n * G.GRAPH_DEGREE
+    assert not any(s == d for s, d in es)
+
+
+def test_search_is_partition_invariant_and_bounded(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    edges = G.knn_graph_edges(emb)
+    outs = []
+    for n in (1, 13):
+        got = G.graph_ann_search(
+            queries.repartition(n), emb.repartition(n), edges, k=10
+        ).collect()
+        outs.append(sorted((r["q_id"], r["c_id"], r["cos_sim"], r["rnk"]) for r in got))
+    assert outs[0] == outs[1]
+    # k results per query, self never returned, ranks are 1..k
+    by_q = {}
+    for q_id, c_id, _sim, rnk in outs[0]:
+        assert q_id != c_id
+        by_q.setdefault(q_id, []).append(rnk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_search_escapes_entry_cells(spark):
+    # multi-assignment bridges cells: the visited set must reach nodes
+    # whose top-1 cell differs from every entry cell of the query —
+    # i.e. the graph is navigable ACROSS the IVF partition, not a
+    # disjoint union of cell cliques
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    edges = G.knn_graph_edges(emb)
+    visited = {
+        r["node"]
+        for r in G.graph_ann_search(
+            queries, emb, edges, return_visited=True
+        ).collect()
+    }
+    from worker_spark.operators.similarity import ivf_assign
+
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    cell_of = {
+        r["vec_id"]: r["cell_id"]
+        for r in ivf_assign(emb, centroids).collect()
+    }
+    entry_cells = {
+        cell_of[n] for n in visited if n % 100 == 0 and n in cell_of
+    }
+    outside = {n for n in visited if cell_of.get(n) not in entry_cells}
+    assert outside, "beam search never left the entry cells"

@@ -262,6 +262,24 @@ def evaluate_ann(
     opq.collect()
     record("opq_kmeans", "l2", opq, truth_l2, denom, 0, time.perf_counter() - t0)
 
+    # graph ANN: timing includes the one-off graph build (amortized across
+    # all queries in production); cost columns count only SEARCH-time
+    # scored pairs (the distinct visited set), which is the per-query cost
+    # that stays constant as the corpus grows
+    from worker_spark.operators import graph_ann as G
+
+    t0 = time.perf_counter()
+    edges = G.knn_graph_edges(emb).cache()
+    edges.count()
+    gr = G.graph_ann_search(queries, emb, edges, k=k)
+    gr.collect()
+    g_secs = time.perf_counter() - t0
+    g_visited = G.graph_ann_search(
+        queries, emb, edges, k=k, return_visited=True
+    ).count()
+    record("graph_ann", "cosine", gr, truth_cos, g_visited, g_visited, g_secs)
+    edges.unpersist()
+
     emb.unpersist()
     return rows
 

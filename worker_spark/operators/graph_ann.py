@@ -1,0 +1,252 @@
+"""Graph ANN: HNSW-style greedy beam search over a k-NN graph, Spark-first.
+
+HNSW itself (Malkov & Yashunin 2016, public preprint) is an inherently
+sequential index — vectors insert one at a time, each insertion mutating
+shared adjacency lists — which is the wrong shape for a 1000-executor
+cluster. The distributable re-expression keeps the two ideas that matter
+(a navigable neighborhood graph; greedy best-first search with a beam)
+and swaps the sequential parts for set-at-a-time DataFrame stages, the
+same move DiskANN-style systems make for offline index builds:
+
+* **Graph build** — candidate pairs come from IVF cells with
+  MULTI-ASSIGNMENT (each vector joins its top-2 centroid cells, so
+  boundary vectors bridge adjacent cells and the graph is navigable
+  ACROSS cells, not a disjoint union of cell cliques); each node keeps
+  its ``degree`` best neighbors by cosine, then reverse edges are
+  unioned in (undirected k-NN graph). The pair stage is a cell-id
+  equi-join — ~N * cell_size pairs, never N^2 — and the top-degree cut
+  is one window. At 100 TB this is the standard bounded NN-graph build;
+  production systems refine it with NN-descent rounds, which would be
+  the same join+window per round.
+* **Search** — queries enter at their ``entry_probes`` nearest medoid
+  nodes, then ``hops`` rounds of: expand the current best ``beam``
+  nodes through the edge table (equi-join), score new candidates
+  against the broadcast query block, fold into the visited set. Fixed
+  hop count + rounded-sim/id tie-breaks make the whole walk a
+  deterministic function of the data, so the unrolled search replays
+  exactly in the DuckDB oracle (each hop one CTE stage) — no RNG, no
+  insertion order, no float accumulation ambiguity.
+
+Cost shape per query: entry_probes + hops * beam * avg_degree exact
+scores — independent of corpus size N once the graph is built (contrast
+IVF's nprobe/K * N). Recall evidence: operators/ann_eval.py row
+"graph_ann" in ANN_EVAL.md.
+
+No reference counterpart file — LLM-pipeline extension (SURVEY.md §2
+similarity family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from worker_spark.operators.similarity import _dot, _norm
+
+GRAPH_DEGREE = 6  # kept out-neighbors per node (pre reverse-union)
+GRAPH_BEAM = 8  # expanded nodes per query per hop
+GRAPH_HOPS = 3  # fixed unrolled search depth
+GRAPH_ASSIGN = 2  # cells each node joins for edge building (bridges cells)
+GRAPH_ENTRY_PROBES = 2  # medoid entry points per query
+
+
+def _cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str):
+    return F.round(
+        F.try_divide(
+            _dot(F.col(a_vec), F.col(b_vec)),
+            F.col(a_norm) * F.col(b_norm),
+        ),
+        6,
+    )
+
+
+def _multi_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell_id) with each vector in its ``n_cells`` nearest centroid
+    cells — ivf_assign's scoring convention (rounded 6dp, ties to the
+    smaller centroid id), widened from argmax to top-n."""
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        _norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vvec"),
+        _norm(F.col(vec_col)).alias("_vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "_vid",
+        "cent_id",
+        _cos("_vvec", "_vnorm", "cent_vec", "cent_norm").alias("_sim"),
+    )
+    w = Window.partitionBy("_vid").orderBy(
+        F.desc_nulls_last("_sim"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(F.col("_vid").alias(id_col), F.col("cent_id").alias("cell_id"))
+    )
+
+
+def knn_graph_edges(
+    vectors: DataFrame,
+    centroid_every: int = 100,
+    degree: int = GRAPH_DEGREE,
+    n_assign: int = GRAPH_ASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Undirected k-NN graph edges (src, dst, sim): within-cell candidate
+    pairs under multi-assignment, top-``degree`` per source by cosine,
+    reverse edges unioned in (so in-degree-only nodes stay reachable)."""
+    centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
+    cells = _multi_assign(vectors, centroids, n_assign, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_n"),
+    ).join(cells.withColumnRenamed(id_col, "_id"), "_id")
+    a = v.select(
+        F.col("_id").alias("src"),
+        F.col("_vec").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cell_id",
+    )
+    b = v.select(
+        F.col("_id").alias("dst"),
+        F.col("_vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cell_id",
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", _cos("_va", "_na", "_vb", "_nb").alias("sim")
+        )
+        # multi-assignment can produce the same pair via two shared cells
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc_nulls_last("sim"), F.asc("dst")
+    )
+    fwd = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= degree)
+        .select("src", "dst", "sim")
+    )
+    return fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+        )
+    ).distinct()
+
+
+def graph_ann_search(
+    queries: DataFrame,
+    vectors: DataFrame,
+    edges: DataFrame,
+    k: int = 10,
+    beam: int = GRAPH_BEAM,
+    hops: int = GRAPH_HOPS,
+    entry_probes: int = GRAPH_ENTRY_PROBES,
+    centroid_every: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_visited: bool = False,
+) -> DataFrame:
+    """Beam search over the k-NN graph: per query, score the
+    ``entry_probes`` nearest medoid nodes, then ``hops`` times expand the
+    current ``beam`` best visited nodes through ``edges`` and score the
+    (distinct) new candidates. Output (q_id, c_id, cos_sim, rnk): top-k
+    of everything visited, self excluded. The query block is broadcast
+    at every scoring stage; each hop's candidate generation is an
+    equi-join on the frontier node id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cvec = vectors.select(
+        F.col(id_col).alias("node"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    medoids = cvec.filter(F.col("node") % centroid_every == 0)
+    entry_scored = medoids.crossJoin(F.broadcast(q)).select(
+        "q_id", "node", _cos("q_vec", "q_norm", "c_vec", "c_norm").alias("sim")
+    )
+    we = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("sim"), F.asc("node")
+    )
+    visited = (
+        entry_scored.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") <= entry_probes)
+        .select("q_id", "node", "sim")
+    )
+    wb = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("sim"), F.asc("node")
+    )
+    for _hop in range(hops):
+        frontier = (
+            visited.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= beam)
+            .select("q_id", "node")
+        )
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("q_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        scored = cand.join(F.broadcast(q), "q_id").join(cvec, "node").select(
+            "q_id",
+            "node",
+            _cos("q_vec", "q_norm", "c_vec", "c_norm").alias("sim"),
+        )
+        # sims are a deterministic rounded function of (q, node), so the
+        # exact-duplicate rows from re-scoring already-visited nodes
+        # collapse under distinct()
+        visited = visited.unionByName(scored).distinct()
+    if return_visited:
+        # the full visited set (pre top-k, self included) — the eval
+        # harness counts it as the search-time scored-pair volume
+        return visited
+    wk = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("sim"), F.asc("node")
+    )
+    return (
+        visited.filter(F.col("q_id") != F.col("node"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("node").alias("c_id"),
+            F.col("sim").alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def graph_ann_topk(
+    vectors: DataFrame,
+    query_stride: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Build + search in one call (the registered-query shape): queries
+    are the ``query_stride`` medoid rows, graph built over the full
+    corpus."""
+    queries = vectors.filter(F.col(id_col) % query_stride == 0)
+    edges = knn_graph_edges(vectors, id_col=id_col, vec_col=vec_col)
+    return graph_ann_search(
+        queries, vectors, edges, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+    )

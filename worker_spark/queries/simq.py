@@ -610,3 +610,116 @@ def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "q_label", "c_id", "c_label", "cos_sim", "rnk")
     )
+
+
+def _graph_ann_oracle() -> str:
+    """Hop-unrolled replay of graph_ann_topk: build the multi-assignment
+    k-NN graph, then GRAPH_HOPS beam-search stages as successive CTEs.
+    Every stage is the same rounded-cosine + (sim DESC, id ASC)
+    tie-break as the Spark plan, so the walk — entries, frontiers,
+    expansions — is bit-identical."""
+    from worker_spark.operators.graph_ann import (
+        GRAPH_ASSIGN,
+        GRAPH_BEAM,
+        GRAPH_DEGREE,
+        GRAPH_ENTRY_PROBES,
+        GRAPH_HOPS,
+    )
+
+    hop_ctes = []
+    prev = "v0"
+    for h in range(1, GRAPH_HOPS + 1):
+        hop_ctes.append(f"""
+    f{h - 1} AS (
+        SELECT q_id, node FROM (
+            SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC NULLS LAST, node) AS rn
+            FROM {prev}) t
+        WHERE rn <= {GRAPH_BEAM}
+    ),
+    s{h} AS (
+        SELECT c.q_id, c.node, {_cos_expr('qe', 'ce')} AS sim
+        FROM (SELECT DISTINCT f.q_id, e.dst AS node
+              FROM f{h - 1} f JOIN edges e ON f.node = e.src) c
+        JOIN embeddings qe ON qe.vec_id = c.q_id
+        JOIN embeddings ce ON ce.vec_id = c.node
+    ),
+    v{h} AS (SELECT * FROM {prev} UNION SELECT * FROM s{h})""")
+        prev = f"v{h}"
+    hops_sql = ",".join(hop_ctes)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_expr('e', 'c')} DESC NULLS LAST,
+                            c.cent_id) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+    ),
+    cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM assign_scored
+        WHERE rn <= {GRAPH_ASSIGN}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+               {_cos_expr('ea', 'eb')} AS sim
+        FROM cells a
+        JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    fwd AS (
+        SELECT src, dst, sim FROM (
+            SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+                   ORDER BY sim DESC NULLS LAST, dst) AS rn
+            FROM pairs) t
+        WHERE rn <= {GRAPH_DEGREE}
+    ),
+    edges AS (
+        SELECT src, dst, sim FROM fwd
+        UNION
+        SELECT dst, src, sim FROM fwd
+    ),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id % 20 = 0),
+    entry_scored AS (
+        SELECT q.q_id, c.cent_id AS node, {_cos_expr('q', 'c')} AS sim,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {_cos_expr('q', 'c')} DESC NULLS LAST,
+                            c.cent_id) AS rn
+        FROM q JOIN cents c ON TRUE
+    ),
+    v0 AS (SELECT q_id, node, sim FROM entry_scored
+           WHERE rn <= {GRAPH_ENTRY_PROBES}),{hops_sql},
+    ranked AS (
+        SELECT q_id, node AS c_id, sim AS cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC NULLS LAST, node) AS rnk
+        FROM v{GRAPH_HOPS}
+        WHERE q_id <> node
+    )
+    SELECT q_id, c_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register(
+    "similarity_graph_ann",
+    _graph_ann_oracle(),
+    doc="HNSW-style graph ANN, Spark-first (operators/graph_ann.py): "
+    "k-NN graph from IVF multi-assignment cells (equi-join pair "
+    "generation, top-degree window, reverse-edge union), then a "
+    "fixed-depth deterministic beam search — per-query cost is "
+    "entry + hops*beam*degree exact scores, independent of corpus size "
+    "once the graph is built. The sequential HNSW insert loop is "
+    "re-expressed as set-at-a-time joins; the unrolled walk replays "
+    "exactly in the oracle (one CTE stage per hop).",
+)
+def q_similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.graph_ann import graph_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph_ann_topk(emb, query_stride=20, k=5)
