@@ -175,11 +175,55 @@ R4_ANCHOR: dict[str, float] = {
 }
 
 # Round-5 anchor: recorded by tools/record_anchor.py from the SECOND of two
-# back-to-back serialized sf0.1 runs this round (first runs after pytest
-# activity measure 1.4-3x high — cold page cache / JIT). Includes the r5
-# additions (doc_curation_decision, event_quantile_sketch), so round 6
-# compares every headline query against a same-code anchor.
-R5_ANCHOR: dict[str, float] = {}
+# back-to-back serialized sf0.1 runs this round (total 72.184s over 42
+# queries; total_vs_r4 on that run 1.036 — the first, discarded run read
+# 1.105 on host noise). Includes the r5 additions (doc_curation_decision,
+# event_quantile_sketch, similarity_graph_ann), so round 6 compares every
+# headline query against a same-code anchor.
+R5_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.517,
+    "top_revenue_orders": 1.524,
+    "revenue_by_nation": 0.909,
+    "orders_with_returns": 0.499,
+    "customer_any_return": 0.554,
+    "sync_diff_classify": 0.536,
+    "event_journey": 0.197,
+    "outbox_drain_cap": 0.28,
+    "doc_token_stats": 0.189,
+    "dedup_minhash_lsh": 3.224,
+    "dedup_simhash": 2.733,
+    "similarity_cosine_topk": 1.236,
+    "similarity_lsh_ann": 1.764,
+    "dedup_embedding_blocked": 2.184,
+    "multimodal_features": 0.344,
+    "event_value_percentiles": 0.175,
+    "reverse_invalidation": 0.626,
+    "doc_build_scale": 1.653,
+    "dedup_cluster_components": 6.01,
+    "doc_sequence_pack": 0.552,
+    "doc_stratified_sample": 0.211,
+    "similarity_quantized_topk": 0.642,
+    "benchmark_contamination": 2.553,
+    "similarity_pq_refined_topk": 3.578,
+    "similarity_pq_kmeans_topk": 4.535,
+    "doc_cdc_chunks": 1.774,
+    "dedup_translit_shingles": 4.78,
+    "doc_substring_dedup_report": 0.591,
+    "hll_distinct_users": 0.398,
+    "token_cms_heavy_hitters": 1.873,
+    "bpe_train_merges": 1.979,
+    "dedup_edit_distance": 1.907,
+    "token_bigram_collocations": 0.714,
+    "inverted_index_postings": 0.43,
+    "similarity_opq_kmeans_topk": 5.735,
+    "search_documents_flat": 1.169,
+    "bloom_membership_audit": 0.409,
+    "doc_dsir_selection": 2.176,
+    "semdedup_prune": 0.797,
+    "doc_curation_decision": 2.371,
+    "event_quantile_sketch": 0.746,
+    "similarity_graph_ann": 7.11,
+}
 
 
 def main() -> None:

@@ -60,16 +60,16 @@ def _cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str):
     )
 
 
-def _multi_assign(
+def _ranked_assign(
     vectors: DataFrame,
     centroids: DataFrame,
-    n_cells: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, cell_id) with each vector in its ``n_cells`` nearest centroid
-    cells — ivf_assign's scoring convention (rounded 6dp, ties to the
-    smaller centroid id), widened from argmax to top-n."""
+    """(id, cell_id, _rn) — every vector's centroid cells ranked by
+    ivf_assign's scoring convention (rounded 6dp, ties to the smaller
+    centroid id). Computed ONCE; callers slice by rank (src side keeps
+    top-n, dst side keeps rank 1) instead of re-scoring N x K."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
@@ -88,10 +88,10 @@ def _multi_assign(
     w = Window.partitionBy("_vid").orderBy(
         F.desc_nulls_last("_sim"), F.asc("cent_id")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_cells)
-        .select(F.col("_vid").alias(id_col), F.col("cent_id").alias("cell_id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).select(
+        F.col("_vid").alias(id_col),
+        F.col("cent_id").alias("cell_id"),
+        "_rn",
     )
 
 
@@ -103,23 +103,40 @@ def knn_graph_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Undirected k-NN graph edges (src, dst, sim): within-cell candidate
-    pairs under multi-assignment, top-``degree`` per source by cosine,
-    reverse edges unioned in (so in-degree-only nodes stay reachable)."""
+    """Undirected k-NN graph edges (src, dst, sim): the SOURCE side joins
+    each of its ``n_assign`` nearest cells while the destination side
+    sits only in its primary cell — boundary sources still bridge
+    adjacent cells (and reverse edges propagate the bridge), but every
+    candidate pair is generated exactly once (no distinct pass) and the
+    scored-pair volume is halved vs assigning both sides twice. Then
+    top-``degree`` per source by cosine, reverse edges unioned in (so
+    in-degree-only nodes stay reachable)."""
     centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
-    cells = _multi_assign(vectors, centroids, n_assign, id_col, vec_col)
-    v = vectors.select(
+    # one N x K scoring pass serves both slices; the checkpoint stops the
+    # two branches from re-running it (slim: <= n_assign rows per vector)
+    ranked = (
+        _ranked_assign(vectors, centroids, id_col, vec_col)
+        .filter(F.col("_rn") <= n_assign)
+        .localCheckpoint(eager=False)
+    )
+    src_cells = ranked.drop("_rn")
+    dst_cells = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    norms = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         _norm(F.col(vec_col)).alias("_n"),
-    ).join(cells.withColumnRenamed(id_col, "_id"), "_id")
-    a = v.select(
+    )
+    a = norms.join(
+        src_cells.withColumnRenamed(id_col, "_id"), "_id"
+    ).select(
         F.col("_id").alias("src"),
         F.col("_vec").alias("_va"),
         F.col("_n").alias("_na"),
         "cell_id",
     )
-    b = v.select(
+    b = norms.join(
+        dst_cells.withColumnRenamed(id_col, "_id"), "_id"
+    ).select(
         F.col("_id").alias("dst"),
         F.col("_vec").alias("_vb"),
         F.col("_n").alias("_nb"),
@@ -131,8 +148,6 @@ def knn_graph_edges(
         .select(
             "src", "dst", _cos("_va", "_na", "_vb", "_nb").alias("sim")
         )
-        # multi-assignment can produce the same pair via two shared cells
-        .distinct()
     )
     w = Window.partitionBy("src").orderBy(
         F.desc_nulls_last("sim"), F.asc("dst")
@@ -212,8 +227,14 @@ def graph_ann_search(
         )
         # sims are a deterministic rounded function of (q, node), so the
         # exact-duplicate rows from re-scoring already-visited nodes
-        # collapse under distinct()
-        visited = visited.unionByName(scored).distinct()
+        # collapse under distinct(). localCheckpoint cuts the lineage:
+        # visited feeds BOTH the next frontier and the next union, so an
+        # uncheckpointed plan re-executes every earlier hop twice per
+        # level — the same union-recompute trap connected_components
+        # fixed (NOTES.md); measured 13.6s -> ~5s on the sf0.1 bench.
+        visited = visited.unionByName(scored).distinct().localCheckpoint(
+            eager=False
+        )
     if return_visited:
         # the full visited set (pre top-k, self included) — the eval
         # harness counts it as the search-time scored-pair volume
@@ -246,7 +267,12 @@ def graph_ann_topk(
     are the ``query_stride`` medoid rows, graph built over the full
     corpus."""
     queries = vectors.filter(F.col(id_col) % query_stride == 0)
-    edges = knn_graph_edges(vectors, id_col=id_col, vec_col=vec_col)
+    # the search joins the edge table once per hop: materialize the build
+    # once (non-eager: piggybacks on the first hop's action) instead of
+    # re-running the pair join + degree window every hop
+    edges = knn_graph_edges(
+        vectors, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     return graph_ann_search(
         queries, vectors, edges, k=k, id_col=id_col, vec_col=vec_col, **kwargs
     )

@@ -659,15 +659,21 @@ def _graph_ann_oracle() -> str:
                             c.cent_id) AS rn
         FROM embeddings e JOIN cents c ON TRUE
     ),
-    cells AS (
+    src_cells AS (
         SELECT vec_id, cent_id AS cell_id FROM assign_scored
         WHERE rn <= {GRAPH_ASSIGN}
     ),
+    dst_cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM assign_scored WHERE rn = 1
+    ),
+    -- src joins both its cells, dst only its primary: every pair arises
+    -- exactly once (src's two cells are distinct, dst has one), so no
+    -- DISTINCT pass is needed — mirror of knn_graph_edges
     pairs AS (
-        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+        SELECT a.vec_id AS src, b.vec_id AS dst,
                {_cos_expr('ea', 'eb')} AS sim
-        FROM cells a
-        JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+        FROM src_cells a
+        JOIN dst_cells b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
         JOIN embeddings ea ON ea.vec_id = a.vec_id
         JOIN embeddings eb ON eb.vec_id = b.vec_id
     ),
