@@ -335,3 +335,43 @@ def test_round4_operators_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         if want_bcast:
             assert "BroadcastHashJoin" in plan, name
+
+
+def test_quantile_sketch_is_aggregate_only(spark):
+    """The sketch must be the bounded two-level aggregation it claims:
+    partial (map-side) aggregation present, and NO Sort/Window operators
+    anywhere — the scale-killer alternative (exact percentile via a
+    global per-group sort or a rank window) would show them."""
+    from worker_spark.operators.sketches import quantile_sketch
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", "value"
+    )
+    plan = _physical(quantile_sketch(ev, "value", "event_id", "event_type"))
+    assert "partial" in plan.lower()  # map-side combine of the level-1 agg
+    assert "Window" not in plan
+    # array_sort inside agg projections is fine; a physical Sort node
+    # (global or per-group value sort) is not
+    assert "\n" in plan and "Sort [" not in plan.replace(
+        "SortAggregate", ""
+    ).replace("sort_array", "")
+
+
+def test_graph_ann_build_and_search_have_no_cartesian(spark):
+    """Edge candidates come from a cell-id equi-join and every search
+    stage is an equi-join or broadcast — no CartesianProduct or
+    nested-loop join may appear at any corpus size. (The centroid scoring
+    crossJoin is a broadcast of <= N/centroid_every rows, which Spark
+    plans as BroadcastNestedLoop only if it degenerates — assert it
+    stays a broadcast over the tiny side.)"""
+    from worker_spark.operators import graph_ann as G
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    edges = G.knn_graph_edges(emb)
+    plan = _physical(edges)
+    assert "CartesianProduct" not in plan
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    splan = _physical(G.graph_ann_search(queries, emb, edges, k=5))
+    assert "CartesianProduct" not in splan
