@@ -58,6 +58,9 @@ _DRIVER_WINDOW = [
     # (a cont.) similarity_graph_ann is new in r5 (HNSW-style graph ANN);
     # inline_ref_parse is displaced to the round-6 leads to hold 50.
     "similarity_graph_ann",
+    # (a cont.) doc_length_quantiles is new in r5 (the quantile sketch as
+    # an ANALYZE surface); dedup_cluster_components displaced to r6 leads.
+    "doc_length_quantiles",
     # (b) every query whose last driver-green row is round 2 — the full
     # 22-entry stale set (the 17 enumerated in the r4 NOTES roadmap plus
     # the 5 relational/outbox entries displaced with them), longest-stale
@@ -104,7 +107,6 @@ _DRIVER_WINDOW = [
     "pack_utilization",
     "doc_mixture_report",
     "doc_stratified_sample",
-    "dedup_cluster_components",
     # (a cont.) the BPE pair also changed this round: train_merges gained
     # the driver-collect bound guard (VERDICT r4 item 6), so both queries
     # re-enter the window; doc_char_entropy / search_index_config are
@@ -116,6 +118,7 @@ _DRIVER_WINDOW = [
     # fit (they lead the round-6 window), then the round-4-green block —
     # all unchanged since their last green row and re-pinned every session
     # by tests/test_oracle_parity.py, which replays ALL entries. ----
+    "dedup_cluster_components",
     "inline_ref_parse",
     "doc_char_entropy",
     "search_index_config",

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from worker_spark.operators.profile import PROFILE_PREFIX, table_profile
 from worker_spark.queries import register
+from worker_spark.queries.sketchq import quantile_sketch_oracle
 from worker_spark.sources import load_table
 
 _COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -37,3 +38,23 @@ _PER_COL = "\n    UNION ALL\n".join(
 def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return table_profile(docs, _COLS)
+
+
+@register(
+    "doc_length_quantiles",
+    quantile_sketch_oracle("documents", "lang", "doc_id", "n_chars"),
+    doc="Distribution profiling via the deterministic quantile sketch "
+    "(sketches.quantile_sketch_audit) as a first-class ANALYZE surface: "
+    "p50/p90/p99 document length per language with per-group rank-error "
+    "audit. At sf0.01 every language group fits the k=512 sketch (exact "
+    "path); at sf0.1 every group exceeds it (sampled path) — the same "
+    "query exercises both regimes. Scale shape: bounded two-level agg, "
+    "no Sort/Window (plan-asserted for the operator).",
+)
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.sketches import quantile_sketch_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return quantile_sketch_audit(docs, "n_chars", "doc_id", "lang")

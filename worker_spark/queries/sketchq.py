@@ -376,31 +376,38 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QK = K.QSK_K
 
 
-@register(
-    "event_quantile_sketch",
-    f"""
+def quantile_sketch_oracle(
+    table: str, group: str, key: str, value: str
+) -> str:
+    """DuckDB replay of sketches.quantile_sketch_audit over ``table``:
+    bottom-k hash-rank sample per ``group`` (ORDER BY (hv, v) under
+    row_number — the multiset bottom-k), nearest-rank estimates by
+    integer ceiling division, exact rank-error audit. Parameterized so
+    every profiling surface (events values, document lengths, ...) uses
+    the identical construction."""
+    return f"""
     WITH base AS (
-        SELECT event_type,
-               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        SELECT {group},
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))
                     AS BIGINT) AS hv,
-               CAST(value AS DOUBLE) AS v
-        FROM events
-        WHERE value IS NOT NULL AND NOT isnan(value)
+               CAST({value} AS DOUBLE) AS v
+        FROM {table}
+        WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
     ),
     r AS (
-        SELECT event_type, hv, v,
-               row_number() OVER (PARTITION BY event_type
+        SELECT {group}, hv, v,
+               row_number() OVER (PARTITION BY {group}
                                   ORDER BY hv, v) AS rn
         FROM base
     ),
     vs AS (
-        SELECT event_type, v,
-               row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
-               count(*) OVER (PARTITION BY event_type) AS m
-        FROM r WHERE rn <= {_QK}
+        SELECT {group}, v,
+               row_number() OVER (PARTITION BY {group} ORDER BY v) AS vr,
+               count(*) OVER (PARTITION BY {group}) AS m
+        FROM r WHERE rn <= {{_QK}}
     ),
     est AS (
-        SELECT event_type,
+        SELECT {group},
                CAST(max(m) AS BIGINT) AS m,
                max(CASE WHEN vr = (m + 1) // 2 THEN v END) AS p50_est,
                max(CASE WHEN vr = (m * 9 + 9) // 10 THEN v END) AS p90_est,
@@ -408,22 +415,27 @@ _QK = K.QSK_K
         FROM vs GROUP BY 1
     ),
     aud AS (
-        SELECT b.event_type,
+        SELECT b.{group},
                CAST(count(*) AS BIGINT) AS n,
                sum(CASE WHEN b.v <= e.p50_est THEN 1 ELSE 0 END) AS c50,
                sum(CASE WHEN b.v <= e.p90_est THEN 1 ELSE 0 END) AS c90,
                sum(CASE WHEN b.v <= e.p99_est THEN 1 ELSE 0 END) AS c99
-        FROM base b JOIN est e USING (event_type) GROUP BY 1
+        FROM base b JOIN est e USING ({group}) GROUP BY 1
     )
-    SELECT e.event_type, a.n, e.m,
+    SELECT e.{group}, a.n, e.m,
            e.p50_est,
            round(abs(CAST(c50 AS DOUBLE) / n - 0.5), 6) AS p50_rank_err,
            e.p90_est,
            round(abs(CAST(c90 AS DOUBLE) / n - 0.9), 6) AS p90_rank_err,
            e.p99_est,
            round(abs(CAST(c99 AS DOUBLE) / n - 0.99), 6) AS p99_rank_err
-    FROM est e JOIN aud a USING (event_type)
-    """,
+    FROM est e JOIN aud a USING ({group})
+    """.replace("{_QK}", str(_QK))
+
+
+@register(
+    "event_quantile_sketch",
+    quantile_sketch_oracle("events", "event_type", "event_id", "value"),
     doc=f"Deterministic mergeable quantile sketch (k={_QK} bottom-k rank "
     "sampling) per event type, with its own scale-safe accuracy audit: "
     "the 100 TB replacement for exact percentile() (VERDICT r4 item 2). "
