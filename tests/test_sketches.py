@@ -244,3 +244,26 @@ def test_quantile_sketch_ignores_null_and_nan(spark):
     assert got["g"]["m"] == 2  # NULL and NaN dropped
     assert got["g"]["p99_est"] == 5.0
     assert "x" not in got  # all-NULL group omitted
+
+
+def test_quantile_sketch_drops_null_keys(spark):
+    # md5(NULL) is NULL; a NULL hash would sort FIRST in Spark's struct
+    # ordering but LAST under the oracle's ORDER BY (confirmed in review)
+    # — and would be deterministically always-sampled. NULL-key rows are
+    # excluded on both sides instead.
+    from worker_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_audit,
+    )
+
+    rows = [("g", None, 999.0)] + [("g", i, float(i)) for i in range(1, 11)]
+    got = quantile_sketch(
+        _vals(spark, rows), "value", "key", "grp"
+    ).collect()[0]
+    assert got["m"] == 10  # the NULL-key row is not in the sample
+    assert got["p99_est"] == 10.0  # 999.0 never enters
+    # audit path agrees, and its n (the audited population) excludes it too
+    aud = quantile_sketch_audit(
+        _vals(spark, rows), "value", "key", "grp"
+    ).collect()[0]
+    assert (aud["n"], aud["m"]) == (10, 10)

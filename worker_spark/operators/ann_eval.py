@@ -64,7 +64,10 @@ def _dot_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
 
 
 def _l2_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
-    """Exact squared-L2 top-k — ground truth for the PQ family."""
+    """Exact squared-L2 top-k — ground truth for the PQ family (same
+    zip_with formulation as similarity.pq_adc_refined_topk's refine
+    stage, so the truth ranking uses the metric the operators rank by —
+    keep in sync if that lambda ever changes)."""
     q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     c = candidates.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
     l2 = F.aggregate(
@@ -271,13 +274,27 @@ def evaluate_ann(
     t0 = time.perf_counter()
     edges = G.knn_graph_edges(emb).cache()
     edges.count()
-    gr = G.graph_ann_search(queries, emb, edges, k=k)
+    # one search pass: take the visited set, then derive the top-k from it
+    # with the operator's own ranking convention (rounded sim desc, id asc)
+    # — re-running the whole beam search just to count pairs doubled the
+    # harness's most expensive row (review finding)
+    visited = G.graph_ann_search(
+        queries, emb, edges, k=k, return_visited=True
+    ).cache()
+    g_visited = visited.count()
+    wg = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("sim"), F.asc("node")
+    )
+    gr = (
+        visited.filter(F.col("q_id") != F.col("node"))
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("node").alias("c_id"))
+    )
     gr.collect()
     g_secs = time.perf_counter() - t0
-    g_visited = G.graph_ann_search(
-        queries, emb, edges, k=k, return_visited=True
-    ).count()
     record("graph_ann", "cosine", gr, truth_cos, g_visited, g_visited, g_secs)
+    visited.unpersist()
     edges.unpersist()
 
     emb.unpersist()

@@ -259,20 +259,38 @@ def graph_ann_topk(
     vectors: DataFrame,
     query_stride: int = 20,
     k: int = 5,
+    centroid_every: int = 100,
+    degree: int = GRAPH_DEGREE,
+    n_assign: int = GRAPH_ASSIGN,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    **kwargs,
+    **search_kwargs,
 ) -> DataFrame:
     """Build + search in one call (the registered-query shape): queries
     are the ``query_stride`` medoid rows, graph built over the full
-    corpus."""
+    corpus. ``centroid_every`` is threaded to BOTH the build and the
+    search so the cell structure and the entry medoids always agree
+    (silently diverging centroid sets was a review finding); remaining
+    ``search_kwargs`` (beam, hops, entry_probes) go to the search."""
     queries = vectors.filter(F.col(id_col) % query_stride == 0)
     # the search joins the edge table once per hop: materialize the build
     # once (non-eager: piggybacks on the first hop's action) instead of
     # re-running the pair join + degree window every hop
     edges = knn_graph_edges(
-        vectors, id_col=id_col, vec_col=vec_col
+        vectors,
+        centroid_every=centroid_every,
+        degree=degree,
+        n_assign=n_assign,
+        id_col=id_col,
+        vec_col=vec_col,
     ).localCheckpoint(eager=False)
     return graph_ann_search(
-        queries, vectors, edges, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+        queries,
+        vectors,
+        edges,
+        k=k,
+        centroid_every=centroid_every,
+        id_col=id_col,
+        vec_col=vec_col,
+        **search_kwargs,
     )

@@ -421,18 +421,28 @@ def quantile_sketch(
     with INTEGER ceiling division ((m*num + den - 1) div den) so no
     float rounding can diverge across engines. NULL and NaN values are
     excluded (NaN orders differently across engines; percentile
-    semantics ignore NULLs); a group that is all-NULL/NaN is omitted.
+    semantics ignore NULLs), and rows with a NULL key are excluded too:
+    md5(NULL) is NULL, and a NULL hash would sort FIRST in Spark's
+    struct ordering but LAST under the oracle's ORDER BY — a confirmed
+    cross-engine divergence, and a sample-bias bug (the NULL-key row
+    would deterministically always be sampled). A group that is
+    all-NULL/NaN/NULL-key is omitted.
 
     Output: (group..., m, <label>_est per quantile) with m the sample
     size (== group size when exact). Audit columns (exact rank of each
     estimate) are a separate scale-safe pass: quantile_sketch_audit.
     """
-    base = df.filter(
-        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
-    ).select(
-        *group_cols,
-        md5_prefix32(F.col(key_col)).alias("hv"),
-        F.col(value_col).cast("double").alias("v"),
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
+        .select(
+            *group_cols,
+            md5_prefix32(F.col(key_col)).alias("hv"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("hv").isNotNull())
     )
     local = (
         base.withColumn("_pid", F.spark_partition_id())
@@ -486,12 +496,24 @@ def quantile_sketch_audit(
     (m == n) the error is only the nearest-rank tie/granularity gap
     (<= 1/n), and for sampled groups it realizes the O(sqrt(1/k)) rank
     deviation — the per-group evidence a profiling run records beside
-    each estimate."""
+    each estimate.
+
+    NULL group keys: the audit joins estimates back onto the data with a
+    plain equi-join, which (like the oracle's JOIN USING) never matches
+    NULL = NULL — so a group whose KEY is NULL is omitted from this
+    audited output (quantile_sketch alone still emits it). Profiling
+    pipelines that care about the NULL stratum should coalesce the group
+    column to a sentinel first."""
     est = quantile_sketch(
         df, value_col, key_col, *group_cols, quantiles=quantiles, k=k
     )
+    # the audited population is the SAME population the sketch samples
+    # from — NULL/NaN values AND NULL keys excluded — so n, the rank
+    # counts, and the oracle's base CTE all agree
     base = df.filter(
-        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+        & F.col(key_col).isNotNull()
     ).select(*group_cols, F.col(value_col).cast("double").alias("v"))
     joined = base.join(F.broadcast(est), list(group_cols))
     aggs = [F.count(F.lit(1)).alias("n")]

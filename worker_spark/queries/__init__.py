@@ -39,7 +39,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 108 queries / 50 slots: every entry gets a driver row at
+# Steady state for 110 queries / 50 slots: every entry gets a driver row at
 # least every ~2.3 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 _DRIVER_WINDOW = [
@@ -114,8 +114,11 @@ _DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_encode_stats",
     # ---- driver window boundary: only the FIRST 50 entries above get a
-    # driver row this round. Below: the 13 r3-green entries that did not
-    # fit (they lead the round-6 window), then the round-4-green block —
+    # driver row this round. Below: the 17 r3-green entries that did not
+    # fit (13 never rotated in plus dedup_cluster_components /
+    # inline_ref_parse / doc_char_entropy / search_index_config, each
+    # displaced by an r5 addition); they lead the round-6 window, then
+    # come the round-4-green block —
     # all unchanged since their last green row and re-pinned every session
     # by tests/test_oracle_parity.py, which replays ALL entries. ----
     "dedup_cluster_components",

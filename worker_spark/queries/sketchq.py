@@ -393,6 +393,7 @@ def quantile_sketch_oracle(
                CAST({value} AS DOUBLE) AS v
         FROM {table}
         WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+          AND {key} IS NOT NULL
     ),
     r AS (
         SELECT {group}, hv, v,
