@@ -146,6 +146,11 @@ def probes(docs, events, emb, fixed_batch):
         "user_id", "event_id", "value",
     )
 
+    def _graph_edges(vectors):
+        from worker_spark.operators import graph_ann as G
+
+        return G.knn_graph_edges(vectors).count()
+
     def windowed_cms_count():
         rows = F.explode(F.sequence(F.lit(0), F.lit(K.CMS_DEPTH - 1)))
         return (
@@ -225,6 +230,14 @@ def probes(docs, events, emb, fixed_batch):
             lambda: K.quantile_sketch(
                 ev_day, "value", "event_id", "event_type"
             ).count(),
+        ),
+        (
+            # k-NN graph build: stride centroids grow with N so cell size
+            # stays bounded -> pair volume ~N * cell_size, not N^2 (the
+            # same bounded-cell argument as semdedup, now measured for
+            # the graph ANN index build)
+            "graph_knn_edges",
+            lambda: _graph_edges(emb),
         ),
     ]
 

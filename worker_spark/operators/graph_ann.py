@@ -15,9 +15,19 @@ same move DiskANN-style systems make for offline index builds:
   its ``degree`` best neighbors by cosine, then reverse edges are
   unioned in (undirected k-NN graph). The pair stage is a cell-id
   equi-join — ~N * cell_size pairs, never N^2 — and the top-degree cut
-  is one window. At 100 TB this is the standard bounded NN-graph build;
-  production systems refine it with NN-descent rounds, which would be
-  the same join+window per round.
+  is one window.
+
+  Build cost honesty (scaling probe, NOTES.md): with the FIXED
+  ``centroid_every`` stride, centroid count K = N/stride, so the
+  assignment stage scores N*K = N^2/stride pairs — the probe measures
+  the build ~linear at 10x demo volume but the quadratic term dominates
+  beyond that. The knob is ``centroid_every``: picking K ~ sqrt(N *
+  n_assign) balances assignment (N*K) against pair volume
+  (N^2 * n_assign / K) for an O(N^1.5) build, the floor for any
+  bucketed one-shot k-NN construction; production systems then run
+  NN-descent refinement rounds (each the same join+window shape) to
+  reach near-linear incremental maintenance. Per-query SEARCH cost is
+  unaffected — it stays O(entry + hops*beam*degree) regardless of N.
 * **Search** — queries enter at their ``entry_probes`` nearest medoid
   nodes, then ``hops`` rounds of: expand the current best ``beam``
   nodes through the edge table (equi-join), score new candidates
