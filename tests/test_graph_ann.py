@@ -80,3 +80,46 @@ def test_search_escapes_entry_cells(spark):
     }
     outside = {n for n in visited if cell_of.get(n) not in entry_cells}
     assert outside, "beam search never left the entry cells"
+
+
+def test_nn_descent_improves_knn_fidelity_and_union_navigability(spark):
+    """NN-descent's objective is k-NN graph FIDELITY: after one round,
+    more of each node's true top-degree neighbors are edges. Its known
+    cost is navigability (greedy refinement prunes long-range bridges),
+    which the refined-UNION-original search set restores — both
+    properties pinned here."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.similarity import cosine_neighbors
+
+    emb = _emb(spark)
+    e0 = G.knn_graph_edges(emb).localCheckpoint(eager=True)
+    e1 = G.nn_descent_round(emb, e0).localCheckpoint(eager=True)
+    # true top-degree edge coverage strictly improves (0.70 -> 0.78 on
+    # this corpus; assert a conservative strict inequality)
+    tru = cosine_neighbors(emb, emb, threshold=-2.0, top_k=G.GRAPH_DEGREE)
+    tru = tru.select(F.col("q_id").alias("src"), F.col("c_id").alias("dst"))
+    n_true = tru.count()
+    cov0 = tru.join(e0.select("src", "dst"), ["src", "dst"], "left_semi").count()
+    cov1 = tru.join(e1.select("src", "dst"), ["src", "dst"], "left_semi").count()
+    assert cov1 > cov0
+    assert cov1 / n_true > 0.75
+    # refined graph keeps the shape contract: undirected, degree-bounded
+    es = {(r["src"], r["dst"]): r["sim"] for r in e1.collect()}
+    assert all(es.get((d, s)) == sim for (s, d), sim in es.items())
+    assert len(es) <= 2 * emb.count() * G.GRAPH_DEGREE
+    # union search recall is at least the one-shot graph's
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_neighbors(queries, emb, threshold=-2.0, top_k=10).collect()
+    }
+    union = e0.unionByName(e1).distinct()
+    rec = {}
+    for tag, ed in (("oneshot", e0), ("union", union)):
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in G.graph_ann_search(queries, emb, ed, k=10).collect()
+        }
+        rec[tag] = len(got & truth) / len(truth)
+    assert rec["union"] >= rec["oneshot"]

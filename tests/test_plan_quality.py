@@ -375,3 +375,18 @@ def test_graph_ann_build_and_search_have_no_cartesian(spark):
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     splan = _physical(G.graph_ann_search(queries, emb, edges, k=5))
     assert "CartesianProduct" not in splan
+
+
+def test_nn_descent_round_has_no_cartesian(spark):
+    """The 2-hop candidate stage must be an equi-join on the shared
+    middle node, the anti-join a real LeftAnti, and scoring equi-joins —
+    no CartesianProduct at any corpus size."""
+    from worker_spark.operators import graph_ann as G
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    edges = G.knn_graph_edges(emb)
+    plan = _physical(G.nn_descent_round(emb, edges))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # existing pairs really are anti-joined out

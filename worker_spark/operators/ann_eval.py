@@ -295,6 +295,33 @@ def evaluate_ann(
     g_secs = time.perf_counter() - t0
     record("graph_ann", "cosine", gr, truth_cos, g_visited, g_visited, g_secs)
     visited.unpersist()
+
+    # NN-descent-refined graph: search the refined UNION original edge
+    # set (refinement sharpens k-NN fidelity but alone prunes the
+    # long-range bridges navigability needs — the union keeps both)
+    t0 = time.perf_counter()
+    refined = (
+        G.nn_descent_round(emb, edges)
+        .unionByName(edges)
+        .distinct()
+        .cache()
+    )
+    refined.count()
+    nnd_visited = G.graph_ann_search(
+        queries, emb, refined, k=k, return_visited=True
+    ).cache()
+    n_nnd = nnd_visited.count()
+    gn = (
+        nnd_visited.filter(F.col("q_id") != F.col("node"))
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("node").alias("c_id"))
+    )
+    gn.collect()
+    record("graph_ann_nnd", "cosine", gn, truth_cos, n_nnd, n_nnd,
+           time.perf_counter() - t0)
+    nnd_visited.unpersist()
+    refined.unpersist()
     edges.unpersist()
 
     emb.unpersist()

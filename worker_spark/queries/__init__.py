@@ -39,7 +39,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 110 queries / 50 slots: every entry gets a driver row at
+# Steady state for 111 queries / 50 slots: every entry gets a driver row at
 # least every ~2.3 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 _DRIVER_WINDOW = [
@@ -61,6 +61,10 @@ _DRIVER_WINDOW = [
     # (a cont.) doc_length_quantiles is new in r5 (the quantile sketch as
     # an ANALYZE surface); dedup_cluster_components displaced to r6 leads.
     "doc_length_quantiles",
+    # (a cont.) graph_nn_descent_stats is new in r5 (NN-descent round —
+    # the probe-flagged build's linear-per-round refinement path);
+    # doc_stratified_sample displaced to the round-6 leads.
+    "graph_nn_descent_stats",
     # (b) every query whose last driver-green row is round 2 — the full
     # 22-entry stale set (the 17 enumerated in the r4 NOTES roadmap plus
     # the 5 relational/outbox entries displaced with them), longest-stale
@@ -106,7 +110,6 @@ _DRIVER_WINDOW = [
     "reverse_invalidation",
     "pack_utilization",
     "doc_mixture_report",
-    "doc_stratified_sample",
     # (a cont.) the BPE pair also changed this round: train_merges gained
     # the driver-collect bound guard (VERDICT r4 item 6), so both queries
     # re-enter the window; doc_char_entropy / search_index_config are
@@ -114,13 +117,14 @@ _DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_encode_stats",
     # ---- driver window boundary: only the FIRST 50 entries above get a
-    # driver row this round. Below: the 17 r3-green entries that did not
-    # fit (13 never rotated in plus dedup_cluster_components /
-    # inline_ref_parse / doc_char_entropy / search_index_config, each
-    # displaced by an r5 addition); they lead the round-6 window, then
-    # come the round-4-green block —
+    # driver row this round. Below: the 18 r3-green entries that did not
+    # fit (13 never rotated in plus doc_stratified_sample /
+    # dedup_cluster_components / inline_ref_parse / doc_char_entropy /
+    # search_index_config, each displaced by an r5 addition); they lead
+    # the round-6 window, then come the round-4-green block —
     # all unchanged since their last green row and re-pinned every session
     # by tests/test_oracle_parity.py, which replays ALL entries. ----
+    "doc_stratified_sample",
     "dedup_cluster_components",
     "inline_ref_parse",
     "doc_char_entropy",
