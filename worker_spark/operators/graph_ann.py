@@ -58,6 +58,7 @@ GRAPH_BEAM = 8  # expanded nodes per query per hop
 GRAPH_HOPS = 3  # fixed unrolled search depth
 GRAPH_ASSIGN = 2  # cells each node joins for edge building (bridges cells)
 GRAPH_ENTRY_PROBES = 2  # medoid entry points per query
+NND_FANOUT = 2 * GRAPH_DEGREE  # per-node adjacency slice for 2-hop expansion
 
 
 def _cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str):
@@ -310,28 +311,49 @@ def nn_descent_round(
     vectors: DataFrame,
     edges: DataFrame,
     degree: int = GRAPH_DEGREE,
+    fanout: int = NND_FANOUT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One NN-descent refinement round (Dong, Moses & Li, WWW 2011):
     "a neighbor of a neighbor is likely a neighbor". Candidates are the
-    2-hop pairs of the current undirected graph (edges join edges — an
-    equi-join on the shared middle node, ~N * degree^2 pairs, never
-    N^2); only pairs NOT already in the graph are cosine-scored (anti
-    join), then every node re-keeps its ``degree`` best from old-union-
-    new and reverse edges are re-unioned. Output has the same shape and
-    conventions as knn_graph_edges, so rounds compose: this is the
-    documented linear-per-round scale path past the one-shot bucketed
-    build's O(N^1.5) floor (module docstring; the 2-hop volume is
-    corpus-linear at fixed degree, unlike the build's N*K assignment).
+    2-hop pairs of the current undirected graph; only pairs NOT already
+    in the graph are cosine-scored (anti join), then every node re-keeps
+    its ``degree`` best from old-union-new and reverse edges are
+    re-unioned. Output has the same shape and conventions as
+    knn_graph_edges, so rounds compose.
 
-    Deterministic: candidate set is a pure function of the edge set,
-    scoring uses the module's rounded-cosine, and re-ranking uses the
-    (sim DESC, dst ASC) tie-break — so a fixed number of rounds replays
-    exactly in a CTE-unrolled oracle."""
+    Hub bound (review finding): a node's undirected adjacency is
+    degree + in-degree, and in-degree of a hub vector is unbounded in
+    any k-NN digraph — a raw edges-join-edges would emit ~deg(m)^2
+    candidates per middle node m, i.e. ~N^2 through one strong hub.
+    Real NN-descent caps reverse-neighbor sampling (the rho*K knob) for
+    exactly this reason; here BOTH join sides use a deterministic
+    per-src top-``fanout`` slice of the adjacency (sim DESC, dst ASC —
+    the best neighbors are the useful expansion anyway), so the 2-hop
+    volume is <= N * fanout^2 regardless of hubness: corpus-linear at
+    fixed fanout, the maintenance path past the one-shot bucketed
+    build's O(N^1.5) floor.
+
+    Deterministic: the capped adjacency and candidate set are pure
+    functions of the edge set, scoring uses the module's rounded-cosine,
+    and re-ranking uses the (sim DESC, dst ASC) tie-break — so a fixed
+    number of rounds replays exactly in a CTE-unrolled oracle. ``edges``
+    is materialized internally (it feeds the capped slice, the anti
+    join, and the union — the union-recompute trap callers should not
+    have to remember)."""
+    edges = edges.localCheckpoint(eager=False)
+    wf = Window.partitionBy("src").orderBy(
+        F.desc_nulls_last("sim"), F.asc("dst")
+    )
+    capped = (
+        edges.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= fanout)
+        .select("src", "dst")
+    )
     two_hop = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        capped.alias("e1")
+        .join(capped.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
         .filter(F.col("e1.src") != F.col("e2.dst"))
         .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
         .distinct()

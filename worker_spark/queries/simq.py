@@ -750,13 +750,22 @@ def _nn_descent_oracle() -> str:
     perturb the hash surface); the averages are emitted as the BARE
     division of those integers (one IEEE op, bit-identical) — a 6dp
     round here hit a half-boundary the engines resolve differently."""
-    from worker_spark.operators.graph_ann import GRAPH_DEGREE
+    from worker_spark.operators.graph_ann import GRAPH_DEGREE, NND_FANOUT
 
     return f"""
     WITH {_graph_edges_ctes()},
+    -- hub bound: both 2-hop sides use the per-src top-fanout adjacency
+    -- slice (sim DESC, dst ASC), mirroring nn_descent_round's cap
+    capped AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY sim DESC NULLS LAST, dst) AS rn
+            FROM edges) t
+        WHERE rn <= {NND_FANOUT}
+    ),
     e2 AS (
         SELECT DISTINCT a.src, b.dst
-        FROM edges a JOIN edges b ON a.dst = b.src AND b.dst <> a.src
+        FROM capped a JOIN capped b ON a.dst = b.src AND b.dst <> a.src
     ),
     freshp AS (
         SELECT t.src, t.dst FROM e2 t
