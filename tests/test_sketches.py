@@ -15,6 +15,7 @@ from worker_spark.operators.sketches import (
     hll_distinct,
     hll_registers,
     kmv_distinct,
+    theta_set_ops,
 )
 
 
@@ -267,3 +268,66 @@ def test_quantile_sketch_drops_null_keys(spark):
         _vals(spark, rows), "value", "key", "grp"
     ).collect()[0]
     assert (aud["n"], aud["m"]) == (10, 10)
+
+
+def _overlap_df(spark):
+    # A = {0..99}, B = {50..149} (overlap 50), C = {0..9} subset of A;
+    # plus NULL values that must be ignored
+    rows = (
+        [("A", i) for i in range(100)]
+        + [("B", i) for i in range(50, 150)]
+        + [("C", i) for i in range(10)]
+        + [("A", None), ("C", None)]
+    )
+    return spark.createDataFrame(rows, "g string, v int")
+
+
+def test_theta_set_ops_exact_when_underfull(spark):
+    # k=1024 > every group size: theta stays at the full hash space,
+    # the scale factor is 1, and every estimate degrades to exact
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in theta_set_ops(
+            _overlap_df(spark), "v", "g", k=1024
+        ).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert ab["inter_est"] == ab["exact_inter"] == 50
+    assert ab["union_est"] == ab["exact_union"] == 150
+    assert ab["diff_ab_est"] == 50.0
+    assert abs(ab["jaccard_est"] - 50 / 150) < 1e-6
+    assert ab["inter_rel_err"] == 0.0 and ab["union_rel_err"] == 0.0
+    ac = got[("A", "C")]
+    assert ac["inter_est"] == 10 and ac["union_est"] == 100
+    bc = got[("B", "C")]
+    assert bc["inter_est"] == 0 and bc["exact_inter"] == 0
+    # rel err vs an exact 0 intersection is undefined -> NULL, not inf
+    assert bc["inter_rel_err"] is None
+
+
+def test_theta_set_ops_sampled_estimates_track_exact(spark):
+    # k=64 sketches over 100-150 element sets: estimates should land
+    # within the theta-sketch error envelope (~1/sqrt(k) per set op)
+    for r in theta_set_ops(_overlap_df(spark), "v", "g", k=64).collect():
+        if r["exact_inter"] > 0:
+            assert (
+                abs(r["inter_est"] - r["exact_inter"]) / r["exact_inter"]
+                < 0.75
+            )
+        assert (
+            abs(r["union_est"] - r["exact_union"]) / r["exact_union"] < 0.5
+        )
+
+
+def test_theta_set_ops_audit_false_is_estimate_only(spark):
+    df = theta_set_ops(_overlap_df(spark), "v", "g", k=8, audit=False)
+    assert df.columns == [
+        "group_a",
+        "group_b",
+        "inter_est",
+        "union_est",
+        "diff_ab_est",
+        "jaccard_est",
+    ]
+    assert df.count() == 3

@@ -540,3 +540,182 @@ def quantile_sketch_audit(
             ).alias(f"{label}_rank_err")
         )
     return counted.select(*out_cols)
+
+
+def theta_set_ops(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = KMV_K,
+    audit: bool = True,
+) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al., "Theta sketches",
+    a.k.a. the KMV generalization in the DataSketches library): estimate
+    the INTERSECTION / UNION / DIFFERENCE cardinality and Jaccard
+    similarity between every pair of groups from their bottom-k hash
+    sketches alone — no distinct-join over the raw data.
+
+    Reference parity: the reference keeps per-dictionary article-id sets
+    and diffs them pairwise in memory (src/sync_service.rs overlap
+    accounting); at 100 TB per-segment audiences cannot be materialized
+    as sets, which is exactly the theta-sketch use case.
+
+    Construction: per group, the KMV two-level bounded aggregation
+    (kmv_distinct) reduces the distinct md5-prefix hashes to the sorted
+    bottom-k array. theta = k-th minimum when the sketch is FULL, else
+    the whole hash space (the sketch IS the group's complete hash set
+    and every estimate degrades to exact — no special-casing needed:
+    the scale factor becomes 1). Pair combine (a < b lexically):
+    theta_ab = min(theta_a, theta_b); each side keeps hashes < theta_ab;
+    then |A∩B| ~= |kept_a ∩ kept_b| * 2^32/theta_ab and likewise for
+    union and difference, the standard unbiased theta estimators.
+    Jaccard is the kept-set ratio (scale cancels).
+
+    Scale shape: the only pass over the data is the bounded two-level
+    sketch build (shuffle carries <= k hashes per group per input
+    partition). The pair stage joins G sketch rows of <= k longs on a
+    non-equi (a < b) condition — broadcast nested-loop over a
+    sketch-sized input, independent of corpus size. Group cardinality G
+    is expected segment-scale (event types, languages, sources), not
+    key-scale.
+
+    audit=True adds exact_inter / exact_union / rel-error columns via a
+    distinct self-join on the value — the sf-scale verification path
+    (and the oracle surface). At 100 TB run audit=False: estimates only,
+    no exact join. NULL values are ignored (no hash); groups with no
+    non-NULL values are omitted, as in kmv_distinct.
+    """
+    h = md5_prefix32(F.col(value_col))
+    hashed = df.select(
+        F.col(group_col).alias("g"), h.alias("hv")
+    ).filter(F.col("hv").isNotNull())
+    local = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .groupBy("g", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k).alias("_arr"))
+    )
+    sk = (
+        local.groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_arr")))),
+                1,
+                k,
+            ).alias("arr")
+        )
+        .select(
+            "g",
+            "arr",
+            F.when(
+                F.size("arr") >= k,
+                F.element_at(F.col("arr"), k).cast("double"),
+            )
+            .otherwise(F.lit(HASH_SPACE))
+            .alias("theta"),
+        )
+    )
+    a = sk.select(
+        F.col("g").alias("group_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    b = sk.select(
+        F.col("g").alias("group_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    th = F.least("theta_a", "theta_b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            th.alias("th"),
+            F.filter("arr_a", lambda x: x < th).alias("ka"),
+            F.filter("arr_b", lambda x: x < th).alias("kb"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "th",
+            F.size("ka").alias("na"),
+            F.size(F.array_intersect("ka", "kb")).alias("ni"),
+            F.size(F.array_union("ka", "kb")).alias("nu"),
+        )
+    )
+    scale = F.lit(HASH_SPACE) / F.col("th")
+    est = pairs.select(
+        "group_a",
+        "group_b",
+        F.round(F.col("ni") * scale, 3).alias("inter_est"),
+        F.round(F.col("nu") * scale, 3).alias("union_est"),
+        F.round((F.col("na") - F.col("ni")) * scale, 3).alias("diff_ab_est"),
+        F.round(
+            F.when(
+                F.col("nu") > 0,
+                F.col("ni").cast("double") / F.col("nu").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard_est"),
+    )
+    if not audit:
+        return est
+    dv = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    ex_n = dv.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ex_inter = (
+        dv.alias("x")
+        .join(dv.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.g") < F.col("y.g"))
+        .groupBy(
+            F.col("x.g").alias("group_a"), F.col("y.g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ex = (
+        ex_n.alias("na")
+        .join(
+            F.broadcast(ex_n.alias("nb")),
+            F.col("na.g") < F.col("nb.g"),
+        )
+        .select(
+            F.col("na.g").alias("group_a"),
+            F.col("nb.g").alias("group_b"),
+            F.col("na.n").alias("_n_a"),
+            F.col("nb.n").alias("_n_b"),
+        )
+        .join(ex_inter, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (
+                F.col("_n_a") + F.col("_n_b")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+        )
+    )
+    rel = lambda e, x: F.round(  # noqa: E731
+        F.when(
+            F.col(x) > 0, F.abs(F.col(e) - F.col(x)) / F.col(x).cast("double")
+        ),
+        4,
+    )
+    return (
+        est.join(ex, ["group_a", "group_b"])
+        .select(
+            "group_a",
+            "group_b",
+            "inter_est",
+            "union_est",
+            "diff_ab_est",
+            "jaccard_est",
+            "exact_inter",
+            "exact_union",
+            rel("inter_est", "exact_inter").alias("inter_rel_err"),
+            rel("union_est", "exact_union").alias("union_rel_err"),
+        )
+    )

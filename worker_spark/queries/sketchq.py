@@ -452,3 +452,136 @@ def q_event_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "value"
     )
     return K.quantile_sketch_audit(e, "value", "event_id", "event_type")
+
+
+def theta_overlap_oracle(base_sql: str, k: int = _KK) -> str:
+    """DuckDB mirror of sketches.theta_set_ops over a (g, v) base CTE
+    (``base_sql`` must yield non-NULL ``v``). Same bottom-k sketch per
+    group, same theta = min rule, same kept-hash estimators, and the
+    same exact-audit self-join — shared by every registered overlap
+    surface so the estimator logic lives in exactly one SQL body."""
+    return f"""
+    WITH base AS ({base_sql}),
+    h AS (
+        SELECT DISTINCT g,
+               CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM base
+    ),
+    r AS (
+        SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT g, list(hv ORDER BY hv) AS arr, count(*) AS nk
+        FROM r WHERE rn <= {k} GROUP BY g
+    ),
+    sk2 AS (
+        SELECT g, arr,
+               CASE WHEN nk >= {k} THEN CAST(arr[{k}] AS DOUBLE)
+                    ELSE {_HS} END AS theta
+        FROM sk
+    ),
+    p AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               least(a.theta, b.theta) AS th,
+               list_filter(a.arr, x -> x < least(a.theta, b.theta)) AS ka,
+               list_filter(b.arr, x -> x < least(a.theta, b.theta)) AS kb
+        FROM sk2 a JOIN sk2 b ON a.g < b.g
+    ),
+    c AS (
+        SELECT group_a, group_b, th,
+               len(ka) AS na,
+               len(list_intersect(ka, kb)) AS ni,
+               len(list_distinct(list_concat(ka, kb))) AS nu
+        FROM p
+    ),
+    dv AS (SELECT DISTINCT g, v FROM base),
+    en AS (SELECT g, count(*) AS n FROM dv GROUP BY g),
+    ei AS (
+        SELECT x.g AS group_a, y.g AS group_b, count(*) AS exact_inter
+        FROM dv x JOIN dv y ON x.v = y.v AND x.g < y.g
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT na.g AS group_a, nb.g AS group_b,
+               COALESCE(ei.exact_inter, 0) AS exact_inter,
+               na.n + nb.n - COALESCE(ei.exact_inter, 0) AS exact_union
+        FROM en na JOIN en nb ON na.g < nb.g
+        LEFT JOIN ei ON ei.group_a = na.g AND ei.group_b = nb.g
+    )
+    SELECT c.group_a, c.group_b,
+           round(ni * ({_HS} / th), 3) AS inter_est,
+           round(nu * ({_HS} / th), 3) AS union_est,
+           round((na - ni) * ({_HS} / th), 3) AS diff_ab_est,
+           round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / nu
+                      ELSE 0.0 END, 6) AS jaccard_est,
+           exact_inter, exact_union,
+           round(CASE WHEN exact_inter > 0
+                      THEN abs(round(ni * ({_HS} / th), 3) - exact_inter)
+                           / CAST(exact_inter AS DOUBLE) END, 4)
+               AS inter_rel_err,
+           round(CASE WHEN exact_union > 0
+                      THEN abs(round(nu * ({_HS} / th), 3) - exact_union)
+                           / CAST(exact_union AS DOUBLE) END, 4)
+               AS union_rel_err
+    FROM c JOIN ex
+      ON c.group_a = ex.group_a AND c.group_b = ex.group_b
+    """
+
+
+@register(
+    "event_audience_overlap",
+    theta_overlap_oracle(
+        "SELECT event_type AS g, user_id AS v FROM events "
+        "WHERE user_id IS NOT NULL"
+    ),
+    doc=f"Theta-sketch set operations (k={_KK}): pairwise audience "
+    "intersection / union / difference / Jaccard estimates between event "
+    "types from bottom-k hash sketches alone — the segment-overlap "
+    "question answered without a distinct-join over the raw data. "
+    "theta = min(theta_a, theta_b); kept hashes below theta scale by "
+    "2^32/theta (exact when both sketches are under-full). Audit "
+    "columns (exact_inter/union + rel errors) are the sf-scale "
+    "verification surface; at 100 TB run audit=False.",
+)
+def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return K.theta_set_ops(ev, "user_id", "event_type")
+
+
+@register(
+    "lang_shingle_overlap",
+    theta_overlap_oracle(
+        """
+        SELECT d.lang AS g, s.shingle AS v FROM (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents) toks,
+                 UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+        ) s JOIN documents d USING (doc_id)
+        """,
+        k=256,
+    ),
+    doc="Theta-sketch shingle overlap (k=256) between document "
+    "languages: word-3-gram set intersection / union / difference / "
+    "Jaccard per language pair from bottom-k sketches — the cross-corpus "
+    "contamination/similarity signal read before mixing sources, without "
+    "materializing any shingle set. Unlike the audience surface (whose "
+    "synthetic users fully overlap), per-language shingle sets overlap "
+    "only partially, so this exercises the theta < hash-space estimator "
+    "path with non-trivial Jaccard; shares dedup.word_shingles with the "
+    "n-gram dedup family and the oracle body with theta_overlap_oracle.",
+)
+def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sh = D.word_shingles(docs)
+    by_lang = sh.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select("lang", "shingle")
+    return K.theta_set_ops(by_lang, "shingle", "lang", k=256)
