@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from worker_spark.operators.skew import salted_join, with_salt
+from worker_spark.operators.skew import join_skew_profile, salted_join, with_salt
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -201,3 +201,73 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, payload string")
+
+
+def test_join_skew_profile_exact_size_and_hot_key(spark):
+    # left: key 1 x 6 rows, key 2 x 2, key 3 x 1 (+ a NULL that must not
+    # count); right: key 1 x 4, key 2 x 1, key 9 x 5 (no match)
+    left = _kv(
+        spark,
+        [(1, "a")] * 6 + [(2, "a")] * 2 + [(3, "a")] + [(None, "a")],
+    )
+    right = _kv(spark, [(1, "b")] * 4 + [(2, "b")] + [(9, "b")] * 5)
+    prof = join_skew_profile(
+        left, right, "k", top_n=2, broadcast_rows=0, salt_share=0.5
+    ).collect()
+    # est_join_rows must equal the real inner-join row count
+    true_size = left.join(right, "k").count()
+    assert prof[0]["est_join_rows"] == true_size == 6 * 4 + 2 * 1
+    assert [r["key"] for r in prof] == [1, 2]  # top-2 by contribution
+    assert (prof[0]["n_left"], prof[0]["n_right"]) == (6, 4)
+    assert prof[0]["rank"] == 1 and prof[1]["rank"] == 2
+    # key 1 owns 24/26 of the output -> salting verdict (broadcast off)
+    assert prof[0]["strategy"] == "salt_hot_keys"
+    assert abs(prof[0]["max_share"] - 24 / 26) < 1e-6
+    assert prof[0]["left_rows"] == 9  # NULL key excluded
+    assert (prof[0]["left_keys"], prof[0]["right_keys"]) == (3, 3)
+    assert prof[0]["match_keys"] == 2
+
+
+def test_join_skew_profile_strategy_branches(spark):
+    left = _kv(spark, [(i, "a") for i in range(20)])
+    right = _kv(spark, [(i % 5, "b") for i in range(10)])
+    # right (10 rows) under the broadcast threshold
+    assert (
+        join_skew_profile(left, right, "k", broadcast_rows=10)
+        .first()["strategy"]
+        == "broadcast_right"
+    )
+    # right over, left (20 rows) under a 25-row threshold... order matters:
+    # right is checked first, so raise right above and left below
+    assert (
+        join_skew_profile(
+            _kv(spark, [(0, "a")] * 5), right, "k", broadcast_rows=9
+        ).first()["strategy"]
+        == "broadcast_left"
+    )
+    # both sides over the threshold, no hot key -> shuffle
+    assert (
+        join_skew_profile(
+            left, right, "k", broadcast_rows=0, salt_share=0.9
+        ).first()["strategy"]
+        == "shuffle_join"
+    )
+
+
+def test_join_skew_profile_plan_is_take_ordered(spark):
+    # the top-N must come from sort+limit (TakeOrdered), never a global
+    # row_number over the full key table; the only Window in the plan
+    # ranks the already-limited top_n rows
+    left = _kv(spark, [(i % 7, "a") for i in range(100)])
+    right = _kv(spark, [(i % 7, "b") for i in range(100)])
+    plan = (
+        join_skew_profile(left, right, "k", top_n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

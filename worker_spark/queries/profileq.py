@@ -58,3 +58,88 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_chars"
     )
     return quantile_sketch_audit(docs, "n_chars", "doc_id", "lang")
+
+
+_JSP_BCAST = 1000  # broadcast-side row threshold (both engines)
+_JSP_SALT = 0.02  # hottest-key output share that triggers salting
+
+
+@register(
+    "join_skew_profile",
+    f"""
+    WITH lc AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_left
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    rc AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_right
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    pk AS (
+        SELECT lc.key, n_left, n_right, n_left * n_right AS contribution
+        FROM lc JOIN rc USING (key)
+    ),
+    summ AS (
+        SELECT CAST(count(*) AS BIGINT) AS match_keys,
+               CAST(sum(contribution) AS BIGINT) AS est_join_rows,
+               max(contribution) AS maxc
+        FROM pk
+    ),
+    ls AS (
+        SELECT CAST(sum(n_left) AS BIGINT) AS left_rows,
+               CAST(count(*) AS BIGINT) AS left_keys FROM lc
+    ),
+    rs AS (
+        SELECT CAST(sum(n_right) AS BIGINT) AS right_rows,
+               CAST(count(*) AS BIGINT) AS right_keys FROM rc
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT pk.*,
+                   CAST(row_number() OVER (
+                       ORDER BY contribution DESC, key ASC) AS INT) AS rank
+            FROM pk
+        ) WHERE rank <= 10
+    )
+    SELECT t.key, t.n_left, t.n_right, t.contribution,
+           round(CAST(t.contribution AS DOUBLE) / est_join_rows, 6) AS share,
+           t.rank,
+           left_rows, right_rows, left_keys, right_keys,
+           match_keys, est_join_rows,
+           round(CAST(maxc AS DOUBLE) / est_join_rows, 6) AS max_share,
+           CASE WHEN right_rows <= {_JSP_BCAST} THEN 'broadcast_right'
+                WHEN left_rows <= {_JSP_BCAST} THEN 'broadcast_left'
+                WHEN CAST(maxc AS DOUBLE) / est_join_rows > {_JSP_SALT!r}
+                     THEN 'salt_hot_keys'
+                ELSE 'shuffle_join' END AS strategy
+    FROM top t, summ, ls, rs
+    """,
+    doc="Pre-join cardinality/skew profile (skew.join_skew_profile) for "
+    "the view-events x purchase-events user join: exact join output "
+    "size from per-key count tables (never the joined rows), top-10 "
+    "hottest keys with their output share, and a deterministic strategy "
+    "verdict (broadcast under 1000 rows / salt when the hottest key owns "
+    ">2% of the output / shuffle otherwise). The thresholds are chosen "
+    "so sf0.001 exercises the broadcast branch and sf0.01 the "
+    "salt-or-shuffle branch. Scale: two map-side counts + a "
+    "distinct-key join + TakeOrdered — profiling a 10^13-row join "
+    "costs two scans.",
+)
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.skew import join_skew_profile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return join_skew_profile(
+        views,
+        buys,
+        "user_id",
+        top_n=10,
+        broadcast_rows=_JSP_BCAST,
+        salt_share=_JSP_SALT,
+    )
