@@ -66,6 +66,11 @@ HEADLINE = [
     # HNSW-style graph ANN)
     "event_quantile_sketch",
     "similarity_graph_ann",
+    # round-5 additions, second batch (theta-sketch set ops; join-skew
+    # profiler) — no prior anchor; they join the anchor set in r6
+    "event_audience_overlap",
+    "lang_shingle_overlap",
+    "join_skew_profile",
 ]
 
 

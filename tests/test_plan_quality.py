@@ -390,3 +390,25 @@ def test_nn_descent_round_has_no_cartesian(spark):
     plan = _physical(G.nn_descent_round(emb, edges))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # existing pairs really are anti-joined out
+
+
+def test_theta_sketch_pair_stage_is_broadcast_over_sketches(spark):
+    # theta_set_ops: the raw data is reduced to <= k hashes per group
+    # per partition by a two-level partial aggregation; the a < b pair
+    # stage then runs as a broadcast nested-loop over SKETCH rows only
+    # (G rows of <= k longs — corpus-size independent). No cartesian
+    # product over data rows, no global sort anywhere.
+    plan = _physical(_SPECS["event_audience_overlap"].run(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the sketch build
+
+
+def test_join_skew_profile_topn_is_take_ordered(spark):
+    # the hottest-key slice must come from sort+limit (distributed
+    # partial top-N), never a global row_number over the full key table;
+    # the per-side count tables are map-side combinable
+    plan = _physical(_SPECS["join_skew_profile"].run(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

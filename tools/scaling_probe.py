@@ -135,6 +135,7 @@ def probes(docs, events, emb, fixed_batch):
     from worker_spark.operators import selection as SEL
     from worker_spark.operators import similarity as SIM
     from worker_spark.operators import sketches as K
+    from worker_spark.operators import skew as SK
     from worker_spark.operators import substrings as SS
     from worker_spark.operators import text as T
 
@@ -238,6 +239,27 @@ def probes(docs, events, emb, fixed_batch):
             # the graph ANN index build)
             "graph_knn_edges",
             lambda: _graph_edges(emb),
+        ),
+        # --- r5 additions: theta set ops + join-skew profile ---
+        (
+            # sketch build is the only data pass; the pair stage runs on
+            # G bounded sketches (audit=False: the estimate-only scale
+            # path, so the probe measures the sketch shape, not the
+            # exact-audit self-join)
+            "theta_set_ops_sketch",
+            lambda: K.theta_set_ops(
+                ev_day, "user_id", "event_type", k=256, audit=False
+            ).count(),
+        ),
+        (
+            # two map-side per-key counts + distinct-key join +
+            # TakeOrdered; never touches the joined rows
+            "join_skew_profile",
+            lambda: SK.join_skew_profile(
+                events.filter(F.col("event_type") == "view"),
+                events.filter(F.col("event_type") == "purchase"),
+                "user_id",
+            ).count(),
         ),
     ]
 
