@@ -71,6 +71,7 @@ HEADLINE = [
     "event_audience_overlap",
     "lang_shingle_overlap",
     "join_skew_profile",
+    "doc_rag_chunks",
 ]
 
 

@@ -119,3 +119,57 @@ def test_clamped_is_unclamped_where_sizes_already_conform(spark):
             for r in cdc_chunks_clamped(df).orderBy("chunk_ix").collect()
         ]
         assert clamped == plain
+
+
+def test_token_window_chunks_geometry_and_coverage(spark):
+    from worker_spark.operators.chunking import token_window_chunks
+
+    text_40 = " ".join(f"t{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text_40), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = token_window_chunks(docs, window=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # 40 tokens, window 16, stride 12 -> floor(24/12)+1 = 3 chunks
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in d1] == [0, 12, 24]
+    assert [r["n_tokens"] for r in d1] == [16, 16, 16]
+    # consecutive chunks overlap by window - stride = 4 tokens
+    assert d1[0]["chunk_text"].split()[12:] == d1[1]["chunk_text"].split()[:4]
+    # full coverage: the union of [start, start+n) spans 0..40
+    covered = set()
+    for r in d1:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(40))
+    # short doc -> single (short) chunk; blank doc -> no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    assert 3 not in by_doc
+
+
+def test_token_window_chunks_rejects_gapped_stride(spark):
+    import pytest as _pytest
+
+    from worker_spark.operators.chunking import token_window_chunks
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        token_window_chunks(docs, window=8, stride=9)
+    with _pytest.raises(ValueError):
+        token_window_chunks(docs, window=8, stride=0)
+
+
+def test_token_window_chunk_hash_is_exact_dedup_key(spark):
+    from worker_spark.operators.chunking import token_window_chunks
+
+    # two docs sharing an identical 64-token span aligned to the stride
+    # grid produce the same chunk_hash for that window
+    span = " ".join(f"s{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, span), (2, span + " tail1 tail2")], "doc_id long, text string"
+    )
+    out = token_window_chunks(docs, window=64, stride=64).collect()
+    h1 = [r["chunk_hash"] for r in out if r["id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["id"] == 2 and r["chunk_idx"] == 0]
+    assert h1 == h2

@@ -209,3 +209,72 @@ def cdc_chunks_clamped(
         "_ends", F.slice(walk, 2, F.greatest(F.size(walk) - 1, F.lit(0)))
     )
     return _explode_chunks(with_bounds)
+
+
+RAG_WINDOW = 64  # tokens per chunk
+RAG_STRIDE = 48  # tokens between chunk starts (overlap = WINDOW - STRIDE)
+
+
+def token_window_chunks(
+    docs: DataFrame,
+    window: int = RAG_WINDOW,
+    stride: int = RAG_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed token-window chunking with overlap — the retrieval-indexing
+    complement to CDC: RAG pipelines embed overlapping windows so no
+    query-relevant span is split across a chunk boundary, and the
+    (window, stride) geometry must be deterministic so re-indexing a
+    corpus produces byte-identical chunk ids. (CDC optimizes dedup
+    stability under edits; token windows optimize retrieval coverage —
+    a pipeline typically uses both, CDC upstream and this downstream.)
+
+    Chunk starts are 0, stride, 2*stride, ...; a document emits
+    floor(max(T - window, 0) / stride) + 1 chunks, so the final chunk is
+    the only one that may be short and every token is covered at least
+    once. Per chunk: (id, chunk_idx, start_tok, n_tokens, chunk_text,
+    chunk_hash) — the md5 chunk hash is the exact-dedup key at the
+    chunk granularity.
+
+    Scale shape: pure per-document column arithmetic — one split, one
+    sequence-explode per CHUNK, array slices. No shuffle, no UDF; like
+    the CDC operators it composes with scan pruning and parallelizes
+    embarrassingly. ``stride`` must be >= 1 and <= ``window`` (gaps
+    between chunks would violate the coverage contract)."""
+    if not (1 <= stride <= window):
+        raise ValueError(
+            f"stride must be in [1, window]: stride={stride} window={window}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.size(toks)
+    n_chunks = (
+        F.floor(
+            F.greatest(t - F.lit(window), F.lit(0)) / F.lit(stride)
+        ).cast("long")
+        + 1
+    )
+    tokenized = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        t.alias("_t"),
+        n_chunks.alias("_n"),
+    )
+    exploded = tokenized.select(
+        "id",
+        "_toks",
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)
+        ).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * stride).cast("int")
+    piece = F.slice(F.col("_toks"), start + 1, window)
+    return exploded.select(
+        "id",
+        "chunk_idx",
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )

@@ -182,3 +182,45 @@ _CLAMP_SQL = f"""
 def q_doc_cdc_chunks_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.cdc_chunks_clamped(docs)
+
+
+_RW, _RS = C.RAG_WINDOW, C.RAG_STRIDE
+
+
+@register(
+    "doc_rag_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n_tok,
+               CAST(floor(greatest(len(t) - {_RW}, 0) / {_RS}) AS BIGINT) + 1
+                   AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id AS id, CAST(c AS BIGINT) AS chunk_idx,
+               CAST(c * {_RS} AS BIGINT) AS start_tok,
+               array_slice(t, CAST(c * {_RS} + 1 AS INT),
+                           CAST(c * {_RS} + {_RW} AS INT)) AS piece
+        FROM sized, UNNEST(range(n_chunks)) u(c)
+    )
+    SELECT id, chunk_idx, start_tok,
+           CAST(len(piece) AS BIGINT) AS n_tokens,
+           array_to_string(piece, ' ') AS chunk_text,
+           md5(array_to_string(piece, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    doc=f"Token-window RAG chunking ({_RW}-token windows, stride {_RS}, "
+    f"{_RW - _RS}-token overlap): the retrieval-indexing complement to "
+    "CDC — overlapping windows so no query-relevant span is split across "
+    "a boundary, deterministic geometry so re-indexing reproduces "
+    "byte-identical chunk hashes. Map-only (one split + one "
+    "sequence-explode per chunk + array slices; no shuffle, no UDF). "
+    "Every token covered; only the final chunk may be short.",
+)
+def q_doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.token_window_chunks(docs)
