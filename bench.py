@@ -72,6 +72,7 @@ HEADLINE = [
     "lang_shingle_overlap",
     "join_skew_profile",
     "doc_rag_chunks",
+    "events_zorder_layout",
 ]
 
 

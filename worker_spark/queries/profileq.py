@@ -143,3 +143,95 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_rows=_JSP_BCAST,
         salt_share=_JSP_SALT,
     )
+
+
+def _zorder_oracle() -> str:
+    from worker_spark.operators import zorder as Z
+
+    bits, top = Z.Z_BITS, (1 << Z.Z_BITS) - 1
+    zwidth, bk = 1 << (2 * Z.Z_BITS), Z.Z_BUCKETS
+    morton = " + ".join(
+        f"(((n1 >> {j}) & 1) << {2 * j + 1}) + (((n2 >> {j}) & 1) << {2 * j})"
+        for j in range(bits)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(user_id AS BIGINT) AS v1,
+               CAST(floor(epoch(ts)) AS BIGINT) AS v2
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    bounds AS (
+        SELECT min(v1) AS lo1, max(v1) AS hi1,
+               min(v2) AS lo2, max(v2) AS hi2
+        FROM base
+    ),
+    norm AS (
+        SELECT CAST(floor(((v1 - lo1) * {top}) / greatest(hi1 - lo1, 1))
+                    AS BIGINT) AS n1,
+               CAST(floor(((v2 - lo2) * {top}) / greatest(hi2 - lo2, 1))
+                    AS BIGINT) AS n2
+        FROM base, bounds
+    ),
+    keyed AS (SELECT n1, n2, {morton} AS z FROM norm),
+    tagged AS (
+        SELECT n1, n2, 'linear_user_id' AS layout,
+               CAST(floor((n1 * {bk}) / {top + 1}) AS BIGINT) AS b
+        FROM keyed
+        UNION ALL
+        SELECT n1, n2, 'zorder' AS layout,
+               CAST(floor((z * {bk}) / {zwidth}) AS BIGINT) AS b
+        FROM keyed
+    ),
+    per_bucket AS (
+        SELECT layout, b,
+               min(n1) AS lo1, max(n1) AS hi1,
+               min(n2) AS lo2, max(n2) AS hi2
+        FROM tagged GROUP BY 1, 2
+    ),
+    per_col AS (
+        SELECT layout, 'user_id' AS column, lo1 AS lo, hi1 AS hi
+        FROM per_bucket
+        UNION ALL
+        SELECT layout, 'epoch_s' AS column, lo2 AS lo, hi2 AS hi
+        FROM per_bucket
+    ),
+    counted AS (
+        SELECT layout, "column",
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(hi - lo) AS BIGINT) AS span_sum,
+               CAST(sum(CASE WHEN {top // 2} < lo OR {top // 2} > hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pruned
+        FROM per_col GROUP BY 1, 2
+    )
+    SELECT layout, "column", n_buckets,
+           CAST(span_sum AS DOUBLE) / CAST(n_buckets * {top} AS DOUBLE)
+               AS avg_span,
+           CAST(pruned AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+               AS prune_frac
+    FROM counted
+    """
+
+
+@register(
+    "events_zorder_layout",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering audit (zorder.zorder_layout_stats) "
+    "over events (user_id x event time): per-bucket min/max span and "
+    "mid-range point-probe prune fraction for the linear user_id layout "
+    "vs the bit-interleaved z-order layout. The multi-column data-"
+    "skipping story in 4 numbers: linear clusters user_id perfectly and "
+    "time not at all; z-order bounds BOTH near B^(-1/2). Single pass "
+    "(explode layout tags -> one bounded groupBy), exact integer "
+    "normalize/interleave so both engines agree bit-for-bit; "
+    "zorder_repartition is the write-path twin that range-partitions on "
+    "the same key.",
+)
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.zorder import zorder_layout_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("epoch_s")
+    )
+    return zorder_layout_stats(ev, "user_id", "epoch_s")
