@@ -73,6 +73,7 @@ HEADLINE = [
     "join_skew_profile",
     "doc_rag_chunks",
     "events_zorder_layout",
+    "similarity_binary_topk",
 ]
 
 

@@ -25,6 +25,15 @@ def test_ann_recall_floors_and_cost_shape(spark):
     assert rows["int8_quantized"]["recall_at_k"] >= 0.7
     assert rows["int8_quantized"]["exact_pairs"] == 0
 
+    # binary sign quantization: the 1-bit coarse scan + exact rerank
+    # lands between pure-code ranking and the PQ refine ladder; the
+    # shortlist is the recall knob (sf0.1: 0.64 @ 5% -> 0.86 @ 15%)
+    b100 = rows["binary_hamming_refined_100"]
+    b300 = rows["binary_hamming_refined_300"]
+    assert b100["recall_at_k"] >= 0.5
+    assert b300["recall_at_k"] >= b100["recall_at_k"]
+    assert b100["exact_pairs"] < b300["exact_pairs"]
+
     # refine ladder: recall grows with shortlist depth; the 40% shortlist
     # clears the 0.95 production floor (sf0.01: 0.86 @ 20% -> 0.98 @ 40%)
     r100 = rows["pq_adc_refined_100"]

@@ -238,6 +238,21 @@ def evaluate_ann(
     record("int8_quantized", "dot", qz, truth_dot, denom, 0,
            time.perf_counter() - t0)
 
+    # binary sign quantization: 1-bit/dim coarse Hamming scan (integer
+    # XOR+popcount over the full corpus — cand_pairs = denom, but each
+    # pair costs 2 popcounts, not 64 float multiplies), then an exact
+    # cosine rerank of the shortlist -> exact_pairs = nq * shortlist,
+    # the same scan_frac accounting as the PQ refine ladder
+    for bq_shortlist in (pq_shortlist, 3 * pq_shortlist):
+        t0 = time.perf_counter()
+        bq = S.binary_hamming_topk(
+            queries, emb, k=k, shortlist=bq_shortlist
+        )
+        bq.collect()
+        record(f"binary_hamming_refined_{bq_shortlist}", "cosine", bq,
+               truth_cos, denom, nq * bq_shortlist,
+               time.perf_counter() - t0)
+
     # PQ family (queries are vec_id % query_stride inside the operators)
     t0 = time.perf_counter()
     adc = S.pq_adc_topk(emb, k=k, query_stride=query_stride)

@@ -982,3 +982,109 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# --- binary (sign) quantization + Hamming shortlist --------------------
+#
+# The 32x memory tier below int8: one BIT per dimension (sign of the
+# coordinate), DIM=64 floats -> two 32-bit words. Query-to-candidate
+# similarity is approximated by Hamming distance (XOR + popcount — a
+# few machine instructions per candidate), which shortlists candidates
+# for an exact cosine rerank, the same shortlist->refine shape as
+# pq_adc_refined_topk. Sign thresholding at 0.0 (not the per-dim mean)
+# keeps the code a pure function of the vector — a mean threshold would
+# hinge bit decisions on a cross-engine float summation ulp.
+
+BQ_WORDS = 2
+BQ_BITS = 32  # bits per word; DIM = BQ_WORDS * BQ_BITS
+
+
+def binary_sign_code(vec: Column) -> Column:
+    """array<float> -> array<long> of BQ_WORDS sign-bit words: bit j of
+    word w is 1 iff vec[w*32 + j] > 0. Map-only shift/or expression,
+    bit-identical in DuckDB."""
+    words = []
+    for w in range(BQ_WORDS):
+        word = F.lit(0).cast("long")
+        for j in range(BQ_BITS):
+            bit = (
+                F.element_at(vec, w * BQ_BITS + j + 1) > 0
+            ).cast("long")
+            word = word + F.shiftleft(bit, j)
+        words.append(word)
+    return F.array(*words)
+
+
+def binary_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two sign codes: popcount of the XOR,
+    summed over words — exact integers, no float anywhere."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming-shortlisted exact cosine: encode both sides to
+    sign bits (map-only), score every candidate by integer Hamming
+    distance (broadcast query side — the cheap full scan: 2 XOR+popcount
+    per candidate vs 64 float multiplies), keep the ``shortlist``
+    closest per query, then exactly rerank the shortlist by cosine.
+
+    Scale shape: the full scan touches CODES (8 bytes/vector — at 10^9
+    vectors that is 8 GB, broadcastable per executor core), and float
+    vectors are fetched only for nq * shortlist rows — scan_frac =
+    shortlist/N like the PQ refine ladder, with a far cheaper coarse
+    stage. Output: (q_id, c_id, hamming, cos_sim, rnk)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        binary_sign_code(F.col(vec_col)).alias("q_code"),
+    )
+    c = _spread(candidates).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        binary_sign_code(F.col(vec_col)).alias("c_code"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "q_vec",
+            "c_vec",
+            binary_hamming(F.col("q_code"), F.col("c_code")).alias(
+                "hamming"
+            ),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("c_id"))
+    short = scored.withColumn("srnk", F.row_number().over(ws)).filter(
+        F.col("srnk") <= shortlist
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        6,
+    )
+    reranked = short.select("q_id", "c_id", "hamming", cos.alias("cos_sim"))
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        reranked.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id", "c_id", "hamming", "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

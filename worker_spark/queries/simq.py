@@ -865,3 +865,76 @@ def q_graph_nn_descent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sim_after"
         ),
     )
+
+
+def _binary_oracle() -> str:
+    words = []
+    for w in range(S.BQ_WORDS):
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{w * S.BQ_BITS + j + 1}] > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(S.BQ_BITS)
+        )
+        words.append(f"CAST({terms} AS BIGINT) AS w{w}")
+    code_cols = ", ".join(words)
+    ham = " + ".join(
+        f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(S.BQ_WORDS)
+    )
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {code_cols} FROM embeddings
+    ),
+    q AS (SELECT * FROM coded WHERE vec_id % 20 = 0),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               a.embedding AS q_emb, b.embedding AS c_emb,
+               CAST({ham} AS BIGINT) AS hamming
+        FROM q a JOIN coded b ON a.vec_id <> b.vec_id
+    ),
+    short AS (
+        SELECT * FROM (
+            SELECT q_id, c_id, q_emb, c_emb, hamming,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY hamming ASC, c_id ASC)
+                       AS srnk
+            FROM scored
+        ) WHERE srnk <= 100
+    ),
+    reranked AS (
+        SELECT q_id, c_id, hamming,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q_emb[i] AS DOUBLE)
+                          * CAST(c_emb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               *  sqrt(list_sum(list_transform(c_emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cos_sim
+        FROM short
+    )
+    SELECT q_id, c_id, hamming, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, c_id ASC)
+                      AS rnk
+        FROM reranked
+    ) WHERE rnk <= 5
+    """
+
+
+@register(
+    "similarity_binary_topk",
+    _binary_oracle(),
+    doc="Binary sign quantization + Hamming shortlist + exact cosine "
+    "rerank: one BIT per dimension (64 floats -> two 32-bit words, 32x "
+    "smaller than float32), coarse scan by XOR+popcount integers, "
+    "shortlist-100 reranked exactly — the same shortlist->refine shape "
+    "as the PQ ladder with a far cheaper coarse stage. Sign threshold "
+    "at 0.0 keeps every bit a pure function of the vector (a mean "
+    "threshold would hinge bits on cross-engine summation ulps). "
+    "Exact-integer Hamming, 6dp cosine: fully hash-checkable.",
+)
+def q_similarity_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.binary_hamming_topk(queries, emb, k=5, shortlist=100)
