@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_rag_chunks",
     "events_zorder_layout",
     "similarity_binary_topk",
+    "event_funnel_conversion",
 ]
 
 

@@ -783,3 +783,124 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_size <= 15
         """
     )
+
+
+@register(
+    "event_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY 1
+    ),
+    counts AS (
+        SELECT (SELECT count(DISTINCT user_id) FROM events
+                WHERE user_id IS NOT NULL) AS n0,
+               (SELECT count(*) FROM v) AS n1,
+               (SELECT count(*) FROM c) AS n2,
+               (SELECT count(*) FROM p) AS n3
+    )
+    SELECT CAST(step AS INT) AS step, step_name,
+           CAST(users AS BIGINT) AS users,
+           CASE WHEN prev > 0
+                THEN CAST(users AS DOUBLE) / CAST(prev AS DOUBLE) END
+               AS conv_from_prev,
+           CASE WHEN n0 > 0
+                THEN CAST(users AS DOUBLE) / CAST(n0 AS DOUBLE) END
+               AS conv_from_start
+    FROM counts, (VALUES (1), (2), (3)) s(step),
+    LATERAL (
+        SELECT CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                         ELSE 'purchase' END AS step_name,
+               CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS users,
+               CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS prev
+    ) x
+    """,
+    doc="Windowed ordered-funnel conversion (view -> click -> purchase, "
+    "strict event-time order, each step within 24h of the previous): per "
+    "step, users who reached it after completing the previous step "
+    "inside the conversion window, with step-over-step and from-start "
+    "rates. Sequential dependency as a 3-stage min-timestamp join chain "
+    "(each stage joins the previous stage's tiny per-user frame, never "
+    "re-sorting events); the 3 output rows come from ONE pass via a "
+    "struct explode. Rates are bare single-op divisions of exact counts "
+    "(cross-engine stable); zero denominators yield NULL identically.",
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        ev.agg(F.countDistinct("user_id").alias("n0"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    steps = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step"),
+                        F.lit(name).alias("step_name"),
+                        F.col(u).alias("users"),
+                        F.col(prev).alias("prev"),
+                        F.col("n0").alias("start"),
+                    )
+                    for i, name, u, prev in [
+                        (1, "view", "n1", "n0"),
+                        (2, "click", "n2", "n1"),
+                        (3, "purchase", "n3", "n2"),
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    conv = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0, F.col(a).cast("double") / F.col(b).cast("double")
+    )
+    return steps.select(
+        "step",
+        "step_name",
+        F.col("users").cast("long").alias("users"),
+        conv("users", "prev").alias("conv_from_prev"),
+        conv("users", "start").alias("conv_from_start"),
+    )
