@@ -75,6 +75,7 @@ HEADLINE = [
     "events_zorder_layout",
     "similarity_binary_topk",
     "event_funnel_conversion",
+    "event_retention_cohorts",
 ]
 
 

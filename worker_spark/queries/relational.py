@@ -904,3 +904,91 @@ def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv("users", "prev").alias("conv_from_prev"),
         conv("users", "start").alias("conv_from_start"),
     )
+
+
+@register(
+    "event_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM firsts GROUP BY 1
+    ),
+    joined AS (
+        SELECT f.cohort_week,
+               CAST(floor((epoch(a.week) - epoch(f.cohort_week)) / 604800)
+                    AS INT) AS week_offset,
+               count(DISTINCT a.user_id) AS active_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+           j.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(j.active_users AS BIGINT) AS active_users,
+           CASE WHEN s.cohort_size > 0
+                THEN CAST(j.active_users AS DOUBLE)
+                     / CAST(s.cohort_size AS DOUBLE) END AS retention
+    FROM joined j JOIN sizes s USING (cohort_week)
+    """,
+    doc="Weekly cohort retention matrix: users grouped by first-event "
+    "week, per (cohort, week-offset) distinct active users and the "
+    "retention rate. Two map-side-combinable aggregations + one join on "
+    "the per-user firsts frame; week arithmetic is exact epoch-seconds "
+    "integer division and the rate is a bare exact-count division, so "
+    "both engines agree bit-for-bit. Cohort week emitted as a formatted "
+    "date string (engine-neutral timestamps, per the registry "
+    "conventions).",
+)
+def q_event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp("week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        joined.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.when(
+                F.col("cohort_size") > 0,
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double"),
+            ).alias("retention"),
+        )
+    )
