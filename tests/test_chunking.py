@@ -173,3 +173,22 @@ def test_token_window_chunk_hash_is_exact_dedup_key(spark):
     h1 = [r["chunk_hash"] for r in out if r["id"] == 1]
     h2 = [r["chunk_hash"] for r in out if r["id"] == 2 and r["chunk_idx"] == 0]
     assert h1 == h2
+
+
+def test_token_window_chunks_cover_ragged_tail(spark):
+    # T=120, window=64, stride=48: T-W=56 is NOT a stride multiple.
+    # ceil gives 3 chunks (starts 0/48/96, last short); floor gave 2
+    # and silently dropped tokens 112..119 (review finding)
+    from worker_spark.operators.chunking import token_window_chunks
+
+    text = " ".join(f"t{i}" for i in range(120))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        token_window_chunks(docs).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [r["start_tok"] for r in out] == [0, 48, 96]
+    assert [r["n_tokens"] for r in out] == [64, 64, 24]
+    covered = set()
+    for r in out:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(120))

@@ -231,9 +231,11 @@ def token_window_chunks(
     a pipeline typically uses both, CDC upstream and this downstream.)
 
     Chunk starts are 0, stride, 2*stride, ...; a document emits
-    floor(max(T - window, 0) / stride) + 1 chunks, so the final chunk is
+    ceil(max(T - window, 0) / stride) + 1 chunks, so the final chunk is
     the only one that may be short and every token is covered at least
-    once. Per chunk: (id, chunk_idx, start_tok, n_tokens, chunk_text,
+    once (floor would silently drop up to stride-1 trailing tokens
+    whenever stride does not divide T - window — a span a RAG query
+    could then never retrieve). Per chunk: (id, chunk_idx, start_tok, n_tokens, chunk_text,
     chunk_hash) — the md5 chunk hash is the exact-dedup key at the
     chunk granularity.
 
@@ -248,9 +250,11 @@ def token_window_chunks(
         )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = F.size(toks)
+    # ceil via integer arithmetic: (max(T-W, 0) + S - 1) div S
     n_chunks = (
         F.floor(
-            F.greatest(t - F.lit(window), F.lit(0)) / F.lit(stride)
+            (F.greatest(t - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
         ).cast("long")
         + 1
     )

@@ -103,9 +103,17 @@ def planted_corpus(
             ),
         ).otherwise(t),
     )
+    # tier-0 copies reuse the ORIGINAL text verbatim: rebuilding it via
+    # concat_ws(split(...)) normalizes whitespace, so a document with a
+    # double space or newline would get a NOT-byte-identical "identical"
+    # copy and break exact recall_t0 == 1.0 (review finding). Higher
+    # tiers go through the token rebuild, whose whitespace
+    # normalization is part of the perturbation.
     dups = victims.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.concat_ws(" ", perturbed).alias("text"),
+        F.when(rate == 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", perturbed))
+        .alias("text"),
     )
     return base.unionByName(dups)
 
@@ -216,6 +224,10 @@ def evaluate_dedup(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = planted_corpus(docs, plant_stride).cache()
     corpus.count()
+    # NOTE: the _lsh/_simhash/_ngram candidate counters rebuild the
+    # method's shingle/signature stage a second time by design — the
+    # harness mirrors operator internals without instrumenting them
+    # (same policy as ann_eval; docstrings cite the mirrored lines).
     truth = truth_pairs(docs, plant_stride).cache()
     per_tier = {
         int(r["tier"]): int(r["n"])
@@ -253,6 +265,12 @@ def evaluate_dedup(
 
     rows = []
     for name, found_df, cand_df in methods:
+        # the dedup pipelines cache their shingle/signature/fingerprint
+        # intermediates and never unpersist (dedup.py module docstring:
+        # callers running many pipelines in one session must clear);
+        # without this, four methods' intermediates stay pinned
+        # simultaneously. corpus/truth re-cache lazily on next use.
+        spark.catalog.clearCache()
         found = found_df.select("id_a", "id_b").distinct().cache()
         found_total = found.count()
         cand_pairs = found_total if cand_df is None else cand_df.count()

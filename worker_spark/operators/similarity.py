@@ -1046,14 +1046,18 @@ def binary_hamming_topk(
     stage. Output: (q_id, c_id, hamming, cos_sim, rnk)."""
     from pyspark.sql import Window
 
+    # the coarse scan and its per-query top-shortlist shuffle carry ONLY
+    # (q_id, c_id, hamming) — slim integer rows; float vectors are joined
+    # back for the nq * shortlist survivors (the pq_adc_refined_topk
+    # shape). Dragging both vectors through the full N x nq scan would
+    # put ~0.5 KB of float payload on every shuffled pair and negate the
+    # 8-bytes-per-vector coarse stage entirely (review finding).
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
         binary_sign_code(F.col(vec_col)).alias("q_code"),
     )
     c = _spread(candidates).select(
         F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
         binary_sign_code(F.col(vec_col)).alias("c_code"),
     )
     scored = (
@@ -1062,8 +1066,6 @@ def binary_hamming_topk(
         .select(
             "q_id",
             "c_id",
-            "q_vec",
-            "c_vec",
             binary_hamming(F.col("q_code"), F.col("c_code")).alias(
                 "hamming"
             ),
@@ -1073,12 +1075,23 @@ def binary_hamming_topk(
     short = scored.withColumn("srnk", F.row_number().over(ws)).filter(
         F.col("srnk") <= shortlist
     )
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    with_vecs = short.join(F.broadcast(q_vecs), "q_id").join(
+        c_vecs, "c_id"
+    )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
         6,
     )
-    reranked = short.select("q_id", "c_id", "hamming", cos.alias("cos_sim"))
+    reranked = with_vecs.select(
+        "q_id", "c_id", "hamming", cos.alias("cos_sim")
+    )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         reranked.withColumn("rnk", F.row_number().over(wk))

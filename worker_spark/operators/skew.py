@@ -133,7 +133,10 @@ def join_skew_profile(
         "right_keys",
         "match_keys",
         "est_join_rows",
-        F.round(max_share, 6).alias("max_share"),
+        # bare division, no round(): round(x, 6) on a quotient can land
+        # on a half-boundary Spark (HALF_UP) and DuckDB (double math)
+        # resolve differently — seen live twice (verify skill notes)
+        max_share.alias("max_share"),
         F.when(F.col("right_rows") <= broadcast_rows, "broadcast_right")
         .when(F.col("left_rows") <= broadcast_rows, "broadcast_left")
         .when(max_share > salt_share, "salt_hot_keys")
@@ -157,10 +160,9 @@ def join_skew_profile(
         "n_left",
         "n_right",
         "contribution",
-        F.round(
+        (
             F.col("contribution").cast("double")
-            / F.col("est_join_rows").cast("double"),
-            6,
+            / F.col("est_join_rows").cast("double")
         ).alias("share"),
         "rank",
         "left_rows",

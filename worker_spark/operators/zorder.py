@@ -14,8 +14,9 @@ as plain column arithmetic + repartitionByRange (no table format
 needed; reference has no counterpart — the reference's Postgres B-tree
 covers one dimension, src/storage.rs index DDL).
 
-Everything is exact integer arithmetic (normalize to ``bits``-bit ints
-with integer division, interleave with shift/or), so the key — and the
+The arithmetic is engine-exact (long multiplies, one double division
+per normalize — exact below the 2^53 bound documented on
+normalize_to_bits — and shift/or interleaving), so the key — and the
 layout-statistics audit below — is bit-identical in DuckDB and
 oracle-checkable.
 
@@ -46,9 +47,14 @@ Z_BUCKETS = 64  # audit bucket count (stand-in for output file count)
 def normalize_to_bits(
     col: Column, lo: Column, hi: Column, bits: int = Z_BITS
 ) -> Column:
-    """Map ``col`` in [lo, hi] to an integer in [0, 2^bits): exact
-    integer scaling ((x - lo) * (2^bits - 1)) DIV max(hi - lo, 1) —
-    identical in DuckDB. Constant columns (hi == lo) map to 0."""
+    """Map ``col`` in [lo, hi] to an integer in [0, 2^bits):
+    ((x - lo) * (2^bits - 1)) / max(hi - lo, 1), floored. The multiply
+    is exact long arithmetic and the division is double, so the result
+    is exact (and engine-identical) as long as (hi - lo) * (2^bits - 1)
+    stays below 2^53 — i.e. column span below ~2^37 at the default 16
+    bits. Epoch SECONDS over decades fits; epoch MICROS over more than
+    a few hours does not — rescale such columns first (the registered
+    query uses unix_timestamp seconds). Constant columns map to 0."""
     top = F.lit((1 << bits) - 1).cast("long")
     span = F.greatest(hi.cast("long") - lo.cast("long"), F.lit(1))
     return ((col.cast("long") - lo.cast("long")) * top / span).cast("long")

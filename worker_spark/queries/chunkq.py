@@ -196,7 +196,8 @@ _RW, _RS = C.RAG_WINDOW, C.RAG_STRIDE
     ),
     sized AS (
         SELECT doc_id, t, len(t) AS n_tok,
-               CAST(floor(greatest(len(t) - {_RW}, 0) / {_RS}) AS BIGINT) + 1
+               CAST(floor((greatest(len(t) - {_RW}, 0) + {_RS - 1})
+                          / {_RS}) AS BIGINT) + 1
                    AS n_chunks
         FROM toks
     ),

@@ -104,11 +104,11 @@ _JSP_SALT = 0.02  # hottest-key output share that triggers salting
         ) WHERE rank <= 10
     )
     SELECT t.key, t.n_left, t.n_right, t.contribution,
-           round(CAST(t.contribution AS DOUBLE) / est_join_rows, 6) AS share,
+           CAST(t.contribution AS DOUBLE) / est_join_rows AS share,
            t.rank,
            left_rows, right_rows, left_keys, right_keys,
            match_keys, est_join_rows,
-           round(CAST(maxc AS DOUBLE) / est_join_rows, 6) AS max_share,
+           CAST(maxc AS DOUBLE) / est_join_rows AS max_share,
            CASE WHEN right_rows <= {_JSP_BCAST} THEN 'broadcast_right'
                 WHEN left_rows <= {_JSP_BCAST} THEN 'broadcast_left'
                 WHEN CAST(maxc AS DOUBLE) / est_join_rows > {_JSP_SALT!r}
