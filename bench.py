@@ -76,6 +76,7 @@ HEADLINE = [
     "similarity_binary_topk",
     "event_funnel_conversion",
     "event_retention_cohorts",
+    "event_rate_anomalies",
 ]
 
 

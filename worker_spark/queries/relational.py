@@ -992,3 +992,72 @@ def q_event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "event_rate_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS events
+        FROM events GROUP BY 1, 2
+    ),
+    trailed AS (
+        SELECT event_type, day, events,
+               CAST(count(*) OVER w AS BIGINT) AS trail_n,
+               CAST(sum(events) OVER w AS BIGINT) AS trail_sum,
+               CAST(sum(events * events) OVER w AS BIGINT) AS trail_sumsq
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, events,
+           trail_sum,
+           ((events * 7 - trail_sum) * (events * 7 - trail_sum)) * 6
+               > 4 * 7 * (7 * trail_sumsq - trail_sum * trail_sum)
+               AS is_anomaly
+    FROM trailed WHERE trail_n = 7
+    """,
+    doc="Event-rate anomaly flags: per (event_type, day), is the day's "
+    "count more than 2 trailing standard deviations from the 7-day "
+    "trailing mean? The z-score test is cross-multiplied into PURE "
+    "INTEGER arithmetic — (x*n - S)^2 * (n-1) > 4 * n * (n*Q - S^2) "
+    "with S/Q the trailing sum and sum-of-squares — so no division, "
+    "sqrt, or float appears anywhere and both engines agree "
+    "bit-for-bit (the monitoring twin of the reference's dashboard "
+    "counters, src/web.rs stats). One map-side daily rollup + one "
+    "bounded window; days without a full 7-day history are omitted.",
+)
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trailed = daily.select(
+        "event_type",
+        "day",
+        "events",
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum("events").over(w).alias("trail_sum"),
+        F.sum(F.col("events") * F.col("events")).over(w).alias("trail_sumsq"),
+    )
+    x, s, q = F.col("events"), F.col("trail_sum"), F.col("trail_sumsq")
+    return trailed.filter(F.col("trail_n") == 7).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "events",
+        "trail_sum",
+        (
+            ((x * 7 - s) * (x * 7 - s)) * 6 > 4 * 7 * (q * 7 - s * s)
+        ).alias("is_anomaly"),
+    )
