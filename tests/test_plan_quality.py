@@ -412,3 +412,39 @@ def test_join_skew_profile_topn_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_rag_chunker_is_map_only(spark):
+    # token-window chunking must be pure per-document arithmetic:
+    # no Exchange (shuffle) anywhere in the plan
+    plan = _physical(_SPECS["doc_rag_chunks"].run(spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_binary_topk_coarse_scan_carries_codes_not_vectors(spark):
+    # the Hamming coarse scan's per-query window shuffle must move only
+    # (ids, hamming) — the float vectors join back AFTER the shortlist
+    # (review finding: dragging q_vec/c_vec through the N x nq exchange
+    # negates the 8-bytes-per-vector coarse stage)
+    df = _SPECS["similarity_binary_topk"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the shortlist window sorts on (q_id, hamming); the float vectors
+    # must not ride through that sort, and Spark 4's rank-limit pushdown
+    # should run a Partial WindowGroupLimit BEFORE the exchange (the
+    # per-partition top-shortlist combine)
+    sort_lines = [
+        ln for ln in plan.splitlines() if "Sort [" in ln and "hamming" in ln
+    ]
+    assert sort_lines, "shortlist sort on hamming not found"
+    assert all("embedding" not in ln for ln in sort_lines)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_zorder_stats_is_single_bounded_aggregation(spark):
+    # one pass: explode layout tags -> ONE groupBy over (layout, bucket)
+    # cells; no join back onto row data, no global sort
+    plan = _physical(_SPECS["events_zorder_layout"].run(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the bucket agg

@@ -135,7 +135,9 @@ def probes(docs, events, emb, fixed_batch):
     from worker_spark.operators import selection as SEL
     from worker_spark.operators import similarity as SIM
     from worker_spark.operators import sketches as K
+    from worker_spark.operators import chunking as CH
     from worker_spark.operators import skew as SK
+    from worker_spark.operators import zorder as Z
     from worker_spark.operators import substrings as SS
     from worker_spark.operators import text as T
 
@@ -259,6 +261,34 @@ def probes(docs, events, emb, fixed_batch):
                 events.filter(F.col("event_type") == "view"),
                 events.filter(F.col("event_type") == "purchase"),
                 "user_id",
+            ).count(),
+        ),
+        (
+            # pure per-document arithmetic: one split + one
+            # sequence-explode per chunk (plan-asserted Exchange-free)
+            "rag_token_chunks",
+            lambda: CH.token_window_chunks(docs).count(),
+        ),
+        (
+            # single pass: layout-tag explode -> bounded (layout,
+            # bucket) groupBy; output is 4 rows at any corpus size
+            "zorder_layout_stats",
+            lambda: Z.zorder_layout_stats(
+                ev_day.select(
+                    "user_id",
+                    F.unix_timestamp("day").alias("epoch_s"),
+                ),
+                "user_id",
+                "epoch_s",
+            ).count(),
+        ),
+        (
+            # FIXED query set over a growing corpus: the coarse scan is
+            # integer popcounts per candidate (linear in N), shortlist
+            # combine is map-side (Partial WindowGroupLimit)
+            "binary_hamming_topk",
+            lambda: SIM.binary_hamming_topk(
+                emb.filter(F.col("vec_id") % 100 == 0), emb, k=10
             ).count(),
         ),
     ]
