@@ -186,54 +186,65 @@ R4_ANCHOR: dict[str, float] = {
 }
 
 # Round-5 anchor: recorded by tools/record_anchor.py from the SECOND of two
-# back-to-back serialized sf0.1 runs this round (total 72.184s over 42
-# queries; total_vs_r4 on that run 1.036 — the first, discarded run read
-# 1.105 on host noise). Includes the r5 additions (doc_curation_decision,
-# event_quantile_sketch, similarity_graph_ann), so round 6 compares every
-# headline query against a same-code anchor.
+# back-to-back serialized sf0.1 runs, re-recorded late in round 5 after the
+# second-batch additions (total 69.736s over 51 queries; vs the mid-round
+# 42-query anchor that run read 0.875 on the shared subset — the mid-round
+# anchor was taken in a noisier host window). Covers EVERY current headline
+# query including the second batch (theta overlap pair, join-skew profile,
+# RAG chunks, z-order audit, binary ANN, funnel, retention, anomalies), so
+# round 6 compares all 51 against a same-code anchor.
 R5_ANCHOR: dict[str, float] = {
-    "pricing_summary": 0.517,
-    "top_revenue_orders": 1.524,
-    "revenue_by_nation": 0.909,
-    "orders_with_returns": 0.499,
-    "customer_any_return": 0.554,
-    "sync_diff_classify": 0.536,
-    "event_journey": 0.197,
-    "outbox_drain_cap": 0.28,
-    "doc_token_stats": 0.189,
-    "dedup_minhash_lsh": 3.224,
-    "dedup_simhash": 2.733,
-    "similarity_cosine_topk": 1.236,
-    "similarity_lsh_ann": 1.764,
-    "dedup_embedding_blocked": 2.184,
-    "multimodal_features": 0.344,
-    "event_value_percentiles": 0.175,
-    "reverse_invalidation": 0.626,
-    "doc_build_scale": 1.653,
-    "dedup_cluster_components": 6.01,
-    "doc_sequence_pack": 0.552,
-    "doc_stratified_sample": 0.211,
-    "similarity_quantized_topk": 0.642,
-    "benchmark_contamination": 2.553,
-    "similarity_pq_refined_topk": 3.578,
-    "similarity_pq_kmeans_topk": 4.535,
-    "doc_cdc_chunks": 1.774,
-    "dedup_translit_shingles": 4.78,
-    "doc_substring_dedup_report": 0.591,
-    "hll_distinct_users": 0.398,
-    "token_cms_heavy_hitters": 1.873,
-    "bpe_train_merges": 1.979,
-    "dedup_edit_distance": 1.907,
-    "token_bigram_collocations": 0.714,
-    "inverted_index_postings": 0.43,
-    "similarity_opq_kmeans_topk": 5.735,
-    "search_documents_flat": 1.169,
-    "bloom_membership_audit": 0.409,
-    "doc_dsir_selection": 2.176,
-    "semdedup_prune": 0.797,
-    "doc_curation_decision": 2.371,
-    "event_quantile_sketch": 0.746,
-    "similarity_graph_ann": 7.11,
+    "pricing_summary": 0.545,
+    "top_revenue_orders": 1.158,
+    "revenue_by_nation": 0.868,
+    "orders_with_returns": 0.545,
+    "customer_any_return": 0.546,
+    "sync_diff_classify": 0.546,
+    "event_journey": 0.193,
+    "outbox_drain_cap": 0.314,
+    "doc_token_stats": 0.192,
+    "dedup_minhash_lsh": 2.749,
+    "dedup_simhash": 3.299,
+    "similarity_cosine_topk": 0.825,
+    "similarity_lsh_ann": 1.688,
+    "dedup_embedding_blocked": 1.755,
+    "multimodal_features": 0.341,
+    "event_value_percentiles": 0.158,
+    "reverse_invalidation": 0.447,
+    "doc_build_scale": 1.419,
+    "dedup_cluster_components": 4.294,
+    "doc_sequence_pack": 0.469,
+    "doc_stratified_sample": 0.156,
+    "similarity_quantized_topk": 0.495,
+    "benchmark_contamination": 2.293,
+    "similarity_pq_refined_topk": 3.524,
+    "similarity_pq_kmeans_topk": 3.967,
+    "doc_cdc_chunks": 1.627,
+    "dedup_translit_shingles": 3.812,
+    "doc_substring_dedup_report": 0.424,
+    "hll_distinct_users": 0.273,
+    "token_cms_heavy_hitters": 1.716,
+    "bpe_train_merges": 1.561,
+    "dedup_edit_distance": 1.74,
+    "token_bigram_collocations": 0.651,
+    "inverted_index_postings": 0.409,
+    "similarity_opq_kmeans_topk": 5.664,
+    "search_documents_flat": 1.143,
+    "bloom_membership_audit": 0.354,
+    "doc_dsir_selection": 1.988,
+    "semdedup_prune": 0.997,
+    "doc_curation_decision": 1.831,
+    "event_quantile_sketch": 0.784,
+    "similarity_graph_ann": 5.421,
+    "event_audience_overlap": 0.485,
+    "lang_shingle_overlap": 1.437,
+    "join_skew_profile": 0.425,
+    "doc_rag_chunks": 0.216,
+    "events_zorder_layout": 0.831,
+    "similarity_binary_topk": 2.08,
+    "event_funnel_conversion": 0.511,
+    "event_retention_cohorts": 0.336,
+    "event_rate_anomalies": 0.234,
 }
 
 
