@@ -77,6 +77,8 @@ HEADLINE = [
     "event_funnel_conversion",
     "event_retention_cohorts",
     "event_rate_anomalies",
+    # joins the anchor set in r6 (added after the late-r5 re-anchor)
+    "similarity_multiprobe_lsh",
 ]
 
 

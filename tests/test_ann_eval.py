@@ -25,6 +25,17 @@ def test_ann_recall_floors_and_cost_shape(spark):
     assert rows["int8_quantized"]["recall_at_k"] >= 0.7
     assert rows["int8_quantized"]["exact_pairs"] == 0
 
+    # multi-probe on the same 8x6 tables must dominate multitable's
+    # recall (the no-extra-storage probe lever; sf0.1: 0.325 -> 0.885)
+    assert (
+        rows["lsh_multiprobe"]["recall_at_k"]
+        > rows["lsh_multitable"]["recall_at_k"]
+    )
+    assert (
+        rows["lsh_multiprobe"]["cand_pairs"]
+        > rows["lsh_multitable"]["cand_pairs"]
+    )
+
     # binary sign quantization: the 1-bit coarse scan + exact rerank
     # lands between pure-code ranking and the PQ refine ladder; the
     # shortlist is the recall knob (sf0.1: 0.64 @ 5% -> 0.86 @ 15%)

@@ -220,6 +220,22 @@ def evaluate_ann(
     record("lsh_multitable", "cosine", ml_top, truth_cos, ml_cand, ml_cand,
            time.perf_counter() - t0)
 
+    # multi-probe LSH on the SAME 8x6 tables as lsh_multitable: each
+    # query additionally probes every 1-bit-flip bucket — the recall
+    # lever that costs no index space, only a 7x query-side fanout
+    t0 = time.perf_counter()
+    mp_scored = S.multiprobe_lsh_ann_neighbors(
+        queries, emb, n_tables=8, planes_per_table=6, threshold=-2.0
+    )
+    mp_cand = mp_scored.count()
+    mp_top = (
+        mp_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    mp_top.collect()
+    record("lsh_multiprobe", "cosine", mp_top, truth_cos, mp_cand, mp_cand,
+           time.perf_counter() - t0)
+
     # IVF
     t0 = time.perf_counter()
     ivf = S.ivf_ann_neighbors(

@@ -1101,3 +1101,86 @@ def binary_hamming_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def multiprobe_lsh_ann_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    planes: list[list[float]] | None = None,
+    n_tables: int = 1,
+    planes_per_table: int | None = None,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): each QUERY probes its own
+    bucket plus every 1-bit-flip neighbor bucket, per table. The classic
+    LSH recall lever that costs NO extra index space: candidates are
+    stored once under their true signature; only the (broadcast) query
+    side fans out to k+1 probe signatures per table, so the bucket
+    equi-join stays the same shape with a (k+1)x larger — still tiny —
+    build side. A 1-bit probe radius multiplies per-table collision
+    probability from p^k to p^k + k*p^(k-1)*(1-p), which for the 8x6
+    eval configuration lifts measured recall ~3x at the same table
+    count (see ANN_EVAL.md lsh_multiprobe row vs lsh_multitable).
+
+    With ``planes`` given (or n_tables=1), probes run against the
+    default single signature table — the oracle-checked configuration;
+    n_tables > 1 draws per-table plane sets like
+    multitable_lsh_ann_neighbors (same seeds, so the two share buckets).
+    """
+    if planes is not None:
+        all_planes = [planes]
+    elif n_tables == 1:
+        all_planes = [hyperplanes()]
+    else:
+        all_planes = [
+            hyperplanes(planes_per_table or N_PLANES, seed=seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    for t, pl in enumerate(all_planes):
+        q = q.withColumn(f"sig_{t}", signature_col(F.col("q_vec"), pl))
+        c = c.withColumn(f"sig_{t}", signature_col(F.col("c_vec"), pl))
+    cand_union = None
+    for t, pl in enumerate(all_planes):
+        sig = F.col(f"sig_{t}")
+        probe_sigs = F.explode(
+            F.array(
+                sig, *[sig.bitwiseXOR(F.lit(1 << j)) for j in range(len(pl))]
+            )
+        )
+        qp = q.select("q_id", probe_sigs.alias(f"sig_{t}"))
+        hits = (
+            c.select("c_id", f"sig_{t}")
+            .join(F.broadcast(qp), f"sig_{t}")
+            .select("q_id", "c_id")
+        )
+        cand_union = (
+            hits if cand_union is None else cand_union.unionByName(hits)
+        )
+    cands = cand_union.filter(F.col("q_id") != F.col("c_id")).distinct()
+    q_scored = q.select("q_id", "q_vec", _norm(F.col("q_vec")).alias("q_norm"))
+    c_scored = c.select("c_id", "c_vec", _norm(F.col("c_vec")).alias("c_norm"))
+    return (
+        cands.join(F.broadcast(q_scored), "q_id")
+        .join(c_scored, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
