@@ -79,6 +79,7 @@ HEADLINE = [
     "event_rate_anomalies",
     # joins the anchor set in r6 (added after the late-r5 re-anchor)
     "similarity_multiprobe_lsh",
+    "similarity_margin_probe_lsh",
 ]
 
 

@@ -1184,3 +1184,114 @@ def multiprobe_lsh_ann_neighbors(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def margin_probe_lsh_ann_neighbors(
+    queries: DataFrame,
+    candidates: DataFrame,
+    planes: list[list[float]] | None = None,
+    n_probes: int = 4,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-directed multi-probe LSH — the actual Lv'07 refinement over
+    blind 1-bit probing: a signature bit whose projection landed NEAR
+    the hyperplane is the one most likely to differ for a true
+    neighbor, so each query flips its ``n_probes`` SMALLEST-|margin|
+    bits (plus probing its own bucket) instead of all k. Recall
+    concentrates in the probes that matter: the blind variant pays k
+    probes per table for the same near-boundary flips this reaches
+    with n_probes << k.
+
+    Margins are the same dot products that produced the signature —
+    one extra sort of k scalars per query, query-side only. Probe
+    selection is per-query and deterministic (ties broken by bit
+    index), so the DuckDB oracle replays it with a window rank over
+    |d|. Candidates store one signature; the bucket join is unchanged.
+    """
+    planes = planes or hyperplanes()
+    nb = len(planes)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    # per-plane projections once; signature + margin ranks derive from them
+    ds = [
+        _dot(F.col("q_vec"), F.array(*[F.lit(w) for w in plane])).alias(
+            f"_d_{k}"
+        )
+        for k, plane in enumerate(planes)
+    ]
+    q = q.select("q_id", "q_vec", *ds)
+    sig = F.lit(0).cast("long")
+    for k in range(nb):
+        sig = sig + F.when(
+            F.col(f"_d_{k}") > 0, F.lit(1 << k)
+        ).otherwise(F.lit(0))
+    # rank bits by |margin| ascending (ties by bit index): flip ranks
+    # 1..n_probes. array_sort on (|d|, k) structs is deterministic.
+    margin_structs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col(f"_d_{k}")).alias("m"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(nb)
+            ]
+        )
+    )
+    flip_bits = F.slice(
+        F.transform(margin_structs, lambda s: s.getField("k")), 1, n_probes
+    )
+    q = q.select(
+        "q_id",
+        "q_vec",
+        sig.alias("sig"),
+        flip_bits.alias("_flips"),
+    )
+    # shiftleft needs a literal shift; a literal power-of-two lookup
+    # array keeps the flip mask a pure column expression
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(nb)])
+    probe_sigs = F.explode(
+        F.concat(
+            F.array(F.col("sig")),
+            F.transform(
+                F.col("_flips"),
+                lambda k: F.col("sig").bitwiseXOR(
+                    F.element_at(powers, k.cast("int") + 1)
+                ),
+            ),
+        )
+    )
+    qp = q.select("q_id", probe_sigs.alias("sig"))
+    cands = (
+        c.select("c_id", "sig")
+        .join(F.broadcast(qp), "sig")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q_scored = q.select("q_id", "q_vec", _norm(F.col("q_vec")).alias("q_norm"))
+    c_scored = c.select("c_id", "c_vec", _norm(F.col("c_vec")).alias("c_norm"))
+    return (
+        cands.join(F.broadcast(q_scored), "q_id")
+        .join(c_scored, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
