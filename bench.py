@@ -80,6 +80,7 @@ HEADLINE = [
     # joins the anchor set in r6 (added after the late-r5 re-anchor)
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
+    "similarity_ivfpq_residual_topk",
 ]
 
 

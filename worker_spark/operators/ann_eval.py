@@ -286,6 +286,55 @@ def evaluate_ann(
         record(f"pq_adc_refined_{sl}", "l2", ref, truth_l2, denom, nq * sl,
                time.perf_counter() - t0)
 
+    # IVF-PQ residual: candidates are only the members of each query's
+    # probed cells (the IVF part); all scoring is code lookups, so
+    # exact_pairs = 0 like the other pure-code rows. cand_pairs mirrors
+    # the operator's probe + membership join (ivfpq_residual_topk).
+    t0 = time.perf_counter()
+    ivfpq = S.ivfpq_residual_topk(emb, k=k, query_stride=query_stride)
+    ivfpq.collect()
+    ivfpq_secs = time.perf_counter() - t0
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    def _l2r(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    a, b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    wass = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell_id"))
+    scored_cells = (
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select("vid", "cell_id", _l2r(F.col("v"), F.col("cent_vec")).alias("d"))
+        .withColumn("rn", F.row_number().over(wass))
+    )
+    cell_of = scored_cells.filter(F.col("rn") == 1).select("vid", "cell_id")
+    probes_of = (
+        scored_cells.filter(F.col("rn") <= 2)
+        .filter(F.col("vid") % query_stride == 0)
+        .select(F.col("vid").alias("q_id"), "cell_id")
+    )
+    ivfpq_cand = (
+        probes_of.join(cell_of, "cell_id")
+        .filter(F.col("q_id") != F.col("vid"))
+        .select("q_id", "vid")
+        .distinct()
+        .count()
+    )
+    record("ivfpq_residual", "l2", ivfpq, truth_l2, ivfpq_cand, 0,
+           ivfpq_secs)
+
     t0 = time.perf_counter()
     pqk = S.pq_kmeans_topk(emb, k=k, query_stride=query_stride)
     pqk.collect()

@@ -1069,3 +1069,138 @@ def q_similarity_margin_probe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.margin_probe_lsh_ann_neighbors(
         queries, emb, n_probes=4, threshold=-2.0
     )
+
+
+def _ivfpq_oracle(
+    centroid_every: int = 100,
+    nprobe: int = 2,
+    codebook_stride: int = 50,
+    query_stride: int = 100,
+    k: int = 10,
+) -> str:
+    from worker_spark.operators.similarity import PQ_M, PQ_QUANT, PQ_SUBDIM
+
+    l2 = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE)) "
+        "* (CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE)))), 6)"
+    )
+    sub_l2 = (
+        f"CAST(round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        "i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))), 6) AS DECIMAL(18,6))"
+    )
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding FROM embeddings
+        WHERE vec_id % {centroid_every} = 0
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {l2.format(a='e', b='c')}, c.cell_id) AS rn
+            FROM embeddings e JOIN cents c ON TRUE
+        ) WHERE rn = 1
+    ),
+    member AS (
+        SELECT e.vec_id AS vid, a.cell_id,
+               list_transform(e.embedding,
+                   x -> floor(CAST(x AS DOUBLE) * {PQ_QUANT}) / {PQ_QUANT})
+                   AS qv
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    means AS (
+        SELECT cell_id, list(m ORDER BY pos) AS mean_vec FROM (
+            SELECT cell_id, CAST(i AS INT) AS pos, avg(qv[i]) AS m
+            FROM member, UNNEST(range(1, 65)) u(i)
+            GROUP BY 1, 2
+        ) GROUP BY cell_id
+    ),
+    resid AS (
+        SELECT m.vid, m.cell_id,
+               list_transform(range(1, 65),
+                   i -> m.qv[i] - mm.mean_vec[i]) AS rv
+        FROM member m JOIN means mm USING (cell_id)
+    ),
+    sub AS (SELECT CAST(s AS INTEGER) AS s FROM UNNEST(range(0, {PQ_M})) t(s)),
+    rsub AS (
+        SELECT vid, cell_id, s,
+               rv[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS v
+        FROM resid, sub
+    ),
+    cbsub AS (
+        SELECT vid AS cb_id, s, v FROM rsub WHERE vid % {codebook_stride} = 0
+    ),
+    sd AS (
+        SELECT a.vid, a.cell_id, a.s, c.cb_id, {sub_l2} AS d
+        FROM rsub a JOIN cbsub c ON a.s = c.s
+    ),
+    codes AS (
+        SELECT vid AS c_id, cell_id AS c_cell, s, cb_id AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vid, s
+                                         ORDER BY d, cb_id) AS rn
+            FROM sd
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT q_id, cell_id FROM (
+            SELECT e.vec_id AS q_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {l2.format(a='e', b='c')}, c.cell_id) AS rn
+            FROM embeddings e JOIN cents c ON TRUE
+            WHERE e.vec_id % {query_stride} = 0
+        ) WHERE rn <= {nprobe}
+    ),
+    qres AS (
+        SELECT p.q_id, p.cell_id,
+               list_transform(range(1, 65),
+                   i -> floor(CAST(e.embedding[i] AS DOUBLE) * {PQ_QUANT})
+                        / {PQ_QUANT} - mm.mean_vec[i]) AS rv
+        FROM probed p
+        JOIN embeddings e ON e.vec_id = p.q_id
+        JOIN means mm ON mm.cell_id = p.cell_id
+    ),
+    qd AS (
+        SELECT a.q_id, a.cell_id, a.s, c.cb_id, {sub_l2} AS d
+        FROM (
+            SELECT q_id, cell_id, s,
+                   rv[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS v
+            FROM qres, sub
+        ) a JOIN cbsub c ON a.s = c.s
+    ),
+    adc AS (
+        SELECT qd.q_id, codes.c_id, sum(qd.d) AS adc
+        FROM codes
+        JOIN qd ON qd.cell_id = codes.c_cell AND qd.s = codes.s
+               AND qd.cb_id = codes.code
+        WHERE codes.c_id <> qd.q_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, c_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc, c_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "similarity_ivfpq_residual_topk",
+    _ivfpq_oracle(),
+    doc="IVF-PQ with residual encoding (Jegou'11 IVFADC): L2 coarse "
+    "cells, PQ on the residual against the CELL MEAN (components "
+    "snapped to the dyadic grid so mean sums are exact — the pq_kmeans "
+    "determinism trick), per-probed-cell asymmetric lookup tables. "
+    "Residuals concentrate near the origin, so the same codebook "
+    "budget recalls 0.46 vs plain pq_adc's 0.40 at sf0.1 while scoring "
+    "only the probed nprobe/K fraction of codes. Medoid-point residuals "
+    "measured WORSE than no IVF at all (0.23) — the mean subtraction is "
+    "the whole trick, recorded in the operator docstring.",
+)
+def q_similarity_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_residual_topk(emb, k=10)
