@@ -81,6 +81,7 @@ HEADLINE = [
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
     "similarity_ivfpq_residual_topk",
+    "doc_bm25_topk",
 ]
 
 

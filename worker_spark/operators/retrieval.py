@@ -150,3 +150,101 @@ def inverted_postings(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, the default
+    lexical ranking function of every production search engine — the
+    reference's search-index sink S9 feeds exactly this kind of scorer
+    downstream): score = sum over query terms of
+    IDF(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with
+    IDF = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Determinism: every count (tf, df, dl, N) is an exact integer,
+    avgdl is one bare division, and each TERM contribution is computed
+    in one canonical expression order, rounded to 6dp and summed as
+    DECIMAL — the _sub_l2 pattern — so a last-ulp ln() difference
+    between libm and the JVM cannot reorder document ranks. Queries are
+    literal strings (lowercased, whitespace-tokenized) embedded
+    identically in the oracle.
+
+    Scale shape: corpus is touched once (tokenize + per-doc tf counts);
+    df and avgdl are vocabulary/corpus-bounded aggregates; scoring
+    joins the tiny (query, term, df) table onto postings by term —
+    per-term posting traffic only, never a corpus broadcast. Top-k per
+    query is a rank-limited window (map-side WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = base.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [
+            (q, t)
+            for q in queries
+            for t in dict.fromkeys(q.lower().split())  # dedupe, keep order
+        ],
+        "query string, term string",
+    )
+    scored = (
+        qterms.join(df, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    agg = scored.select(
+        "query", "doc_id", term_score.alias("ts")
+    ).groupBy("query", "doc_id").agg(F.sum("ts").alias("bm25"))
+    w = Window.partitionBy("query").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query",
+            "doc_id",
+            F.col("bm25").cast("double").alias("bm25"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -91,3 +91,91 @@ def q_token_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return R.inverted_postings(docs)
+
+
+_BM25_QUERIES = ("hash join", "table scan fast", "stream window batch")
+
+
+def _bm25_oracle() -> str:
+    from worker_spark.operators.retrieval import BM25_B, BM25_K1
+
+    qvals = ",\n            ".join(
+        f"('{q}', '{t}')"
+        for q in _BM25_QUERIES
+        for t in dict.fromkeys(q.split())
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(term) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM base GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM base GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS dl_sum
+        FROM dl
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qterms(query, term) AS (
+        VALUES
+            {qvals}
+    ),
+    scored AS (
+        SELECT q.query, t.doc_id,
+               CAST(round(
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((t.tf * {BM25_K1 + 1.0!r})
+                      / (t.tf + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl
+                            / (CAST(s.dl_sum AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE))))),
+                   6) AS DECIMAL(18,6)) AS ts
+        FROM qterms q
+        JOIN df f USING (term)
+        JOIN tf t USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    agg AS (
+        SELECT query, doc_id, sum(ts) AS bm25
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT query, doc_id, CAST(bm25 AS DOUBLE) AS bm25,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query
+                                     ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM agg
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for three literal "
+    "queries: the default lexical ranking of production search engines, "
+    "over the same postings the inverted-index surface builds. Exact "
+    "integer tf/df/dl/N, one bare avgdl division, per-TERM scores "
+    "rounded 6dp and summed as DECIMAL so a last-ulp ln() difference "
+    "cannot reorder ranks. Per-term posting traffic only; top-k is a "
+    "rank-limited window.",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_QUERIES), k=10)
