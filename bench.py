@@ -82,6 +82,7 @@ HEADLINE = [
     "similarity_margin_probe_lsh",
     "similarity_ivfpq_residual_topk",
     "doc_bm25_topk",
+    "doc_hybrid_rrf_topk",
 ]
 
 

@@ -248,3 +248,126 @@ def bm25_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack'09)
+RRF_SOURCE_DEPTH = 20  # per-source candidate depth before fusion
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_stride: int = 100,
+    k: int = 10,
+    depth: int = RRF_SOURCE_DEPTH,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid more-like-this retrieval with reciprocal rank fusion
+    (Cormack'09 RRF — the standard way production search combines a
+    lexical and a vector ranker without score calibration): for each
+    query DOCUMENT (every ``query_stride``-th id), rank the corpus by
+    (a) BM25 over the query doc's own token set and (b) embedding
+    cosine, take each source's top ``depth``, and fuse by
+    rrf = sum over sources of 1/(rrf_k + rank). Ranks are integers and
+    each contribution is one exact division, so the fused ordering is
+    engine-deterministic without any rounding.
+
+    The embeddings table's vec_id is the documents table's doc_id (the
+    testdata contract); the query doc itself is excluded from both
+    sources. Scale shape: BM25 inherits the per-term posting traffic of
+    bm25_topk, cosine inherits the broadcast-query scan of
+    cosine_neighbors, and fusion joins two (nq x depth) rank lists —
+    negligible. Output: (q_id, doc_id, rrf, in_lexical, in_semantic,
+    rnk)."""
+    from pyspark.sql import Window
+
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.col("doc_id"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        base.filter(F.col("doc_id") % query_stride == 0)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    k1, b = BM25_K1, BM25_B
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lex_scores = (
+        qterms.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "doc_id", term_score.alias("ts"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("ts").alias("bm25"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lex_scores.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= depth)
+        .select("q_id", "doc_id", "lex_rank")
+    )
+    from worker_spark.operators.similarity import cosine_neighbors
+
+    qemb = embeddings.filter(F.col("vec_id") % query_stride == 0)
+    sem = (
+        cosine_neighbors(qemb, embeddings, threshold=-2.0, top_k=depth)
+        .select(
+            "q_id", F.col("c_id").alias("doc_id"),
+            F.col("cos_sim"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    sem = (
+        sem.withColumn("sem_rank", F.row_number().over(ws))
+        .select("q_id", "doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+        F.col("lex_rank").isNotNull().alias("in_lexical"),
+        F.col("sem_rank").isNotNull().alias("in_semantic"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id", "doc_id", "rrf", "in_lexical", "in_semantic",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -179,3 +179,124 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, list(_BM25_QUERIES), k=10)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from worker_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        RRF_K,
+        RRF_SOURCE_DEPTH,
+    )
+
+    cos = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "*  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(term) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM base GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM base GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS dl_sum
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qterms AS (
+        SELECT DISTINCT doc_id AS q_id, term FROM base
+        WHERE doc_id % 100 = 0
+    ),
+    lex_scores AS (
+        SELECT q.q_id, t.doc_id,
+               sum(CAST(round(
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((t.tf * {BM25_K1 + 1.0!r})
+                      / (t.tf + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl
+                            / (CAST(s.dl_sum AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE))))),
+                   6) AS DECIMAL(18,6))) AS bm25
+        FROM qterms q
+        JOIN dfreq f USING (term)
+        JOIN tf t USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.doc_id <> q.q_id
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT q_id, doc_id, lex_rank FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex_scores
+        ) WHERE lex_rank <= {RRF_SOURCE_DEPTH}
+    ),
+    sem AS (
+        SELECT q_id, doc_id, sem_rank FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {cos} DESC, b.vec_id) AS sem_rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+        ) WHERE sem_rank <= {RRF_SOURCE_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0) AS rrf,
+               l.lex_rank IS NOT NULL AS in_lexical,
+               s.sem_rank IS NOT NULL AS in_semantic
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.q_id = s.q_id AND l.doc_id = s.doc_id
+    )
+    SELECT q_id, doc_id, rrf, in_lexical, in_semantic,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "doc_hybrid_rrf_topk",
+    _hybrid_rrf_oracle(),
+    doc="Hybrid more-like-this retrieval with reciprocal rank fusion "
+    "(Cormack'09, the calibration-free way production search combines "
+    "lexical and vector rankers): per query DOCUMENT, BM25 over its own "
+    "token set and embedding cosine each contribute their top-20, fused "
+    "by sum of 1/(60+rank). Ranks are integers and each contribution is "
+    "one exact division, so the fused order is engine-deterministic "
+    "with no rounding at all. The in_lexical/in_semantic flags show "
+    "which source surfaced each hit — the evidence hybrid beats either "
+    "alone.",
+)
+def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return hybrid_rrf_topk(docs, emb)
