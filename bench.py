@@ -83,6 +83,7 @@ HEADLINE = [
     "similarity_ivfpq_residual_topk",
     "doc_bm25_topk",
     "doc_hybrid_rrf_topk",
+    "similarity_ivfpq_refined_topk",
 ]
 
 

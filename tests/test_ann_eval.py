@@ -57,6 +57,12 @@ def test_ann_recall_floors_and_cost_shape(spark):
     )
     assert rows["ivfpq_residual"]["cand_pairs"] < rows["pq_adc"]["cand_pairs"]
     assert rows["ivfpq_residual"]["exact_pairs"] == 0
+    # the refined residual shortlist must dominate the non-residual
+    # refine at the same exact depth (sf0.1: 0.955 vs 0.875)
+    assert (
+        rows["ivfpq_refined_100"]["recall_at_k"]
+        >= rows["pq_adc_refined_100"]["recall_at_k"]
+    )
 
     # refine ladder: recall grows with shortlist depth; the 40% shortlist
     # clears the 0.95 production floor (sf0.01: 0.86 @ 20% -> 0.98 @ 40%)

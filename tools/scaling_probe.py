@@ -131,6 +131,7 @@ def probes(docs, events, emb, fixed_batch):
     from pyspark.sql import functions as F
 
     from worker_spark.operators import dedup as D
+    from worker_spark.operators import retrieval as R
     from worker_spark.operators import sampling as SA
     from worker_spark.operators import selection as SEL
     from worker_spark.operators import similarity as SIM
@@ -290,6 +291,23 @@ def probes(docs, events, emb, fixed_batch):
             lambda: SIM.binary_hamming_topk(
                 emb.filter(F.col("vec_id") % 100 == 0), emb, k=10
             ).count(),
+        ),
+        (
+            # vocabulary-bounded aggregates + per-term posting traffic:
+            # corpus growth adds postings linearly, never query fanout
+            "bm25_topk",
+            lambda: R.bm25_topk(
+                docs, ["hash join", "table scan fast"], k=10
+            ).count(),
+        ),
+        (
+            # assignment is N x K with K fixed (stride centroids grow
+            # with N in ivf_assign but here centroid_every fixes the
+            # SEED stride so K ~ N/100 — same N*K structural term the
+            # graph build documents); mean/residual/code stages are
+            # linear
+            "ivfpq_residual_topk",
+            lambda: SIM.ivfpq_residual_topk(emb, k=10).count(),
         ),
     ]
 

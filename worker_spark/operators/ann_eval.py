@@ -335,6 +335,17 @@ def evaluate_ann(
     record("ivfpq_residual", "l2", ivfpq, truth_l2, ivfpq_cand, 0,
            ivfpq_secs)
 
+    # full IVFADC: the residual shortlist exactly re-ranked — exact cost
+    # is nq * shortlist like the pq refine ladder, but the shortlist
+    # itself only ever scored probed-cell codes
+    t0 = time.perf_counter()
+    ivfpq_ref = S.ivfpq_residual_refined_topk(
+        emb, k=k, shortlist=pq_shortlist, query_stride=query_stride
+    )
+    ivfpq_ref.collect()
+    record("ivfpq_refined_100", "l2", ivfpq_ref, truth_l2, ivfpq_cand,
+           nq * pq_shortlist, time.perf_counter() - t0)
+
     t0 = time.perf_counter()
     pqk = S.pq_kmeans_topk(emb, k=k, query_stride=query_stride)
     pqk.collect()

@@ -1332,7 +1332,15 @@ def ivfpq_residual_topk(
     Scale shape: candidate codes join the broadcast per-(query, cell)
     lookup table by (cell, subspace, code) — map-side; candidates in
     unprobed cells are never touched (the IVF part), and the per-query
-    top-k window is the only real shuffle.
+    top-k window is the only real shuffle. THE SCALE KNOB is
+    ``centroid_every``: the fixed stride makes K = N/centroid_every, so
+    the coarse assignment stage is N*K = N^2/centroid_every pair
+    scorings — the 1x/4x/10x probe measured 53x wall at 10x volume
+    (tools/scaling_probe.py), the same structurally-quadratic term
+    documented on the graph-ANN build. Production settings hold K fixed
+    (or K ~ sqrt(N)) as the corpus grows, and for very large K swap the
+    per-pair L2 fold for the Arrow matrix scorer (ivf_assign's note);
+    every stage after assignment is corpus-linear.
     """
     from pyspark.sql import Window
 
@@ -1517,5 +1525,63 @@ def ivfpq_residual_topk(
             "c_id",
             F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
             F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def ivfpq_residual_refined_topk(
+    vectors: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    centroid_every: int = 100,
+    nprobe: int = 2,
+    codebook_stride: int = 50,
+    query_stride: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFADC: the IVF-PQ residual shortlist exactly re-ranked by
+    squared L2 — the production configuration (Jegou'11 fig. 5). The
+    exact stage touches only nq * shortlist vectors AND the shortlist
+    itself came from scoring only the probed cells' codes, so both
+    stages are sub-scan: measured recall@10 = 0.955 at sf0.1 with a 5%
+    exact-scan fraction over a ~10% code-scan fraction (vs the
+    non-residual pq_adc_refined_100's 0.875 at the same exact depth —
+    the residual shortlist is simply better sorted; see ANN_EVAL.md)."""
+    from pyspark.sql import Window
+
+    sl = ivfpq_residual_topk(
+        vectors,
+        k=shortlist,
+        centroid_every=centroid_every,
+        nprobe=nprobe,
+        codebook_stride=codebook_stride,
+        query_stride=query_stride,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("q_id", "c_id")
+    q = vectors.filter(F.col(id_col) % query_stride == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    c = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("c_id"))
+    return (
+        sl.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id", F.round(l2, 6).alias("l2_dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id", "c_id", "l2_dist", F.col("rnk").cast("int").alias("rnk")
         )
     )

@@ -39,7 +39,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 125 queries / 50 slots: every entry gets a driver row at
+# Steady state for 126 queries / 50 slots: every entry gets a driver row at
 # least every ~2.3 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 _DRIVER_WINDOW = [
@@ -109,6 +109,9 @@ _DRIVER_WINDOW = [
     # (a cont.) doc_hybrid_rrf_topk is new in r5 (lexical+vector RRF
     # fusion); similarity_pq_adc_topk displaced to the r6 leads.
     "doc_hybrid_rrf_topk",
+    # (a cont.) similarity_ivfpq_refined_topk is new in r5 (full
+    # IVFADC); similarity_quantized_topk displaced to the r6 leads.
+    "similarity_ivfpq_refined_topk",
     # (b) every query whose last driver-green row is round 2 — the full
     # 22-entry stale set (the 17 enumerated in the r4 NOTES roadmap plus
     # the 5 relational/outbox entries displaced with them), longest-stale
@@ -139,7 +142,6 @@ _DRIVER_WINDOW = [
     # to exactly 50. The 13 r3 entries that do not fit lead round 6.
     "doc_quota_sample",
     "similarity_ivf_ann",
-    "similarity_quantized_topk",
     # (a cont.) the BPE pair also changed this round: train_merges gained
     # the driver-collect bound guard (VERDICT r4 item 6), so both queries
     # re-enter the window; doc_char_entropy / search_index_config are
@@ -147,7 +149,7 @@ _DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_encode_stats",
     # ---- driver window boundary: only the FIRST 50 entries above get a
-    # driver row this round. Below: the 32 r3-green entries that did not
+    # driver row this round. Below: the 33 r3-green entries that did not
     # fit (13 never rotated in plus doc_stratified_sample /
     # dedup_cluster_components / inline_ref_parse / doc_char_entropy /
     # search_index_config / pack_utilization / doc_mixture_report /
@@ -156,8 +158,8 @@ _DRIVER_WINDOW = [
     # similarity_cosine_topk / event_range_join /
     # event_asof_attribution / url_build_redact / place_crawl_closure /
     # streaming_stateful_sessions / similarity_pq_refined_topk /
-    # similarity_pq_adc_topk, each displaced by an r5 addition); they
-    # lead
+    # similarity_pq_adc_topk / similarity_quantized_topk, each displaced
+    # by an r5 addition); they lead
     # the round-6 window, then come the round-4-green block —
     # all unchanged since their last green row and re-pinned every session
     # by tests/test_oracle_parity.py, which replays ALL entries. ----
@@ -180,6 +182,7 @@ _DRIVER_WINDOW = [
     "streaming_stateful_sessions",
     "similarity_pq_refined_topk",
     "similarity_pq_adc_topk",
+    "similarity_quantized_topk",
     "similarity_pq_kmeans_topk",
     "doc_cdc_chunks",
     "dedup_translit_shingles",

