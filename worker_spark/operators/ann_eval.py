@@ -294,7 +294,10 @@ def evaluate_ann(
     ivfpq = S.ivfpq_residual_topk(emb, k=k, query_stride=query_stride)
     ivfpq.collect()
     ivfpq_secs = time.perf_counter() - t0
-    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+    ivfpq_centroid_every, ivfpq_nprobe = 100, 2  # operator defaults —
+    # keep in lock-step with ivfpq_residual_topk's signature (the mirror
+    # must count exactly the candidate set the operator scored)
+    cents = emb.filter(F.col("vec_id") % ivfpq_centroid_every == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent_vec")
     )
 
@@ -321,7 +324,7 @@ def evaluate_ann(
     )
     cell_of = scored_cells.filter(F.col("rn") == 1).select("vid", "cell_id")
     probes_of = (
-        scored_cells.filter(F.col("rn") <= 2)
+        scored_cells.filter(F.col("rn") <= ivfpq_nprobe)
         .filter(F.col("vid") % query_stride == 0)
         .select(F.col("vid").alias("q_id"), "cell_id")
     )
@@ -343,8 +346,8 @@ def evaluate_ann(
         emb, k=k, shortlist=pq_shortlist, query_stride=query_stride
     )
     ivfpq_ref.collect()
-    record("ivfpq_refined_100", "l2", ivfpq_ref, truth_l2, ivfpq_cand,
-           nq * pq_shortlist, time.perf_counter() - t0)
+    record(f"ivfpq_refined_{pq_shortlist}", "l2", ivfpq_ref, truth_l2,
+           ivfpq_cand, nq * pq_shortlist, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     pqk = S.pq_kmeans_topk(emb, k=k, query_stride=query_stride)

@@ -156,6 +156,66 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_scores(
+    docs: DataFrame,
+    qterms: DataFrame,
+    query_col: str,
+    exclude_self: bool = False,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared BM25 scoring core: given a (query_col, term) frame,
+    return (query_col, doc_id, bm25) summed per (query, doc). One
+    definition serves both the literal-query surface (bm25_topk) and
+    the more-like-this surface (hybrid_rrf_topk) so the formula —
+    including its rounding scheme — can never drift between them
+    (review finding). ``exclude_self`` drops doc_id == query_col rows
+    before aggregation (more-like-this queries ARE corpus docs)."""
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        qterms.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col(query_col))
+    return (
+        scored.select(query_col, "doc_id", term_score.alias("ts"))
+        .groupBy(query_col, "doc_id")
+        .agg(F.sum("ts").alias("bm25"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[str],
@@ -188,18 +248,6 @@ def bm25_topk(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    ).filter(F.length("term") > 0)
-    tf = base.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = spark.createDataFrame(
         [
             (q, t)
@@ -208,33 +256,9 @@ def bm25_topk(
         ],
         "query string, term string",
     )
-    scored = (
-        qterms.join(df, "term")
-        .join(tf, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+    agg = _bm25_scores(
+        docs, qterms, "query", k1=k1, b=b, id_col=id_col, text_col=text_col
     )
-    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    term_score = F.round(
-        idf
-        * (
-            (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-            )
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    agg = scored.select(
-        "query", "doc_id", term_score.alias("ts")
-    ).groupBy("query", "doc_id").agg(F.sum("ts").alias("bm25"))
     w = Window.partitionBy("query").orderBy(
         F.desc("bm25"), F.asc("doc_id")
     )
@@ -281,50 +305,16 @@ def hybrid_rrf_topk(
     rnk)."""
     from pyspark.sql import Window
 
-    base = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+    qbase = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         F.col("doc_id"),
         F.explode(tokens(F.lower(F.col("text")))).alias("term"),
     ).filter(F.length("term") > 0)
-    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
-        base.filter(F.col("doc_id") % query_stride == 0)
+        qbase.filter(F.col("doc_id") % query_stride == 0)
         .select(F.col("doc_id").alias("q_id"), "term")
         .distinct()
     )
-    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    k1, b = BM25_K1, BM25_B
-    term_score = F.round(
-        idf
-        * (
-            (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-            )
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    lex_scores = (
-        qterms.join(dfreq, "term")
-        .join(tf, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("doc_id") != F.col("q_id"))
-        .select("q_id", "doc_id", term_score.alias("ts"))
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum("ts").alias("bm25"))
-    )
+    lex_scores = _bm25_scores(docs, qterms, "q_id", exclude_self=True)
     wl = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = (
         lex_scores.withColumn("lex_rank", F.row_number().over(wl))

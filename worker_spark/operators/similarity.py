@@ -31,6 +31,60 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _l2_rounded(a: Column, b: Column) -> Column:
+    """Full-vector squared L2, rounded to 6dp — the ONE definition of
+    the exact-rerank/assignment metric (review finding: five drifting
+    copies across the refine stages, the IVF-PQ coarse quantizer, the
+    graph build, and the eval harness's truth mirror)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _exact_l2_rerank(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    query_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exactly re-rank a (q_id, c_id) shortlist by squared L2 — the
+    shared refine stage of pq_adc_refined_topk and
+    ivfpq_residual_refined_topk (review finding: verbatim duplicate)."""
+    from pyspark.sql import Window
+
+    q = vectors.filter(F.col(id_col) % query_stride == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    c = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("c_id"))
+    return (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            _l2_rounded(F.col("qv"), F.col("cv")).alias("l2_dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id", "c_id", "l2_dist", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -520,8 +574,17 @@ PQ_M = 16
 PQ_SUBDIM = 4
 
 
-def _pq_subspaces(df: DataFrame, id_out: str, id_col: str, vec_col: str) -> DataFrame:
-    """(id, s, v): the M sub-vectors of each embedding."""
+def _pq_subspaces(
+    df: DataFrame,
+    id_out: str,
+    id_col: str,
+    vec_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra, s, v): the M sub-vectors of each embedding. ``extra``
+    names passthrough columns carried beside the id (e.g. the IVF cell
+    id) so every PQ consumer shares ONE definition of the subspace
+    layout (review finding: three inline copies of the slicing)."""
     entries = F.array(
         *[
             F.struct(
@@ -531,9 +594,9 @@ def _pq_subspaces(df: DataFrame, id_out: str, id_col: str, vec_col: str) -> Data
             for s in range(PQ_M)
         ]
     )
-    return df.select(F.col(id_col).alias(id_out), F.explode(entries).alias("e")).select(
-        id_out, F.col("e.s").alias("s"), F.col("e.v").alias("v")
-    )
+    return df.select(
+        F.col(id_col).alias(id_out), *extra, F.explode(entries).alias("e")
+    ).select(id_out, *extra, F.col("e.s").alias("s"), F.col("e.v").alias("v"))
 
 
 def _sub_l2(a: Column, b: Column) -> Column:
@@ -645,28 +708,8 @@ def pq_adc_refined_topk(
         id_col=id_col,
         vec_col=vec_col,
     ).select("q_id", "c_id")
-    q = vectors.filter(F.col(id_col) % query_stride == 0).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    )
-    c = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("c_id"))
-    return (
-        sl.join(F.broadcast(q), "q_id")
-        .join(c, "c_id")
-        .select("q_id", "c_id", F.round(l2, 6).alias("l2_dist"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "c_id", "l2_dist", F.col("rnk").cast("int").alias("rnk"))
+    return _exact_l2_rerank(
+        sl, vectors, k, query_stride, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -1349,21 +1392,6 @@ def ivfpq_residual_topk(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
     )
 
-    def _l2(a, b):
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    a,
-                    b,
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        )
-
     # L2 coarse quantizer (Jegou'11's metric — assigning by cosine when
     # ranking by L2 put true neighbors in unprobed cells: measured 0.23
     # recall vs 0.78 with matched metrics at the same nprobe)
@@ -1378,7 +1406,7 @@ def ivfpq_residual_topk(
         .select(
             "_vid",
             "cell_id",
-            _l2(F.col("_vvec"), F.col("cent_vec")).alias("_l2d"),
+            _l2_rounded(F.col("_vvec"), F.col("cent_vec")).alias("_l2d"),
         )
         .withColumn("_rn", F.row_number().over(wassign))
         .filter(F.col("_rn") == 1)
@@ -1423,28 +1451,12 @@ def ivfpq_residual_topk(
             lambda x, y: x - y,
         ).alias("rvec"),
     )
-    sub_entries = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice(
-                    F.col("rvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM
-                ).alias("v"),
-            )
-            for s in range(PQ_M)
-        ]
-    )
-    rsub = resid.select(
-        "vid", "cell_id", F.explode(sub_entries).alias("e")
-    ).select("vid", "cell_id", F.col("e.s").alias("s"), F.col("e.v").alias("v"))
-    cbsub = (
-        resid.filter(F.col("vid") % codebook_stride == 0)
-        .select("vid", F.explode(sub_entries).alias("e"))
-        .select(
-            F.col("vid").alias("cb_id"),
-            F.col("e.s").alias("s"),
-            F.col("e.v").alias("v"),
-        )
+    rsub = _pq_subspaces(resid, "vid", "vid", "rvec", extra=("cell_id",))
+    cbsub = _pq_subspaces(
+        resid.filter(F.col("vid") % codebook_stride == 0),
+        "cb_id",
+        "vid",
+        "rvec",
     )
     sd = (
         rsub.alias("r")
@@ -1470,7 +1482,7 @@ def ivfpq_residual_topk(
         "q_vec",
         "cell_id",
         "cent_vec",
-        _l2(F.col("q_vec"), F.col("cent_vec")).alias("l2d"),
+        _l2_rounded(F.col("q_vec"), F.col("cent_vec")).alias("l2d"),
     )
     wp = Window.partitionBy("q_id").orderBy(F.asc("l2d"), F.asc("cell_id"))
     qqvec = F.transform(
@@ -1490,9 +1502,9 @@ def ivfpq_residual_topk(
             ).alias("rvec"),
         )
     )
-    qrsub = probed.select(
-        "q_id", "cell_id", F.explode(sub_entries).alias("e")
-    ).select("q_id", "cell_id", F.col("e.s").alias("s"), F.col("e.v").alias("v"))
+    qrsub = _pq_subspaces(
+        probed, "q_id", "q_id", "rvec", extra=("cell_id",)
+    )
     qd = (
         qrsub.alias("q")
         .join(F.broadcast(cbsub.alias("cb")), "s")
@@ -1548,8 +1560,6 @@ def ivfpq_residual_refined_topk(
     exact-scan fraction over a ~10% code-scan fraction (vs the
     non-residual pq_adc_refined_100's 0.875 at the same exact depth —
     the residual shortlist is simply better sorted; see ANN_EVAL.md)."""
-    from pyspark.sql import Window
-
     sl = ivfpq_residual_topk(
         vectors,
         k=shortlist,
@@ -1560,28 +1570,6 @@ def ivfpq_residual_refined_topk(
         id_col=id_col,
         vec_col=vec_col,
     ).select("q_id", "c_id")
-    q = vectors.filter(F.col(id_col) % query_stride == 0).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    )
-    c = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("c_id"))
-    return (
-        sl.join(F.broadcast(q), "q_id")
-        .join(c, "c_id")
-        .select("q_id", "c_id", F.round(l2, 6).alias("l2_dist"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "q_id", "c_id", "l2_dist", F.col("rnk").cast("int").alias("rnk")
-        )
+    return _exact_l2_rerank(
+        sl, vectors, k, query_stride, id_col=id_col, vec_col=vec_col
     )

@@ -96,107 +96,17 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES = ("hash join", "table scan fast", "stream window batch")
 
 
-def _bm25_oracle() -> str:
+def _bm25_sql_core(qterms_cte: str, query_col: str, self_filter: str) -> str:
+    """The shared BM25 CTE chain (base/tf/dl/stats/dfreq/scored/agg) —
+    ONE SQL definition of the formula for both the literal-query and
+    more-like-this oracles, mirroring operators/retrieval._bm25_scores
+    (review finding: four drifting copies -> two shared cores). Every
+    constant is CAST AS DOUBLE: a bare 2.2 parses as a DuckDB DECIMAL
+    and e.g. tf*2.2 would take a DECIMAL-exact path that differs from
+    Spark's double product by an ulp."""
     from worker_spark.operators.retrieval import BM25_B, BM25_K1
 
-    qvals = ",\n            ".join(
-        f"('{q}', '{t}')"
-        for q in _BM25_QUERIES
-        for t in dict.fromkeys(q.split())
-    )
-    return f"""
-    WITH base AS (
-        SELECT doc_id, term FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
-                       AS term
-            FROM documents WHERE length(trim(text)) > 0
-        ) WHERE length(term) > 0
-    ),
-    tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM base GROUP BY 1, 2
-    ),
-    dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        FROM base GROUP BY 1
-    ),
-    stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS dl_sum
-        FROM dl
-    ),
-    df AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ),
-    qterms(query, term) AS (
-        VALUES
-            {qvals}
-    ),
-    scored AS (
-        SELECT q.query, t.doc_id,
-               CAST(round(
-                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                   * ((t.tf * {BM25_K1 + 1.0!r})
-                      / (t.tf + {BM25_K1!r}
-                         * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl
-                            / (CAST(s.dl_sum AS DOUBLE)
-                               / CAST(s.n_docs AS DOUBLE))))),
-                   6) AS DECIMAL(18,6)) AS ts
-        FROM qterms q
-        JOIN df f USING (term)
-        JOIN tf t USING (term)
-        JOIN dl d USING (doc_id)
-        CROSS JOIN stats s
-    ),
-    agg AS (
-        SELECT query, doc_id, sum(ts) AS bm25
-        FROM scored GROUP BY 1, 2
-    )
-    SELECT query, doc_id, CAST(bm25 AS DOUBLE) AS bm25,
-           CAST(rnk AS INTEGER) AS rnk
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY query
-                                     ORDER BY bm25 DESC, doc_id) AS rnk
-        FROM agg
-    ) WHERE rnk <= 10
-    """
-
-
-@register(
-    "doc_bm25_topk",
-    _bm25_oracle(),
-    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for three literal "
-    "queries: the default lexical ranking of production search engines, "
-    "over the same postings the inverted-index surface builds. Exact "
-    "integer tf/df/dl/N, one bare avgdl division, per-TERM scores "
-    "rounded 6dp and summed as DECIMAL so a last-ulp ln() difference "
-    "cannot reorder ranks. Per-term posting traffic only; top-k is a "
-    "rank-limited window.",
-)
-def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from worker_spark.operators.retrieval import bm25_topk
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_topk(docs, list(_BM25_QUERIES), k=10)
-
-
-def _hybrid_rrf_oracle() -> str:
-    from worker_spark.operators.retrieval import (
-        BM25_B,
-        BM25_K1,
-        RRF_K,
-        RRF_SOURCE_DEPTH,
-    )
-
-    cos = (
-        "round(list_sum(list_transform(range(1, 65), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
-        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
-        "*  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
-    )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
         SELECT doc_id, term FROM (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -220,17 +130,15 @@ def _hybrid_rrf_oracle() -> str:
     dfreq AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
     ),
-    qterms AS (
-        SELECT DISTINCT doc_id AS q_id, term FROM base
-        WHERE doc_id % 100 = 0
-    ),
+    {qterms_cte},
     lex_scores AS (
-        SELECT q.q_id, t.doc_id,
+        SELECT q.{query_col}, t.doc_id,
                sum(CAST(round(
                    ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                   * ((t.tf * {BM25_K1 + 1.0!r})
-                      / (t.tf + {BM25_K1!r}
-                         * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl
+                   * ((t.tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                      / (t.tf + CAST({BM25_K1!r} AS DOUBLE)
+                         * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                            + CAST({BM25_B!r} AS DOUBLE) * d.dl
                             / (CAST(s.dl_sum AS DOUBLE)
                                / CAST(s.n_docs AS DOUBLE))))),
                    6) AS DECIMAL(18,6))) AS bm25
@@ -239,9 +147,74 @@ def _hybrid_rrf_oracle() -> str:
         JOIN tf t USING (term)
         JOIN dl d USING (doc_id)
         CROSS JOIN stats s
-        WHERE t.doc_id <> q.q_id
+        {self_filter}
         GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _bm25_oracle() -> str:
+    qvals = ",\n            ".join(
+        f"('{q}', '{t}')"
+        for q in _BM25_QUERIES
+        for t in dict.fromkeys(q.split())
+    )
+    core = _bm25_sql_core(
+        f"""qterms(query, term) AS (
+        VALUES
+            {qvals}
+    )""",
+        "query",
+        "",
+    )
+    return f"""
+    WITH {core}
+    SELECT query, doc_id, CAST(bm25 AS DOUBLE) AS bm25,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query
+                                     ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM lex_scores
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for three literal "
+    "queries: the default lexical ranking of production search engines, "
+    "over the same postings the inverted-index surface builds. Exact "
+    "integer tf/df/dl/N, one bare avgdl division, per-TERM scores "
+    "rounded 6dp and summed as DECIMAL so a last-ulp ln() difference "
+    "cannot reorder ranks. Per-term posting traffic only; top-k is a "
+    "rank-limited window.",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_QUERIES), k=10)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from worker_spark.operators.retrieval import RRF_K, RRF_SOURCE_DEPTH
+
+    cos = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "*  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    core = _bm25_sql_core(
+        """qterms AS (
+        SELECT DISTINCT doc_id AS q_id, term FROM base
+        WHERE doc_id % 100 = 0
+    )""",
+        "q_id",
+        "WHERE t.doc_id <> q.q_id",
+    )
+    return f"""
+    WITH {core},
     lex AS (
         SELECT q_id, doc_id, lex_rank FROM (
             SELECT q_id, doc_id,
