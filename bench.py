@@ -193,65 +193,70 @@ R4_ANCHOR: dict[str, float] = {
 }
 
 # Round-5 anchor: recorded by tools/record_anchor.py from the SECOND of two
-# back-to-back serialized sf0.1 runs, re-recorded late in round 5 after the
-# second-batch additions (total 69.736s over 51 queries; vs the mid-round
-# 42-query anchor that run read 0.875 on the shared subset — the mid-round
-# anchor was taken in a noisier host window). Covers EVERY current headline
-# query including the second batch (theta overlap pair, join-skew profile,
-# RAG chunks, z-order audit, binary ANN, funnel, retention, anomalies), so
-# round 6 compares all 51 against a same-code anchor.
+# back-to-back serialized sf0.1 runs, re-recorded at round-5 close after the
+# third-batch additions (total 93.489s over all 57 headline queries; that
+# run read total_vs_r5 = 1.02 on the 51 previously-anchored queries —
+# within noise). Every current headline query, including the third batch
+# (multi-probe + margin-probe LSH, IVF-PQ residual + refined, BM25, hybrid
+# RRF), now has a same-code anchor for round 6's comparison.
 R5_ANCHOR: dict[str, float] = {
-    "pricing_summary": 0.545,
-    "top_revenue_orders": 1.158,
-    "revenue_by_nation": 0.868,
-    "orders_with_returns": 0.545,
-    "customer_any_return": 0.546,
-    "sync_diff_classify": 0.546,
-    "event_journey": 0.193,
-    "outbox_drain_cap": 0.314,
-    "doc_token_stats": 0.192,
-    "dedup_minhash_lsh": 2.749,
-    "dedup_simhash": 3.299,
-    "similarity_cosine_topk": 0.825,
-    "similarity_lsh_ann": 1.688,
-    "dedup_embedding_blocked": 1.755,
-    "multimodal_features": 0.341,
-    "event_value_percentiles": 0.158,
-    "reverse_invalidation": 0.447,
-    "doc_build_scale": 1.419,
-    "dedup_cluster_components": 4.294,
-    "doc_sequence_pack": 0.469,
-    "doc_stratified_sample": 0.156,
-    "similarity_quantized_topk": 0.495,
-    "benchmark_contamination": 2.293,
-    "similarity_pq_refined_topk": 3.524,
-    "similarity_pq_kmeans_topk": 3.967,
-    "doc_cdc_chunks": 1.627,
-    "dedup_translit_shingles": 3.812,
-    "doc_substring_dedup_report": 0.424,
-    "hll_distinct_users": 0.273,
-    "token_cms_heavy_hitters": 1.716,
-    "bpe_train_merges": 1.561,
-    "dedup_edit_distance": 1.74,
-    "token_bigram_collocations": 0.651,
-    "inverted_index_postings": 0.409,
-    "similarity_opq_kmeans_topk": 5.664,
-    "search_documents_flat": 1.143,
-    "bloom_membership_audit": 0.354,
-    "doc_dsir_selection": 1.988,
-    "semdedup_prune": 0.997,
-    "doc_curation_decision": 1.831,
-    "event_quantile_sketch": 0.784,
-    "similarity_graph_ann": 5.421,
-    "event_audience_overlap": 0.485,
-    "lang_shingle_overlap": 1.437,
-    "join_skew_profile": 0.425,
-    "doc_rag_chunks": 0.216,
-    "events_zorder_layout": 0.831,
-    "similarity_binary_topk": 2.08,
-    "event_funnel_conversion": 0.511,
-    "event_retention_cohorts": 0.336,
-    "event_rate_anomalies": 0.234,
+    "pricing_summary": 0.449,
+    "top_revenue_orders": 1.081,
+    "revenue_by_nation": 0.858,
+    "orders_with_returns": 0.512,
+    "customer_any_return": 0.494,
+    "sync_diff_classify": 0.575,
+    "event_journey": 0.202,
+    "outbox_drain_cap": 0.277,
+    "doc_token_stats": 0.184,
+    "dedup_minhash_lsh": 3.056,
+    "dedup_simhash": 2.429,
+    "similarity_cosine_topk": 0.776,
+    "similarity_lsh_ann": 1.727,
+    "dedup_embedding_blocked": 1.782,
+    "multimodal_features": 0.314,
+    "event_value_percentiles": 0.167,
+    "reverse_invalidation": 0.478,
+    "doc_build_scale": 1.589,
+    "dedup_cluster_components": 4.555,
+    "doc_sequence_pack": 0.389,
+    "doc_stratified_sample": 0.181,
+    "similarity_quantized_topk": 0.492,
+    "benchmark_contamination": 2.291,
+    "similarity_pq_refined_topk": 3.432,
+    "similarity_pq_kmeans_topk": 3.834,
+    "doc_cdc_chunks": 1.678,
+    "dedup_translit_shingles": 3.914,
+    "doc_substring_dedup_report": 0.432,
+    "hll_distinct_users": 0.29,
+    "token_cms_heavy_hitters": 1.758,
+    "bpe_train_merges": 1.758,
+    "dedup_edit_distance": 1.796,
+    "token_bigram_collocations": 0.6,
+    "inverted_index_postings": 0.465,
+    "similarity_opq_kmeans_topk": 6.452,
+    "search_documents_flat": 1.174,
+    "bloom_membership_audit": 0.362,
+    "doc_dsir_selection": 2.014,
+    "semdedup_prune": 0.803,
+    "doc_curation_decision": 1.881,
+    "event_quantile_sketch": 0.835,
+    "similarity_graph_ann": 5.674,
+    "event_audience_overlap": 0.53,
+    "lang_shingle_overlap": 1.778,
+    "join_skew_profile": 0.677,
+    "doc_rag_chunks": 0.277,
+    "events_zorder_layout": 0.758,
+    "similarity_binary_topk": 1.926,
+    "event_funnel_conversion": 0.576,
+    "event_retention_cohorts": 0.338,
+    "event_rate_anomalies": 0.268,
+    "similarity_multiprobe_lsh": 1.725,
+    "similarity_margin_probe_lsh": 1.857,
+    "similarity_ivfpq_residual_topk": 4.723,
+    "doc_bm25_topk": 1.123,
+    "doc_hybrid_rrf_topk": 7.21,
+    "similarity_ivfpq_refined_topk": 5.713,
 }
 
 
