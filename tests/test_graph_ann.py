@@ -18,7 +18,7 @@ def _emb(spark):
 
 def test_knn_graph_structure(spark):
     emb = _emb(spark)
-    edges = G.knn_graph_edges(emb)
+    edges = G.knn_graph_edges(emb, centroid_every=100)
     rows = edges.collect()
     # undirected: every edge's reverse is present with the same sim
     es = {(r["src"], r["dst"]): r["sim"] for r in rows}
@@ -37,7 +37,7 @@ def test_knn_graph_structure(spark):
 def test_search_is_partition_invariant_and_bounded(spark):
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    edges = G.knn_graph_edges(emb)
+    edges = G.knn_graph_edges(emb, centroid_every=100)
     outs = []
     for n in (1, 13):
         got = G.graph_ann_search(
@@ -61,7 +61,7 @@ def test_search_escapes_entry_cells(spark):
     # disjoint union of cell cliques
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") == 0)
-    edges = G.knn_graph_edges(emb)
+    edges = G.knn_graph_edges(emb, centroid_every=100)
     visited = {
         r["node"]
         for r in G.graph_ann_search(
@@ -93,7 +93,7 @@ def test_nn_descent_improves_knn_fidelity_and_union_navigability(spark):
     from worker_spark.operators.similarity import cosine_neighbors
 
     emb = _emb(spark)
-    e0 = G.knn_graph_edges(emb).localCheckpoint(eager=True)
+    e0 = G.knn_graph_edges(emb, centroid_every=100).localCheckpoint(eager=True)
     e1 = G.nn_descent_round(emb, e0).localCheckpoint(eager=True)
     # true top-degree edge coverage strictly improves (0.70 -> 0.78 on
     # this corpus; assert a conservative strict inequality)
@@ -126,3 +126,54 @@ def test_nn_descent_improves_knn_fidelity_and_union_navigability(spark):
     # the reason the union exists: greedy refinement alone prunes the
     # long-range bridges navigability needs (measured 0.86 vs 0.98 here)
     assert rec["union"] >= rec["refined_alone"]
+
+
+def test_auto_centroid_every_derivation(spark):
+    """VERDICT r5 item 3: the auto knob must realize K ~ sqrt(N *
+    n_assign) beyond the min-stride floor, and the floor must hold the
+    small-N regime at the pinned-100 cell structure (the measured
+    recall guarantee in auto_centroid_every's docstring)."""
+    import math
+
+    # floored regime: every N <= min_stride^2 * n_assign gets the floor
+    assert G.auto_centroid_every(500) == G.GRAPH_MIN_STRIDE
+    assert G.auto_centroid_every(2_000) == G.GRAPH_MIN_STRIDE
+    assert G.auto_centroid_every(20_000) == G.GRAPH_MIN_STRIDE
+    # envelope regime: stride = sqrt(N / n_assign), so K ~ sqrt(N * na)
+    for n, na in ((200_000, 2), (2_000_000, 2), (10**9, 2), (10**8, 4)):
+        stride = G.auto_centroid_every(n, na)
+        assert stride == int(round(math.sqrt(n / na)))
+        k_cells = n / stride
+        target = math.sqrt(n * na)
+        assert abs(k_cells - target) <= 0.01 * target + 2
+    assert G.auto_centroid_every(2_000_000, 2) == 1000
+    # degenerate inputs stay sane
+    assert G.auto_centroid_every(0) == G.GRAPH_MIN_STRIDE
+    assert G.auto_centroid_every(10, 0, min_stride=1) >= 1
+
+
+def test_auto_build_path_end_to_end(spark):
+    """The default ("auto") build must produce the same structural
+    contract as the pinned build and search at the same recall floor.
+    At sf0.01 (N=500) the floor makes auto resolve to stride 100, so
+    this also pins that the default path and the registered queries'
+    pinned path agree exactly in the floored regime."""
+    from worker_spark.operators.similarity import cosine_neighbors
+
+    emb = _emb(spark)
+    edges_auto = G.knn_graph_edges(emb)  # default: "auto"
+    edges_pinned = G.knn_graph_edges(emb, centroid_every=100)
+    a = {(r["src"], r["dst"], r["sim"]) for r in edges_auto.collect()}
+    p = {(r["src"], r["dst"], r["sim"]) for r in edges_pinned.collect()}
+    assert a == p  # floored regime == pinned cell structure
+    # end-to-end default path searches at the family recall floor
+    res = G.graph_ann_topk(emb, query_stride=100, k=10)
+    got = {(r["q_id"], r["c_id"]) for r in res.collect()}
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_neighbors(
+            queries, emb, threshold=-2.0, top_k=10
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9

@@ -150,10 +150,12 @@ def probes(docs, events, emb, fixed_batch):
         "user_id", "event_id", "value",
     )
 
-    def _graph_edges(vectors):
+    def _graph_edges(vectors, centroid_every):
         from worker_spark.operators import graph_ann as G
 
-        return G.knn_graph_edges(vectors).count()
+        return G.knn_graph_edges(
+            vectors, centroid_every=centroid_every
+        ).count()
 
     def windowed_cms_count():
         rows = F.explode(F.sequence(F.lit(0), F.lit(K.CMS_DEPTH - 1)))
@@ -236,12 +238,22 @@ def probes(docs, events, emb, fixed_batch):
             ).count(),
         ),
         (
-            # k-NN graph build: stride centroids grow with N so cell size
-            # stays bounded -> pair volume ~N * cell_size, not N^2 (the
-            # same bounded-cell argument as semdedup, now measured for
-            # the graph ANN index build)
+            # k-NN graph build, FIXED stride 100 (the registered-query
+            # setting): K = N/100 centroids, so the assignment stage has
+            # a structural N^2/100 term — this row documents the
+            # pinned-oracle cost, the _auto row below the production one
             "graph_knn_edges",
-            lambda: _graph_edges(emb),
+            lambda: _graph_edges(emb, 100),
+        ),
+        (
+            # k-NN graph build, AUTO stride (VERDICT r5 item 3):
+            # stride = sqrt(N / n_assign) -> K ~ sqrt(N * n_assign),
+            # balancing assignment (N*K) against pair volume
+            # (N^2 * n_assign / K) for the O(N^1.5) one-shot floor; the
+            # growth column of this row vs the fixed-stride row above
+            # is the measured evidence for the derivation
+            "graph_knn_edges_auto",
+            lambda: _graph_edges(emb, "auto"),
         ),
         # --- r5 additions: theta set ops + join-skew profile ---
         (

@@ -64,26 +64,20 @@ def _dot_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
 
 
 def _l2_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
-    """Exact squared-L2 top-k — ground truth for the PQ family (same
-    zip_with formulation as similarity.pq_adc_refined_topk's refine
-    stage, so the truth ranking uses the metric the operators rank by —
-    keep in sync if that lambda ever changes)."""
+    """Exact squared-L2 top-k — ground truth for the PQ family, scored
+    with similarity._l2_rounded itself (the one shared definition of the
+    rerank/assignment metric) so the truth ranking can never drift from
+    the metric the operators rank by (ADVICE r5)."""
     q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     c = candidates.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(l2, 6).alias("score"))
+        .select(
+            "q_id",
+            "c_id",
+            S._l2_rounded(F.col("qv"), F.col("cv")).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("c_id"))
     return (
@@ -381,7 +375,9 @@ def evaluate_ann(
         )
 
     t0 = time.perf_counter()
-    edges = G.knn_graph_edges(emb).cache()
+    # stride 100 pinned to match the registered queries' cell structure
+    # (the "auto" derivation is probed separately in scaling_probe.py)
+    edges = G.knn_graph_edges(emb, centroid_every=100).cache()
     edges.count()
     build_secs = time.perf_counter() - t0
 
@@ -418,6 +414,41 @@ def evaluate_ann(
     nnd_visited.unpersist()
     refined.unpersist()
     edges.unpersist()
+
+    # hybrid RRF: fused-list recall of the scale-safe Hamming semantic
+    # arm vs the brute-cosine arm at identical fusion settings (VERDICT
+    # r5 item 2 evidence — the end-to-end number a user cares about when
+    # swapping the arm). "recall" = overlap of the two fused top-k
+    # lists; the brute row is the 1.0 anchor. Pair accounting covers the
+    # VECTOR arm only (BM25's per-term posting traffic is not a vector
+    # scan): brute exact-scores all nq*(N-1) pairs, the hamming arm
+    # integer-scans codes (cand_pairs = denom) and exact-scores only
+    # nq * shortlist.
+    from worker_spark.operators.retrieval import (
+        RRF_HAMMING_SHORTLIST,
+        hybrid_rrf_topk,
+    )
+    from worker_spark.sources import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.perf_counter()
+    fused_brute = hybrid_rrf_topk(docs, emb, k=k, semantic="brute").select(
+        "q_id", F.col("doc_id").alias("c_id")
+    )
+    truth_fused = _pairs(fused_brute)
+    record(
+        "hybrid_rrf_brute", "fused", fused_brute, truth_fused, denom,
+        denom, time.perf_counter() - t0,
+    )
+    t0 = time.perf_counter()
+    fused_ann = hybrid_rrf_topk(docs, emb, k=k, semantic="hamming").select(
+        "q_id", F.col("doc_id").alias("c_id")
+    )
+    record(
+        f"hybrid_rrf_hamming_{RRF_HAMMING_SHORTLIST}", "fused", fused_ann,
+        truth_fused, denom, nq * min(RRF_HAMMING_SHORTLIST, n - 1),
+        time.perf_counter() - t0,
+    )
 
     emb.unpersist()
     return rows

@@ -276,6 +276,12 @@ def bm25_topk(
 
 RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack'09)
 RRF_SOURCE_DEPTH = 20  # per-source candidate depth before fusion
+# Hamming-shortlist depth for the default ANN semantic arm. 300 is the
+# measured knee of the binary ladder (ANN_EVAL.md sf0.1: recall@10
+# 0.64 @ shortlist 100 -> 0.86 @ 300) and, with depth=20 fused ranks on
+# top, the fused list recovers ~all of the brute arm's hits (the
+# hybrid_rrf_fused row in ANN_EVAL.md measures exactly this).
+RRF_HAMMING_SHORTLIST = 300
 
 
 def hybrid_rrf_topk(
@@ -285,6 +291,8 @@ def hybrid_rrf_topk(
     k: int = 10,
     depth: int = RRF_SOURCE_DEPTH,
     rrf_k: int = RRF_K,
+    semantic: str = "hamming",
+    hamming_shortlist: int = RRF_HAMMING_SHORTLIST,
 ) -> DataFrame:
     """Hybrid more-like-this retrieval with reciprocal rank fusion
     (Cormack'09 RRF — the standard way production search combines a
@@ -296,11 +304,27 @@ def hybrid_rrf_topk(
     each contribution is one exact division, so the fused ordering is
     engine-deterministic without any rounding.
 
+    ``semantic`` selects the vector arm's candidate source (VERDICT r5
+    item 2 — the arm must not inherit a full-corpus exact scan):
+
+    * ``"hamming"`` (default, the scale path) — binary sign codes +
+      integer Hamming coarse scan shortlists ``hamming_shortlist``
+      candidates per query (8-byte codes, XOR+popcount), then exact
+      cosine reranks only the shortlist: exact-scan fraction is
+      shortlist/N and FALLS as the corpus grows
+      (similarity.binary_hamming_topk; recall ladder in ANN_EVAL.md).
+    * ``"brute"`` — the O(nq*N) exact cosine scan. Kept as the
+      oracle/eval arm: the fused-recall row in ANN_EVAL.md is measured
+      against this variant. Do not use at scale.
+    * a callable ``(qemb, embeddings, depth) -> DataFrame`` returning
+      (q_id, doc_id, sem_rank) — plug in any ANN shortlist (e.g. a
+      graph_ann_topk wrapper) without touching the fusion.
+
     The embeddings table's vec_id is the documents table's doc_id (the
     testdata contract); the query doc itself is excluded from both
     sources. Scale shape: BM25 inherits the per-term posting traffic of
-    bm25_topk, cosine inherits the broadcast-query scan of
-    cosine_neighbors, and fusion joins two (nq x depth) rank lists —
+    bm25_topk, the default semantic arm scans only sign CODES at full
+    corpus width, and fusion joins two (nq x depth) rank lists —
     negligible. Output: (q_id, doc_id, rrf, in_lexical, in_semantic,
     rnk)."""
     from pyspark.sql import Window
@@ -321,23 +345,42 @@ def hybrid_rrf_topk(
         .filter(F.col("lex_rank") <= depth)
         .select("q_id", "doc_id", "lex_rank")
     )
-    from worker_spark.operators.similarity import cosine_neighbors
-
     qemb = embeddings.filter(F.col("vec_id") % query_stride == 0)
-    sem = (
-        cosine_neighbors(qemb, embeddings, threshold=-2.0, top_k=depth)
-        .select(
-            "q_id", F.col("c_id").alias("doc_id"),
-            F.col("cos_sim"),
+    if callable(semantic):
+        sem = semantic(qemb, embeddings, depth)
+    elif semantic == "hamming":
+        from worker_spark.operators.similarity import binary_hamming_topk
+
+        # binary_hamming_topk already excludes self and ranks the
+        # shortlist by (exact cos_sim desc, c_id asc) — the identical
+        # ordering convention as the brute arm, so the two variants
+        # differ ONLY in which candidates the shortlist reached
+        sem = binary_hamming_topk(
+            qemb, embeddings, k=depth, shortlist=hamming_shortlist
+        ).select(
+            "q_id",
+            F.col("c_id").alias("doc_id"),
+            F.col("rnk").alias("sem_rank"),
         )
-    )
-    ws = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_sim"), F.asc("doc_id")
-    )
-    sem = (
-        sem.withColumn("sem_rank", F.row_number().over(ws))
-        .select("q_id", "doc_id", "sem_rank")
-    )
+    elif semantic == "brute":
+        from worker_spark.operators.similarity import cosine_neighbors
+
+        brute = cosine_neighbors(
+            qemb, embeddings, threshold=-2.0, top_k=depth
+        ).select(
+            "q_id", F.col("c_id").alias("doc_id"), F.col("cos_sim")
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("doc_id")
+        )
+        sem = brute.withColumn(
+            "sem_rank", F.row_number().over(ws)
+        ).select("q_id", "doc_id", "sem_rank")
+    else:
+        raise ValueError(
+            f"semantic must be 'hamming', 'brute' or a callable, "
+            f"got {semantic!r}"
+        )
     fused = lex.join(sem, ["q_id", "doc_id"], "full_outer").select(
         "q_id",
         "doc_id",

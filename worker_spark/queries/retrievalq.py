@@ -197,13 +197,25 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_oracle() -> str:
-    from worker_spark.operators.retrieval import RRF_K, RRF_SOURCE_DEPTH
+    from worker_spark.operators.retrieval import (
+        RRF_HAMMING_SHORTLIST,
+        RRF_K,
+        RRF_SOURCE_DEPTH,
+    )
+    from worker_spark.queries.simq import (
+        binary_code_sql_cols,
+        binary_hamming_sql,
+    )
 
+    # the semantic arm replays the operator's default "hamming" source:
+    # sign codes + integer Hamming shortlist, exact cosine rerank of the
+    # shortlist only (the same CTE shapes as similarity_binary_topk's
+    # oracle, built from the SAME shared SQL fragments)
     cos = (
         "round(list_sum(list_transform(range(1, 65), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
-        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
-        "*  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        "i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "*  sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
     )
     core = _bm25_sql_core(
         """qterms AS (
@@ -223,13 +235,26 @@ def _hybrid_rrf_oracle() -> str:
             FROM lex_scores
         ) WHERE lex_rank <= {RRF_SOURCE_DEPTH}
     ),
+    coded AS (
+        SELECT vec_id, embedding, {binary_code_sql_cols()} FROM embeddings
+    ),
+    ham_short AS (
+        SELECT q_id, doc_id, q_emb, c_emb FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+                   a.embedding AS q_emb, b.embedding AS c_emb,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {binary_hamming_sql('a', 'b')} ASC,
+                                b.vec_id ASC) AS srnk
+            FROM coded a JOIN coded b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+        ) WHERE srnk <= {RRF_HAMMING_SHORTLIST}
+    ),
     sem AS (
         SELECT q_id, doc_id, sem_rank FROM (
-            SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
-                   row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY {cos} DESC, b.vec_id) AS sem_rank
-            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id % 100 = 0
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY {cos} DESC, doc_id) AS sem_rank
+            FROM ham_short
         ) WHERE sem_rank <= {RRF_SOURCE_DEPTH}
     ),
     fused AS (
@@ -258,12 +283,16 @@ def _hybrid_rrf_oracle() -> str:
     doc="Hybrid more-like-this retrieval with reciprocal rank fusion "
     "(Cormack'09, the calibration-free way production search combines "
     "lexical and vector rankers): per query DOCUMENT, BM25 over its own "
-    "token set and embedding cosine each contribute their top-20, fused "
-    "by sum of 1/(60+rank). Ranks are integers and each contribution is "
-    "one exact division, so the fused order is engine-deterministic "
-    "with no rounding at all. The in_lexical/in_semantic flags show "
-    "which source surfaced each hit — the evidence hybrid beats either "
-    "alone.",
+    "token set and an ANN vector arm each contribute their top-20, "
+    "fused by sum of 1/(60+rank). The vector arm is the SCALE-SAFE "
+    "default (VERDICT r5 item 2): binary sign codes + integer Hamming "
+    "coarse scan shortlist 300 candidates per query, exact cosine "
+    "reranks only the shortlist — no O(nq*N) float scan anywhere; the "
+    "brute-cosine variant survives as hybrid_rrf_topk(semantic='brute') "
+    "for eval (fused-recall row in ANN_EVAL.md). Ranks are integers and "
+    "each contribution is one exact division, so the fused order is "
+    "engine-deterministic with no rounding at all. The "
+    "in_lexical/in_semantic flags show which source surfaced each hit.",
 )
 def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.operators.retrieval import hybrid_rrf_topk

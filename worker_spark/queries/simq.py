@@ -737,7 +737,9 @@ def q_similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_spark.operators.graph_ann import graph_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return graph_ann_topk(emb, query_stride=20, k=5)
+    # stride pinned (not "auto"): the oracle's cell structure must be a
+    # data-independent function of vec_id for hash-stable replay
+    return graph_ann_topk(emb, query_stride=20, k=5, centroid_every=100)
 
 
 def _nn_descent_oracle() -> str:
@@ -840,7 +842,11 @@ def q_graph_nn_descent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    edges = knn_graph_edges(emb).localCheckpoint(eager=False)
+    # stride pinned for the same hash-stability reason as
+    # q_similarity_graph_ann above
+    edges = knn_graph_edges(emb, centroid_every=100).localCheckpoint(
+        eager=False
+    )
     refined = nn_descent_round(emb, edges)
     micro = lambda c: F.round(c * F.lit(1000000.0)).cast("long")  # noqa: E731
     b0 = edges.groupBy(F.col("src").alias("node")).agg(
@@ -867,7 +873,12 @@ def q_graph_nn_descent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _binary_oracle() -> str:
+def binary_code_sql_cols() -> str:
+    """The sign-code word columns (w0..wN) as a SQL projection fragment
+    — ONE definition of the bit layout for every oracle that replays
+    similarity.binary_sign_code (similarity_binary_topk here and the
+    hybrid-RRF semantic arm in retrievalq; review policy: shared cores,
+    not drifting copies)."""
     words = []
     for w in range(S.BQ_WORDS):
         terms = " + ".join(
@@ -876,10 +887,20 @@ def _binary_oracle() -> str:
             for j in range(S.BQ_BITS)
         )
         words.append(f"CAST({terms} AS BIGINT) AS w{w}")
-    code_cols = ", ".join(words)
-    ham = " + ".join(
-        f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(S.BQ_WORDS)
+    return ", ".join(words)
+
+
+def binary_hamming_sql(a: str, b: str) -> str:
+    """XOR+popcount Hamming distance between two coded rows' words —
+    the SQL mirror of similarity.binary_hamming."""
+    return " + ".join(
+        f"bit_count(xor({a}.w{w}, {b}.w{w}))" for w in range(S.BQ_WORDS)
     )
+
+
+def _binary_oracle() -> str:
+    code_cols = binary_code_sql_cols()
+    ham = binary_hamming_sql("a", "b")
     return f"""
     WITH coded AS (
         SELECT vec_id, embedding, {code_cols} FROM embeddings
