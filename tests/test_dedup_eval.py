@@ -87,3 +87,77 @@ def test_dedup_eval_floors_and_cost_ordering(spark):
     # exact's equi-join only ever pairs true duplicates
     assert exact["cand_pairs"] == exact["found_total"]
     assert exact["planted_precision"] == 1.0
+
+
+def test_semantic_planting_is_deterministic_and_tiered(spark):
+    from worker_spark.operators.dedup_eval import (
+        EMB_TIERS,
+        emb_truth_pairs,
+        planted_embeddings,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    c1 = planted_embeddings(emb)
+    c2 = planted_embeddings(emb)
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+    n = emb.count()
+    n_planted = emb.filter(F.col("vec_id") % PLANT_STRIDE == 0).count()
+    assert c1.count() == n + n_planted
+    t = emb_truth_pairs(emb)
+    assert {r["tier"] for r in t.collect()} == set(range(len(EMB_TIERS)))
+    # tier-0 plants are byte-identical embedding copies; the copy keeps
+    # the original's label at every tier
+    joined = (
+        t.join(c1.alias("o"), t.id_a == F.col("o.vec_id"))
+        .join(c1.alias("d"), t.id_b == F.col("d.vec_id"))
+        .select(
+            "tier",
+            (F.col("o.embedding") == F.col("d.embedding")).alias("same"),
+            (F.col("o.label") == F.col("d.label")).alias("same_label"),
+        )
+    )
+    rows = joined.collect()
+    assert all(r["same_label"] for r in rows)
+    assert all(r["same"] for r in rows if r["tier"] == 0)
+    assert not any(r["same"] for r in rows if r["tier"] == len(EMB_TIERS) - 1)
+
+
+def test_semantic_dedup_eval_floors(spark):
+    """Floors from the measured sf0.01 table (DEDUP_EVAL.md): the
+    label-blocked verifier holds every tier above its tau, semdedup
+    compounds IVF-cell blocking (the semantic analog of the lexical
+    candidate-stage split), and both verifiably miss the below-tau
+    tier-3 rewrites."""
+    from worker_spark.operators.dedup_eval import evaluate_semantic_dedup
+
+    rows = {
+        r["method"].split("(")[0]: r
+        for r in evaluate_semantic_dedup(spark, SF_ORACLE)
+    }
+    sem, blk = rows["semdedup"], rows["embedding_blocked"]
+    # identical copies: both methods must catch every plant
+    assert sem["recall_c0.0"] == 1.0
+    assert blk["recall_c0.0"] == 1.0
+    # above-tau paraphrase tiers: the label-block never misses (the
+    # copy keeps its label, cos stays above tau), semdedup pays a
+    # cell-hop tax that grows with noise but stays useful
+    assert blk["recall_c0.5"] == 1.0
+    assert blk["recall_c2.0"] == 1.0
+    assert sem["recall_c0.5"] >= 0.6
+    assert sem["recall_c2.0"] >= 0.4
+    assert sem["recall_c0.5"] >= sem["recall_c2.0"]
+    # tier 3 sits below both taus by design: a verified (partial) miss
+    assert sem["recall_c6.0"] <= 0.6
+    assert blk["recall_c6.0"] <= 0.6
+    # cost shape: both candidate stages are bounded blocks, never the
+    # full N*(N-1)/2 cross join
+    n = (
+        load_table(spark, SF_ORACLE, "embeddings").count()
+        + load_table(spark, SF_ORACLE, "embeddings")
+        .filter(F.col("vec_id") % PLANT_STRIDE == 0)
+        .count()
+    )
+    assert sem["cand_pairs"] < n * (n - 1) / 2
+    assert blk["cand_pairs"] < n * (n - 1) / 2

@@ -32,11 +32,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from worker_spark.operators.dedup_eval import evaluate_dedup, markdown_table
+    from worker_spark.operators.dedup_eval import (
+        evaluate_dedup,
+        evaluate_semantic_dedup,
+        markdown_semantic_table,
+        markdown_table,
+    )
 
     rows = evaluate_dedup(spark, sf_dir, include_edit_distance=include_edit)
     print(markdown_table(rows))
-    print(json.dumps({"sf_dir": sf_dir, "rows": rows}))
+    sem_rows = evaluate_semantic_dedup(spark, sf_dir)
+    print()
+    print(markdown_semantic_table(sem_rows))
+    print(json.dumps({"sf_dir": sf_dir, "rows": rows, "semantic_rows": sem_rows}))
     spark.stop()
 
 

@@ -95,10 +95,18 @@ def planted_corpus(
                 F.lit(100),
             )
             < rate,
+            # replacement token = "zz" + doc_id verbatim + 8 md5 hex
+            # chars: the doc_id component makes cross-document collisions
+            # impossible BY CONSTRUCTION (ADVICE r5: the old 24-bit
+            # suffix was birthday-bounded across ~10^3 plants x tokens),
+            # and the 32-bit position hash keeps within-document
+            # replacements distinct in practice
             F.concat(
                 F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
                 F.substring(
-                    F.md5(F.concat(seed, F.lit(":"), i.cast("string"))), 1, 6
+                    F.md5(F.concat(seed, F.lit(":"), i.cast("string"))), 1, 8
                 ),
             ),
         ).otherwise(t),
@@ -207,6 +215,30 @@ def _lsh_candidates(corpus: DataFrame) -> DataFrame:
     return D.lsh_candidate_pairs(sigs).select("id_a", "id_b").distinct()
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every currently-persisted RDD (the JVM-side registry that
+    backs DataFrame .cache())."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_added_since(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist exactly the RDDs cached since ``before`` was snapshot.
+    The dedup pipelines cache shingle/signature intermediates internally
+    and hand back no handles; this releases THEIR entries after each
+    method without the session-global clearCache the r5 ADVICE flagged
+    (which also evicted the harness's own corpus/truth caches — removed
+    CacheManager entries do NOT re-cache on next use)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in before:
+            t._2().unpersist(False)
+
+
 def evaluate_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -263,14 +295,11 @@ def evaluate_dedup(
             )
         )
 
+    # snapshot AFTER corpus/truth are pinned: everything cached beyond
+    # this point belongs to a method run and is released after it
+    base_cached = _persistent_rdd_ids(spark)
     rows = []
     for name, found_df, cand_df in methods:
-        # the dedup pipelines cache their shingle/signature/fingerprint
-        # intermediates and never unpersist (dedup.py module docstring:
-        # callers running many pipelines in one session must clear);
-        # without this, four methods' intermediates stay pinned
-        # simultaneously. corpus/truth re-cache lazily on next use.
-        spark.catalog.clearCache()
         found = found_df.select("id_a", "id_b").distinct().cache()
         found_total = found.count()
         cand_pairs = found_total if cand_df is None else cand_df.count()
@@ -297,11 +326,240 @@ def evaluate_dedup(
                 round(hit_tiers.get(tier, 0) / denom, 4) if denom else None
             )
         rows.append(row)
-        found.unpersist()
-        hits.unpersist()
+        # releases found/hits AND the method pipeline's internal caches
+        # (dedup.py pipelines cache shingle/signature intermediates and
+        # hand back no handles), leaving corpus/truth pinned
+        _unpersist_added_since(spark, base_cached)
     corpus.unpersist()
     truth.unpersist()
     return rows
+
+
+# --- semantic (embedding-space) planting -------------------------------
+#
+# VERDICT r5 item 4: the lexical tiers above cannot exercise the
+# EMBEDDING dedup family (semdedup, label-blocked cosine) — a token
+# replacement does not move a precomputed vector. Paraphrase-tier
+# near-dups are planted directly in embedding space instead: every
+# plant_stride-th vector gets one deterministically perturbed copy,
+# v'_i = v_i + c * rms(v) * u_i with u_i a hash-driven uniform in
+# [-1, 1] (no RNG), where the noise multiple c comes from the vector's
+# tier. Expected cosine for unit-RMS noise is 1/sqrt(1 + c^2/3);
+# measured on the sf0.01 corpus (unit-norm vectors):
+#
+#     tier c    E[cos]   role
+#     0    0.0  1.000    identical copy — every method's sanity row
+#     1    0.5  ~0.96    close paraphrase — above both taus
+#     2    2.0  ~0.67    loose paraphrase — above tau, but far enough
+#                        to hop IVF cells (blocking recall separates
+#                        semdedup from label-blocking here)
+#     3    6.0  ~0.29    unrelated rewrite — below both taus (0.3/0.35):
+#                        a verified miss for every method
+#
+# The copy keeps the original's label (a paraphrase keeps its topic),
+# so the label-blocked method's recall isolates the VERIFY threshold
+# while semdedup's recall compounds cell-blocking — the semantic analog
+# of the minhash-vs-ngram candidate-stage split in the lexical tables.
+
+EMB_TIERS = (0.0, 0.5, 2.0, 6.0)  # noise amplitude, multiples of rms(v)
+
+
+def planted_embeddings(
+    emb: DataFrame, plant_stride: int = PLANT_STRIDE
+) -> DataFrame:
+    """Originals plus one perturbed copy (vec_id + PLANT_OFFSET) of
+    every plant_stride-th vector, noise level set by the vector's tier.
+    Fully deterministic: u_i = (xxhash64(vec_id ':' i) mod 2001 - 1000)
+    / 1000. Tier-0 copies reuse the original array verbatim (the same
+    byte-identity guarantee as the lexical tier-0 plants)."""
+    base = emb.select("vec_id", "embedding", "label")
+    victims = base.filter(F.col("vec_id") % plant_stride == 0)
+    tier = _tier_col(F.col("vec_id"), plant_stride)
+    amps = F.array(*[F.lit(float(c)) for c in EMB_TIERS])
+    amp = F.element_at(amps, (tier + 1).cast("int"))
+    dim = F.size(F.col("embedding"))
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    rms = F.sqrt(sq / dim.cast("double"))
+    seed = F.col("vec_id").cast("string")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + amp
+            * rms
+            * (
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat(seed, F.lit(":"), i.cast("string"))
+                        ),
+                        F.lit(2001),
+                    )
+                    - F.lit(1000)
+                ).cast("double")
+                / F.lit(1000.0)
+            )
+        ).cast("float"),
+    )
+    dups = victims.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.when(amp == 0.0, F.col("embedding"))
+        .otherwise(perturbed)
+        .alias("embedding"),
+        "label",
+    )
+    return base.unionByName(dups)
+
+
+def emb_truth_pairs(
+    emb: DataFrame, plant_stride: int = PLANT_STRIDE
+) -> DataFrame:
+    """(id_a, id_b, tier) for every planted embedding pair."""
+    return emb.filter(F.col("vec_id") % plant_stride == 0).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("id_b"),
+        _tier_col(F.col("vec_id"), plant_stride).alias("tier"),
+    )
+
+
+def evaluate_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    plant_stride: int = PLANT_STRIDE,
+    semdedup_tau: float = None,
+    blocked_tau: float = 0.3,
+) -> list[dict]:
+    """Semantic-dedup rows with the same recall/cost columns as
+    evaluate_dedup, over the embedding-planted corpus: one row for
+    semdedup (IVF-cell blocking + cosine verify, similarity.py
+    semantic_dedup — found pairs are its (dup_of, vec_id) min-offender
+    view) and one for label-blocked cosine pairs
+    (similarity.embedding_blocked_pairs — the exact operator behind the
+    dedup_embedding_blocked query). Candidate mirrors count each
+    method's within-block pair stage, the ann_eval/evaluate_dedup
+    policy."""
+    from worker_spark.operators import similarity as S
+
+    if semdedup_tau is None:
+        semdedup_tau = S.SEMDEDUP_TAU
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    corpus = planted_embeddings(emb, plant_stride).cache()
+    corpus.count()
+    truth = emb_truth_pairs(emb, plant_stride).cache()
+    per_tier = {
+        int(r["tier"]): int(r["n"])
+        for r in truth.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # candidate mirrors: within-cell pairs (semdedup's pair stage) and
+    # within-label pairs (the blocked join), both id_a < id_b
+    centroids = corpus.filter(F.col("vec_id") % S.SEMDEDUP_CENTROID_EVERY == 0)
+    cells = S.ivf_assign(corpus, centroids).select("vec_id", "cell_id")
+    ca, cb = cells.alias("a"), cells.alias("b")
+    cell_cand = (
+        ca.join(
+            cb,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .count()
+    )
+    lab = corpus.select("vec_id", "label")
+    la, lb = lab.alias("a"), lab.alias("b")
+    label_cand = (
+        la.join(
+            lb,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .count()
+    )
+
+    # semdedup is a PRUNER, not a pair lister: its output attributes
+    # each dropped vector to the MIN offending lower id, and at
+    # tau=0.35 an ORGANIC >= tau cell-mate with an id smaller than the
+    # planted original frequently wins that min. Joining on the exact
+    # (orig, copy) pair would therefore count a genuinely pruned
+    # duplicate as a miss (measured: tier-0 "recall" 0.84 under pair
+    # attribution vs every identical copy actually dropped). The
+    # honest recall unit for a pruner is "planted copy DROPPED", and
+    # found_total/precision use the same dropped-vector unit — noted in
+    # DEDUP_EVAL.md because it differs from the pair rows.
+    sem_out = S.semantic_dedup(corpus, tau=semdedup_tau)
+    sem_found = sem_out.filter(~F.col("kept")).select(
+        F.col("vec_id").alias("id_b")
+    )
+    blk_found = S.embedding_blocked_pairs(
+        corpus, tau=blocked_tau, block_col="label"
+    ).select("id_a", "id_b")
+
+    base_cached = _persistent_rdd_ids(spark)
+    rows = []
+    for name, found_df, join_cols, cand_pairs in (
+        (f"semdedup(tau={semdedup_tau})", sem_found, ["id_b"], cell_cand),
+        (
+            f"embedding_blocked(tau={blocked_tau})",
+            blk_found,
+            ["id_a", "id_b"],
+            label_cand,
+        ),
+    ):
+        found = found_df.distinct().cache()
+        found_total = found.count()
+        hits = truth.join(found, join_cols)
+        found_planted = hits.count()
+        hit_tiers = {
+            int(r["tier"]): int(r["n"])
+            for r in hits.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        row = {
+            "method": name,
+            "cand_pairs": cand_pairs,
+            "found_total": found_total,
+            "found_planted": found_planted,
+            "planted_precision": round(found_planted / found_total, 4)
+            if found_total
+            else None,
+        }
+        for tier, c in enumerate(EMB_TIERS):
+            denom = per_tier.get(tier, 0)
+            row[f"recall_c{c}"] = (
+                round(hit_tiers.get(tier, 0) / denom, 4) if denom else None
+            )
+        rows.append(row)
+        _unpersist_added_since(spark, base_cached)
+    corpus.unpersist()
+    truth.unpersist()
+    return rows
+
+
+def markdown_semantic_table(rows: list[dict]) -> str:
+    cols = [
+        "method",
+        *[f"recall_c{c}" for c in EMB_TIERS],
+        "cand_pairs",
+        "found_total",
+        "found_planted",
+        "planted_precision",
+    ]
+    out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
+    for r in rows:
+        out.append(
+            "| " + " | ".join(str(r.get(c, "")) for c in cols) + " |"
+        )
+    return "\n".join(out)
 
 
 def markdown_table(rows: list[dict]) -> str:

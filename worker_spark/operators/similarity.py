@@ -1027,6 +1027,49 @@ def semantic_dedup(
     )
 
 
+def embedding_blocked_pairs(
+    vectors: DataFrame,
+    tau: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with metadata blocking: pairs
+    form only WITHIN a block (an equi-join on ``block_col`` — never a
+    full cross join), exact cosine verifies at ``tau``. The scale path
+    for embedding dedup when a cheap blocking key (topic label, shard,
+    language) already exists; the IVF-cell variant is semantic_dedup.
+    One shared definition serves the registered query
+    (queries/simq.q_dedup_embedding_blocked) and the dedup eval harness
+    (operators/dedup_eval.py) so the pair semantics cannot drift.
+    Output: (id_a, id_b, <block_col>, cos_sim)."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias(block_col),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias(block_col),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = a.join(b, [block_col]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        block_col,
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= tau)
+
+
 # --- binary (sign) quantization + Hamming shortlist --------------------
 #
 # The 32x memory tier below int8: one BIT per dimension (sign of the

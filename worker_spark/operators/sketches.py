@@ -395,9 +395,16 @@ def quantile_sketch(
 
     Construction — bottom-k rank sampling: hash each row's stable key
     (md5-prefix 32-bit) and keep, per group, the k rows with the
-    smallest (hash, value) pairs. That is a uniform-without-replacement
-    sample of the group's value multiset, selected by hash rank instead
-    of an RNG, so the sketch is a pure function of the row SET:
+    smallest (hash, value) pairs. ``key_col`` MUST be row-unique within
+    each group (ADVICE r5): all rows sharing a key value share one hash
+    and enter or miss the sample as a block, so a low-cardinality key
+    (e.g. a status column) silently biases the estimates toward whole
+    key-blocks. Both registered surfaces pass unique ids (event_id /
+    doc_id); pass a composed unique key (concat of id columns) if no
+    single column is unique. With a unique key this is a
+    uniform-without-replacement sample of the group's value multiset,
+    selected by hash rank instead of an RNG, so the sketch is a pure
+    function of the row SET:
     partitioning-invariant, mergeable (bottom-k of a union = bottom-k of
     bottom-k's — the KMV merge), and bit-identical in any engine that
     can hash and sort. Classical KLL compaction (Karnin-Lang-Liberty,

@@ -120,31 +120,11 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding dedup alongside the LSH variant.",
 )
 def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one shared pair definition with the dedup eval harness (r6
+    # refactor — the harness must evaluate exactly the operator the
+    # query runs)
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label"),
-        F.col("embedding").alias("q_vec"),
-        S._norm(F.col("embedding")).alias("q_norm"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label"),
-        F.col("embedding").alias("c_vec"),
-        S._norm(F.col("embedding")).alias("c_norm"),
-    )
-    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        "label",
-        F.round(
-            F.try_divide(
-                S._dot(F.col("q_vec"), F.col("c_vec")), F.col("q_norm") * F.col("c_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= 0.3)
+    return S.embedding_blocked_pairs(emb, tau=0.3, block_col="label")
 
 
 def _cos_expr(a: str, b: str) -> str:
