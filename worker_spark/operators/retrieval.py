@@ -156,6 +156,36 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_term_score(k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """The one canonical per-TERM BM25 contribution, as an expression
+    over columns (tf, df, dl, n_docs, dl_sum) in scope:
+    IDF(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    IDF = ln(1 + (N - df + 0.5)/(df + 0.5)), rounded to 6dp and cast
+    DECIMAL(18,6) so per-term scores sum exactly (a last-ulp ln()
+    difference between engines cannot reorder document ranks). Shared by
+    the batch scorer (_bm25_scores) and the incrementally-maintained
+    index (streaming/retrieval_index.py) — the formula has ONE
+    definition, the review policy that consolidated the SQL copies."""
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    return F.round(
+        idf
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+
+
 def _bm25_scores(
     docs: DataFrame,
     qterms: DataFrame,
@@ -183,24 +213,7 @@ def _bm25_scores(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    term_score = F.round(
-        idf
-        * (
-            (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-            )
-        ),
-        6,
-    ).cast("decimal(18,6)")
+    term_score = bm25_term_score(k1, b)
     scored = (
         qterms.join(dfreq, "term")
         .join(tf, "term")

@@ -61,8 +61,11 @@ _DRIVER_WINDOW = [
     # similarity.embedding_blocked_pairs (shared with the dedup eval
     # harness); similarity_graph_ann / graph_nn_descent_stats pin
     # centroid_every=100 explicitly now that the build knob defaults to
-    # "auto" (VERDICT item 3).
+    # "auto" (VERDICT item 3); doc_bm25_topk shares the bm25_term_score
+    # expression factored out of _bm25_scores for the incremental index
+    # (streaming/retrieval_index.py).
     "doc_hybrid_rrf_topk",
+    "doc_bm25_topk",
     "similarity_binary_topk",
     "dedup_embedding_blocked",
     "similarity_graph_ann",
@@ -120,11 +123,13 @@ _DRIVER_WINDOW = [
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",
-    "doc_mixture_weights",
+    # (doc_mixture_weights yields its fill slot to doc_bm25_topk above:
+    # changed queries outrank r4-green fills)
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # remaining r4-green block (driver row r4, unchanged since)
+    "doc_mixture_weights",
     "token_cms_heavy_hitters",
     "sync_outbox_tick",
     "outbox_dashboard",
@@ -176,7 +181,6 @@ _DRIVER_WINDOW = [
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
     "similarity_ivfpq_residual_topk",
-    "doc_bm25_topk",
     "similarity_ivfpq_refined_topk",
     "event_sessions",
     "order_rollup",

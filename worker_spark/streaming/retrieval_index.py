@@ -1,0 +1,255 @@
+"""Incremental maintenance of the inverted index + BM25 statistics
+(VERDICT r5 item 8 — the retrieval family's end-to-end incremental path,
+the same dataflow shape as the sync pipeline).
+
+The reference's search-index sink rebuilds documents in bulk batches
+(src/indexing.rs:61-115) and its sync pipeline keeps link tables current
+with delete-then-insert replaces (src/storage.rs:205-237, S8). This
+module composes both ideas for RETRIEVAL state: document batches arrive
+as a stream, and a ``foreachBatch`` MERGE keeps two canonical state
+tables current —
+
+* ``postings``  (term, doc_id, tf) — the inverted index, one row per
+  posting;
+* ``doclen``    (doc_id, dl)       — per-document token counts.
+
+Everything BM25 needs (df, cf, N, dl_sum, avgdl) is DERIVED from these
+on read, so there is no denormalized statistic that can drift from the
+postings under replays or document updates: a re-added document simply
+replaces its own posting rows (delete-then-insert keyed by doc_id — the
+link-replace semantics of S8), and every aggregate is recomputed from
+canonical rows. Replays are idempotent by the same argument.
+
+Scale shape: the per-batch delta is tokenize + one (term, doc_id)
+aggregation over BATCH rows only — vocabulary-bounded, never a corpus
+rescan. The state rewrite is ParquetStateStore's copy-on-write swap (the
+documented environment relaxation — no Delta/Iceberg jars here); at
+cluster scale both MERGEs map 1:1 onto ``MERGE INTO`` with the postings
+table bucketed by term so a batch touches only its own buckets, and the
+read-side aggregates are partial-aggregated (map-side combine) exactly
+like the batch operator. Query-time scoring reuses the SAME rounding
+scheme as operators/retrieval._bm25_scores via the shared
+``bm25_term_score`` expression, so the incremental index and the batch
+scorer can never disagree on a score (one-definition policy).
+
+Determinism pin (tests/test_incremental_retrieval.py): after streaming N
+batches with availableNow, postings == the batch ``inverted_postings``
+build on the union corpus and BM25 top-k == ``bm25_topk`` on the union
+corpus, exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from worker_spark.operators.retrieval import BM25_B, BM25_K1, bm25_term_score
+from worker_spark.operators.text import tokens
+from worker_spark.plans.state import ParquetStateStore
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+DOCLEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+
+class IncrementalRetrievalIndex:
+    """Postings + doclen state with per-batch MERGE maintenance and a
+    BM25 scorer over the maintained state."""
+
+    POSTINGS = "postings"
+    DOCLEN = "doclen"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = ParquetStateStore(spark, root)
+
+    # --- maintenance ----------------------------------------------------
+
+    def _batch_delta(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> tuple[DataFrame, DataFrame]:
+        base = (
+            docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+            )
+            .filter(F.length("term") > 0)
+        )
+        tf = base.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        dl = base.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("dl")
+        )
+        return tf, dl
+
+    def apply_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """The foreachBatch body: delete-then-insert the batch documents'
+        posting rows (S8 link-replace semantics — an UPDATED document
+        replaces its old postings entirely; a REPLAYED batch rewrites
+        identical rows, so replays are no-ops) and upsert doclen. A
+        batch document with now-empty text ends with zero postings and
+        no doclen row, i.e. a delete."""
+        tf, dl = self._batch_delta(docs, id_col, text_col)
+        batch_ids = docs.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).distinct()
+        # localCheckpoint: the state swap invalidates lazy frames derived
+        # from the pre-write directory (ParquetStateStore caution), and
+        # tf/dl must also not re-read the streaming batch after the
+        # foreachBatch call returns
+        tf = tf.localCheckpoint(eager=True)
+        dl = dl.localCheckpoint(eager=True)
+        batch_ids = batch_ids.localCheckpoint(eager=True)
+
+        existing_p = self.store.read(self.POSTINGS, POSTINGS_SCHEMA)
+        kept_p = existing_p.join(batch_ids, "doc_id", "left_anti")
+        self.store.write(
+            self.POSTINGS, kept_p.unionByName(tf.select(*existing_p.columns))
+        )
+        existing_d = self.store.read(self.DOCLEN, DOCLEN_SCHEMA)
+        kept_d = existing_d.join(batch_ids, "doc_id", "left_anti")
+        self.store.write(
+            self.DOCLEN, kept_d.unionByName(dl.select(*existing_d.columns))
+        )
+
+    # --- read side -------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        return self.store.read(self.POSTINGS, POSTINGS_SCHEMA)
+
+    def doclen(self) -> DataFrame:
+        return self.store.read(self.DOCLEN, DOCLEN_SCHEMA)
+
+    def posting_lists(self, min_df: int = 1) -> DataFrame:
+        """The batch inverted_postings surface (term, df, cf, postings)
+        derived from maintained state — same sorted-CSV convention."""
+        return (
+            self.postings()
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("doc_id"), F.col("tf"))
+                        )
+                    ),
+                    ",",
+                ).alias("postings"),
+            )
+            .filter(F.col("df") >= min_df)
+        )
+
+    def bm25_topk(
+        self,
+        queries: list[str],
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """BM25 over the MAINTAINED statistics — identical formula,
+        rounding and tie-breaks to operators/retrieval.bm25_topk (the
+        shared bm25_term_score expression), but df/dl/N/avgdl come from
+        state instead of a corpus re-scan: query cost is per-term
+        posting traffic over the index, the point of maintaining it."""
+        from pyspark.sql import Window
+
+        tf = self.postings()
+        dl = self.doclen()
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        qterms = self.spark.createDataFrame(
+            [
+                (q, t)
+                for q in queries
+                for t in dict.fromkeys(q.lower().split())
+            ],
+            "query string, term string",
+        )
+        scored = (
+            qterms.join(dfreq, "term")
+            .join(tf, "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        agg = (
+            scored.select(
+                "query", "doc_id", bm25_term_score(k1, b).alias("ts")
+            )
+            .groupBy("query", "doc_id")
+            .agg(F.sum("ts").alias("bm25"))
+        )
+        w = Window.partitionBy("query").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        return (
+            agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "query",
+                "doc_id",
+                F.col("bm25").cast("double").alias("bm25"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+
+
+def index_maintenance_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index: IncrementalRetrievalIndex,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Wire a document directory as the change feed: each new parquet
+    file under ``docs_dir`` is a batch of added/updated documents, and
+    each micro-batch is MERGEd into the index by apply_batch (the outbox
+    pipeline's foreachBatch shape, streaming/pipeline.run_stage)."""
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "idx"))
+        .foreachBatch(
+            lambda batch, bid: index.apply_batch(batch, batch_id=bid)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
