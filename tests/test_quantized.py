@@ -157,3 +157,29 @@ def test_semantic_dedup_fails_loud_without_medoids(spark):
     )
     with pytest.raises(ValueError, match="no medoid centroids"):
         semantic_dedup(vecs, centroid_every=100)
+
+
+def test_ivfpq_auto_stride_matches_pinned_in_floor_regime(spark):
+    """The coarse-quantizer knob's "auto" default (r6 — the K ~ sqrt(N)
+    IVF rule via similarity.auto_centroid_stride) must resolve to the
+    min-stride floor at this corpus size and therefore produce the
+    EXACT same result as the registered queries' pinned stride 100;
+    plus the derivation math on both sides of the crossover."""
+    # derivation: floored below N = min_stride^2, sqrt beyond
+    assert S.auto_centroid_stride(500) == S.AUTO_MIN_STRIDE
+    assert S.auto_centroid_stride(10_000) == S.AUTO_MIN_STRIDE
+    assert S.auto_centroid_stride(1_000_000) == 1000
+    assert S.auto_centroid_stride(10**8) == 10_000
+    # graph variant balances its multi-assignment factor
+    from worker_spark.operators.graph_ann import auto_centroid_every
+
+    assert auto_centroid_every(2_000_000, 2) == 1000
+    # end-to-end: auto == pinned at sf0.01 (N=500 -> floor regime)
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    auto = S.ivfpq_residual_topk(emb, k=5)  # default centroid_every="auto"
+    pinned = S.ivfpq_residual_topk(emb, k=5, centroid_every=100)
+    a = sorted(tuple(r) for r in auto.collect())
+    p = sorted(tuple(r) for r in pinned.collect())
+    assert a == p

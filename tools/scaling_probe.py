@@ -313,12 +313,21 @@ def probes(docs, events, emb, fixed_batch):
             ).count(),
         ),
         (
-            # assignment is N x K with K fixed (stride centroids grow
-            # with N in ivf_assign but here centroid_every fixes the
-            # SEED stride so K ~ N/100 — same N*K structural term the
-            # graph build documents); mean/residual/code stages are
-            # linear
+            # PINNED stride 100 (the registered-query setting): K = N/100
+            # so assignment is the N*K structural term the graph build
+            # documents (measured ~54x wall at 10x volume in r5);
+            # mean/residual/code stages are linear
             "ivfpq_residual_topk",
+            lambda: SIM.ivfpq_residual_topk(
+                emb, k=10, centroid_every=100
+            ).count(),
+        ),
+        (
+            # AUTO stride (r6): stride = max(100, sqrt(N)) — the classic
+            # K ~ sqrt(N) IVF rule via similarity.auto_centroid_stride;
+            # identical to the pinned row below the N = 10^4 crossover,
+            # O(N^1.5) assignment beyond it (NOTES.md pair-volume table)
+            "ivfpq_residual_topk_auto",
             lambda: SIM.ivfpq_residual_topk(emb, k=10).count(),
         ),
     ]

@@ -285,7 +285,9 @@ def evaluate_ann(
     # exact_pairs = 0 like the other pure-code rows. cand_pairs mirrors
     # the operator's probe + membership join (ivfpq_residual_topk).
     t0 = time.perf_counter()
-    ivfpq = S.ivfpq_residual_topk(emb, k=k, query_stride=query_stride)
+    ivfpq = S.ivfpq_residual_topk(
+        emb, k=k, query_stride=query_stride, centroid_every=100
+    )
     ivfpq.collect()
     ivfpq_secs = time.perf_counter() - t0
     ivfpq_centroid_every, ivfpq_nprobe = 100, 2  # operator defaults —
@@ -337,7 +339,8 @@ def evaluate_ann(
     # itself only ever scored probed-cell codes
     t0 = time.perf_counter()
     ivfpq_ref = S.ivfpq_residual_refined_topk(
-        emb, k=k, shortlist=pq_shortlist, query_stride=query_stride
+        emb, k=k, shortlist=pq_shortlist, query_stride=query_stride,
+        centroid_every=100,
     )
     ivfpq_ref.collect()
     record(f"ivfpq_refined_{pq_shortlist}", "l2", ivfpq_ref, truth_l2,

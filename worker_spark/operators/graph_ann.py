@@ -79,7 +79,10 @@ def auto_centroid_every(
     assignment stage's N*K scored pairs against the pair stage's
     ~N * stride * n_assign volume — both land at N^1.5 * sqrt(n_assign),
     the floor for any one-shot bucketed k-NN build.
-    stride = N / K = sqrt(N / n_assign).
+    stride = N / K = sqrt(N / n_assign). Thin wrapper over the family's
+    shared derivation (similarity.auto_centroid_stride — the IVF-PQ
+    operators use the same rule with n_assign=1) carrying the graph
+    build's multi-assignment default.
 
     The ``min_stride`` floor is a RECALL guarantee, not a cost term:
     cell size equals the stride, so the raw sqrt starves cells at small
@@ -92,23 +95,16 @@ def auto_centroid_every(
     small-N regime never returns. tools/scaling_probe.py measures both
     the floored and fixed-stride builds; NOTES.md tables the pair-volume
     arithmetic out to 10^9 vectors."""
-    import math
+    from worker_spark.operators.similarity import auto_centroid_stride
 
-    return max(
-        1,
-        min_stride,
-        int(round(math.sqrt(max(1, n) / max(1, n_assign)))),
-    )
+    return auto_centroid_stride(n, n_assign, min_stride)
 
 
 def _resolve_centroid_every(
     vectors: DataFrame, centroid_every, n_assign: int, id_col: str
 ) -> int:
-    """Resolve the ``centroid_every`` knob: the literal string "auto"
-    derives the O(N^1.5) stride from one corpus count (a slim
-    single-column job); an int passes through. Callers that need a
-    DATA-INDEPENDENT cell structure (the registered oracle queries pin
-    stride 100 for hash stability) pass the int explicitly."""
+    """graph-side resolver: "auto" -> auto_centroid_every from one
+    corpus count; int passes through (pinned oracle queries)."""
     if centroid_every == "auto":
         return auto_centroid_every(
             vectors.select(id_col).count(), n_assign

@@ -95,6 +95,48 @@ def _norm(a: Column) -> Column:
     )
 
 
+AUTO_MIN_STRIDE = 100  # floor on auto strides == minimum CELL size
+
+
+def auto_centroid_stride(
+    n: int, n_assign: int = 1, min_stride: int = AUTO_MIN_STRIDE
+) -> int:
+    """Derive a medoid-centroid stride from the corpus count so the
+    N*K coarse-assignment stage stops being structurally quadratic
+    (K = N/stride): stride = sqrt(N / n_assign) gives K ~
+    sqrt(N * n_assign) — with n_assign=1 this is the classic K ~ sqrt(N)
+    IVF sizing rule (the FAISS guideline), making assignment O(N^1.5)
+    and the probed fraction nprobe/K shrink as the corpus grows; the
+    graph-ANN build passes its multi-assignment factor to balance
+    assignment against its pair stage (graph_ann.auto_centroid_every).
+
+    ``min_stride`` floors the CELL size (cell size == stride under
+    medoid seeding): tiny cells starve candidate generation — measured
+    on the graph build at sf0.1, recall@10 0.975 -> 0.425 without the
+    floor. The floor is asymptotically free: sqrt overtakes it at
+    N = min_stride^2 * n_assign and cells then grow as sqrt(N)."""
+    import math
+
+    return max(
+        1,
+        min_stride,
+        int(round(math.sqrt(max(1, n) / max(1, n_assign)))),
+    )
+
+
+def resolve_centroid_stride(
+    vectors: DataFrame, centroid_every, n_assign: int, id_col: str
+) -> int:
+    """Resolve a ``centroid_every`` knob: the literal string "auto"
+    derives the stride from one corpus count (a slim single-column
+    job); an int passes through. Callers needing a DATA-INDEPENDENT
+    cell structure (the registered oracle queries pin stride 100 for
+    hash-stable replay) pass the int explicitly."""
+    if centroid_every == "auto":
+        return auto_centroid_stride(vectors.select(id_col).count(), n_assign)
+    return int(centroid_every)
+
+
 def cosine_neighbors(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1386,7 +1428,7 @@ def margin_probe_lsh_ann_neighbors(
 def ivfpq_residual_topk(
     vectors: DataFrame,
     k: int = 10,
-    centroid_every: int = 100,
+    centroid_every="auto",
     nprobe: int = 2,
     codebook_stride: int = 50,
     query_stride: int = 100,
@@ -1419,17 +1461,26 @@ def ivfpq_residual_topk(
     lookup table by (cell, subspace, code) — map-side; candidates in
     unprobed cells are never touched (the IVF part), and the per-query
     top-k window is the only real shuffle. THE SCALE KNOB is
-    ``centroid_every``: the fixed stride makes K = N/centroid_every, so
+    ``centroid_every``: a fixed stride makes K = N/centroid_every, so
     the coarse assignment stage is N*K = N^2/centroid_every pair
-    scorings — the 1x/4x/10x probe measured 53x wall at 10x volume
-    (tools/scaling_probe.py), the same structurally-quadratic term
-    documented on the graph-ANN build. Production settings hold K fixed
-    (or K ~ sqrt(N)) as the corpus grows, and for very large K swap the
-    per-pair L2 fold for the Arrow matrix scorer (ivf_assign's note);
-    every stage after assignment is corpus-linear.
+    scorings — the 1x/4x/10x probe measured ~54x wall at 10x volume at
+    pinned stride 100 (tools/scaling_probe.py), the same
+    structurally-quadratic term documented on the graph-ANN build. The
+    DEFAULT is therefore "auto" (r6): auto_centroid_stride derives
+    stride = max(100, sqrt(N)) from one corpus count — the classic
+    K ~ sqrt(N) IVF sizing rule — so assignment is O(N^1.5) and the
+    probed code fraction nprobe/K shrinks as the corpus grows. The
+    registered oracle queries pin stride 100 (data-independent cell
+    structure for hash-stable replay; identical to auto for N <= 10^4
+    anyway, the floor regime). For very large K swap the per-pair L2
+    fold for the Arrow matrix scorer (ivf_assign's note); every stage
+    after assignment is corpus-linear.
     """
     from pyspark.sql import Window
 
+    centroid_every = resolve_centroid_stride(
+        vectors, centroid_every, 1, id_col
+    )
     cents = vectors.filter(F.col(id_col) % centroid_every == 0)
     cvecs = cents.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
@@ -1588,7 +1639,7 @@ def ivfpq_residual_refined_topk(
     vectors: DataFrame,
     k: int = 10,
     shortlist: int = 100,
-    centroid_every: int = 100,
+    centroid_every="auto",
     nprobe: int = 2,
     codebook_stride: int = 50,
     query_stride: int = 100,

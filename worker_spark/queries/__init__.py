@@ -63,13 +63,19 @@ _DRIVER_WINDOW = [
     # centroid_every=100 explicitly now that the build knob defaults to
     # "auto" (VERDICT item 3); doc_bm25_topk shares the bm25_term_score
     # expression factored out of _bm25_scores for the incremental index
-    # (streaming/retrieval_index.py).
+    # (streaming/retrieval_index.py); the IVF-PQ pair pins stride 100
+    # now that the coarse-quantizer knob defaults to "auto" (the
+    # K ~ sqrt(N) rule extended from the graph build to the IVF-PQ
+    # family after the probe measured ~54x wall at 10x volume on the
+    # pinned stride).
     "doc_hybrid_rrf_topk",
     "doc_bm25_topk",
     "similarity_binary_topk",
     "dedup_embedding_blocked",
     "similarity_graph_ann",
     "graph_nn_descent_stats",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_refined_topk",
     # (b) The FULL 33-entry r3-stale backlog (VERDICT item 1: last
     # driver green is round 3; new additions were frozen this round so
     # none of these lose a slot). Shared-core-refactor-touched
@@ -121,14 +127,15 @@ _DRIVER_WINDOW = [
     "bloom_incremental_dedup",
     "contrastive_hard_negatives",
     "crawl_frontier_schedule",
-    "streaming_cms_window_users",
-    "doc_mixture_interleave",
-    # (doc_mixture_weights yields its fill slot to doc_bm25_topk above:
-    # changed queries outrank r4-green fills)
+    # (streaming_cms_window_users / doc_mixture_interleave /
+    # doc_mixture_weights yield their fill slots to doc_bm25_topk and
+    # the IVF-PQ pair above: changed queries outrank r4-green fills)
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # remaining r4-green block (driver row r4, unchanged since)
+    "streaming_cms_window_users",
+    "doc_mixture_interleave",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",
     "sync_outbox_tick",
@@ -180,8 +187,6 @@ _DRIVER_WINDOW = [
     "event_rate_anomalies",
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_refined_topk",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",

@@ -1204,7 +1204,9 @@ def q_similarity_ivfpq_residual_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivfpq_residual_topk(emb, k=10)
+    # stride pinned (not "auto"): the oracle's cell structure must be a
+    # data-independent function of vec_id for hash-stable replay
+    return S.ivfpq_residual_topk(emb, k=10, centroid_every=100)
 
 
 def _ivfpq_refined_oracle() -> str:
@@ -1248,4 +1250,7 @@ def q_similarity_ivfpq_refined_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivfpq_residual_refined_topk(emb, k=10, shortlist=100)
+    # stride pinned for the same reason as the residual query above
+    return S.ivfpq_residual_refined_topk(
+        emb, k=10, shortlist=100, centroid_every=100
+    )
