@@ -73,19 +73,22 @@ def _plain_repr(val) -> str | None:
         return repr(val.replace(_REPO_ROOT, "<repo>"))
     if isinstance(val, _PLAIN):
         return repr(val)
-    if isinstance(val, (tuple, list, frozenset, set)):
-        parts = [_plain_repr(v) for v in (sorted(val, key=repr) if isinstance(val, (set, frozenset)) else val)]
+    if isinstance(val, (tuple, frozenset)):
+        parts = [
+            _plain_repr(v)
+            for v in (
+                sorted(val, key=repr) if isinstance(val, frozenset) else val
+            )
+        ]
         if any(p is None for p in parts):
             return None
         return f"{type(val).__name__}({','.join(parts)})"
-    if isinstance(val, dict):
-        parts = []
-        for k in sorted(val, key=repr):
-            kr, vr = _plain_repr(k), _plain_repr(val[k])
-            if kr is None or vr is None:
-                return None
-            parts.append(f"{kr}:{vr}")
-        return "dict(" + ",".join(parts) + ")"
+    # MUTABLE containers (dict/list/set) are excluded even when their
+    # contents are plain: module-level mutables are runtime state, not
+    # source — extraction._FEATURE_CACHE starts {} and fills during
+    # query execution, which made the hash depend on whether a query
+    # had RUN in the process (guard flaked under the full suite, green
+    # standalone). Immutable config tables in this repo are tuples.
     return None
 
 
