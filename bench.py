@@ -264,6 +264,76 @@ R5_ANCHOR: dict[str, float] = {
 }
 
 
+
+# Round-6 anchor: recorded by tools/record_anchor.py from the SECOND of two
+# back-to-back serialized sf0.1 runs at round-6 close (total 102.9s,
+# calibration_s 0.207, total_vs_r5 1.10 — within the documented host
+# variance). doc_hybrid_rrf_topk's semantic arm swapped from the brute
+# cosine scan to the binary-Hamming shortlist; wall time at THIS sf is
+# unchanged (the lexical arm dominates — the synthetic 31-token vocabulary
+# makes every term match ~every document), the win is the exact-scan
+# fraction, which falls as 1/N (ANN_EVAL.md hybrid rows). Use
+# calibration_s ratios to normalize cross-round readings.
+R6_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.454,
+    "top_revenue_orders": 1.089,
+    "revenue_by_nation": 0.901,
+    "orders_with_returns": 0.557,
+    "customer_any_return": 0.471,
+    "sync_diff_classify": 0.557,
+    "event_journey": 0.191,
+    "outbox_drain_cap": 0.277,
+    "doc_token_stats": 0.188,
+    "dedup_minhash_lsh": 2.662,
+    "dedup_simhash": 2.57,
+    "similarity_cosine_topk": 0.77,
+    "similarity_lsh_ann": 1.757,
+    "dedup_embedding_blocked": 1.801,
+    "multimodal_features": 0.31,
+    "event_value_percentiles": 0.16,
+    "reverse_invalidation": 0.506,
+    "doc_build_scale": 1.711,
+    "dedup_cluster_components": 5.467,
+    "doc_sequence_pack": 0.45,
+    "doc_stratified_sample": 0.163,
+    "similarity_quantized_topk": 0.473,
+    "benchmark_contamination": 2.403,
+    "similarity_pq_refined_topk": 4.058,
+    "similarity_pq_kmeans_topk": 4.443,
+    "doc_cdc_chunks": 1.956,
+    "dedup_translit_shingles": 4.147,
+    "doc_substring_dedup_report": 0.416,
+    "hll_distinct_users": 0.263,
+    "token_cms_heavy_hitters": 1.762,
+    "bpe_train_merges": 1.945,
+    "dedup_edit_distance": 1.788,
+    "token_bigram_collocations": 0.667,
+    "inverted_index_postings": 0.45,
+    "similarity_opq_kmeans_topk": 6.714,
+    "search_documents_flat": 1.511,
+    "bloom_membership_audit": 0.476,
+    "doc_dsir_selection": 2.247,
+    "semdedup_prune": 1.139,
+    "doc_curation_decision": 2.139,
+    "event_quantile_sketch": 0.975,
+    "similarity_graph_ann": 6.609,
+    "event_audience_overlap": 0.671,
+    "lang_shingle_overlap": 1.961,
+    "join_skew_profile": 0.505,
+    "doc_rag_chunks": 0.287,
+    "events_zorder_layout": 0.771,
+    "similarity_binary_topk": 2.492,
+    "event_funnel_conversion": 0.648,
+    "event_retention_cohorts": 0.436,
+    "event_rate_anomalies": 0.358,
+    "similarity_multiprobe_lsh": 2.412,
+    "similarity_margin_probe_lsh": 2.472,
+    "similarity_ivfpq_residual_topk": 5.278,
+    "doc_bm25_topk": 1.238,
+    "doc_hybrid_rrf_topk": 8.342,
+    "similarity_ivfpq_refined_topk": 5.408,
+}
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -343,6 +413,7 @@ def main() -> None:
             ("r2", R2_ANCHOR),
             ("r4", R4_ANCHOR),
             ("r5", R5_ANCHOR),
+            ("r6", R6_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
@@ -358,7 +429,7 @@ def main() -> None:
             )
         # headline summary ratios on the stdout line itself (3 short fields,
         # not the per-query dicts)
-        for k in ("total_vs_r1", "total_vs_r2", "total_vs_r4", "total_vs_r5"):
+        for k in ("total_vs_r1", "total_vs_r2", "total_vs_r4", "total_vs_r5", "total_vs_r6"):
             if k in full:
                 out[k] = full[k]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:

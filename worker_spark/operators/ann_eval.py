@@ -447,6 +447,12 @@ def evaluate_ann(
     fused_ann = hybrid_rrf_topk(docs, emb, k=k, semantic="hamming").select(
         "q_id", F.col("doc_id").alias("c_id")
     )
+    # collect BEFORE reading the clock: the elapsed argument is
+    # evaluated at call time, so without this the row would time plan
+    # CONSTRUCTION only (caught in r6 — the committed 1.11s was wrong;
+    # the honest number is wall-parity with the brute arm at this SF,
+    # where the lexical arm dominates)
+    fused_ann.collect()
     record(
         f"hybrid_rrf_hamming_{RRF_HAMMING_SHORTLIST}", "fused", fused_ann,
         truth_fused, denom, nq * min(RRF_HAMMING_SHORTLIST, n - 1),
