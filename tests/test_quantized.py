@@ -183,3 +183,22 @@ def test_ivfpq_auto_stride_matches_pinned_in_floor_regime(spark):
     a = sorted(tuple(r) for r in auto.collect())
     p = sorted(tuple(r) for r in pinned.collect())
     assert a == p
+    # the other two auto sites agree with their pinned registered
+    # settings in the floor regime too
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    ia = sorted(
+        tuple(r) for r in S.ivf_ann_neighbors(queries, emb).collect()
+    )
+    ip = sorted(
+        tuple(r)
+        for r in S.ivf_ann_neighbors(queries, emb, centroid_every=100).collect()
+    )
+    assert ia == ip
+    sa = sorted(tuple(r) for r in S.semantic_dedup(emb).collect())
+    sp = sorted(
+        tuple(r)
+        for r in S.semantic_dedup(
+            emb, centroid_every=S.SEMDEDUP_CENTROID_EVERY
+        ).collect()
+    )
+    assert sa == sp

@@ -212,10 +212,13 @@ def probes(docs, events, emb, fixed_batch):
             ).count(),
         ),
         (
-            # stride medoids: centroid count grows with N, cell size stays
-            # bounded -> within-cell pair volume ~linear, not quadratic
+            # PINNED stride: centroid count grows with N, cell size stays
+            # bounded -> within-cell pair volume ~linear (but assignment
+            # N*K quadratic — the auto default trades both to O(N^1.5))
             "semdedup_prune",
-            lambda: SIM.semantic_dedup(emb).count(),
+            lambda: SIM.semantic_dedup(
+                emb, centroid_every=SIM.SEMDEDUP_CENTROID_EVERY
+            ).count(),
         ),
         (
             "mixture_interleave",

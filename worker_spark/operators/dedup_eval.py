@@ -495,7 +495,9 @@ def evaluate_semantic_dedup(
     # honest recall unit for a pruner is "planted copy DROPPED", and
     # found_total/precision use the same dropped-vector unit — noted in
     # DEDUP_EVAL.md because it differs from the pair rows.
-    sem_out = S.semantic_dedup(corpus, tau=semdedup_tau)
+    sem_out = S.semantic_dedup(
+        corpus, centroid_every=S.SEMDEDUP_CENTROID_EVERY, tau=semdedup_tau
+    )
     sem_found = sem_out.filter(~F.col("kept")).select(
         F.col("vec_id").alias("id_b")
     )

@@ -451,7 +451,7 @@ def ivf_assign(
 def ivf_ann_neighbors(
     queries: DataFrame,
     candidates: DataFrame,
-    centroid_every: int = 100,
+    centroid_every="auto",
     nprobe: int = 2,
     top_k: int = 5,
     id_col: str = "vec_id",
@@ -466,8 +466,17 @@ def ivf_ann_neighbors(
     Scale shape: candidate generation is an equi-join on cell_id — the
     probed fraction ~ nprobe/K of the corpus per query — never a full
     cross join; cells are data-partitioned, queries broadcast.
+    ``centroid_every`` defaults to "auto" (r6): stride = max(100,
+    sqrt(N)) via auto_centroid_stride, the K ~ sqrt(N) IVF sizing rule
+    that keeps the N*K assignment stage O(N^1.5) and shrinks the probed
+    fraction as the corpus grows; the registered query pins 100 for
+    hash-stable oracle replay (identical below the N = 10^4 crossover).
     """
     from pyspark.sql import Window
+
+    centroid_every = resolve_centroid_stride(
+        candidates, centroid_every, 1, id_col
+    )
 
     centroids = candidates.filter(F.col(id_col) % centroid_every == 0)
     cells = ivf_assign(candidates, centroids, id_col=id_col, vec_col=vec_col)
@@ -989,7 +998,7 @@ SEMDEDUP_CENTROID_EVERY = 100
 
 def semantic_dedup(
     vectors: DataFrame,
-    centroid_every: int = SEMDEDUP_CENTROID_EVERY,
+    centroid_every="auto",
     tau: float = SEMDEDUP_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1011,7 +1020,18 @@ def semantic_dedup(
 
     Output: one row per input vector — (vec_id, cell_id, kept,
     dup_of) with ``dup_of`` the smallest offending lower id (NULL for
-    kept vectors)."""
+    kept vectors).
+
+    ``centroid_every`` defaults to "auto" (r6): stride = max(100,
+    sqrt(N)) via auto_centroid_stride. Both of semdedup's stride-bound
+    stages improve past the crossover: assignment N*K stays O(N^1.5)
+    and the within-cell pair stage is ~N * stride = O(N^1.5) too (a
+    fixed stride keeps pairs linear but assignment quadratic). The
+    registered query and the dedup eval harness pin
+    SEMDEDUP_CENTROID_EVERY for hash-stable replay."""
+    centroid_every = resolve_centroid_stride(
+        vectors, centroid_every, 1, id_col
+    )
     centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
     if centroids.isEmpty():
         # a silent empty result would read as 'everything pruned'; the

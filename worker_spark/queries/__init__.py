@@ -67,7 +67,8 @@ _DRIVER_WINDOW = [
     # now that the coarse-quantizer knob defaults to "auto" (the
     # K ~ sqrt(N) rule extended from the graph build to the IVF-PQ
     # family after the probe measured ~54x wall at 10x volume on the
-    # pinned stride).
+    # pinned stride — similarity_ivf_ann and semdedup_prune join for the
+    # same auto-stride extension to ivf_ann_neighbors / semantic_dedup.
     "doc_hybrid_rrf_topk",
     "doc_bm25_topk",
     "similarity_binary_topk",
@@ -76,6 +77,7 @@ _DRIVER_WINDOW = [
     "graph_nn_descent_stats",
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_refined_topk",
+    "similarity_ivf_ann",
     # (b) The FULL 33-entry r3-stale backlog (VERDICT item 1: last
     # driver green is round 3; new additions were frozen this round so
     # none of these lose a slot). Shared-core-refactor-touched
@@ -126,14 +128,15 @@ _DRIVER_WINDOW = [
     "streaming_hll_window_users",
     "bloom_incremental_dedup",
     "contrastive_hard_negatives",
-    "crawl_frontier_schedule",
-    # (streaming_cms_window_users / doc_mixture_interleave /
+    # (crawl_frontier_schedule also yields its slot to similarity_ivf_ann;
+    # streaming_cms_window_users / doc_mixture_interleave /
     # doc_mixture_weights yield their fill slots to doc_bm25_topk and
     # the IVF-PQ pair above: changed queries outrank r4-green fills)
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # remaining r4-green block (driver row r4, unchanged since)
+    "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",
     "doc_mixture_weights",
@@ -210,7 +213,6 @@ _DRIVER_WINDOW = [
     "outbox_drain_cap",
     "global_cursors",
     "doc_quota_sample",
-    "similarity_ivf_ann",
     "bpe_train_merges",
     "bpe_encode_stats",
 ]

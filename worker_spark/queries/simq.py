@@ -538,7 +538,8 @@ def _cos_sql(x: str, y: str) -> str:
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb)
+    # stride pinned: data-independent cell structure for the oracle
+    return S.semantic_dedup(emb, centroid_every=S.SEMDEDUP_CENTROID_EVERY)
 
 
 @register(
