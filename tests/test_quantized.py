@@ -202,3 +202,15 @@ def test_ivfpq_auto_stride_matches_pinned_in_floor_regime(spark):
         ).collect()
     )
     assert sa == sp
+    # codebook budget knob (PQ family): floored below N = 256*50, capped
+    # at 256 codewords beyond — and auto == pinned at this corpus size
+    assert S.auto_codebook_stride(500) == 50
+    assert S.auto_codebook_stride(12_800) == 50
+    assert S.auto_codebook_stride(1_000_000) == 3907
+    assert 1_000_000 // S.auto_codebook_stride(1_000_000) <= 256
+    ca = sorted(tuple(r) for r in S.pq_adc_topk(emb, k=5).collect())
+    cp = sorted(
+        tuple(r)
+        for r in S.pq_adc_topk(emb, k=5, codebook_stride=50).collect()
+    )
+    assert ca == cp

@@ -322,7 +322,7 @@ def probes(docs, events, emb, fixed_batch):
             # mean/residual/code stages are linear
             "ivfpq_residual_topk",
             lambda: SIM.ivfpq_residual_topk(
-                emb, k=10, centroid_every=100
+                emb, k=10, centroid_every=100, codebook_stride=50
             ).count(),
         ),
         (
@@ -332,6 +332,20 @@ def probes(docs, events, emb, fixed_batch):
             # O(N^1.5) assignment beyond it (NOTES.md pair-volume table)
             "ivfpq_residual_topk_auto",
             lambda: SIM.ivfpq_residual_topk(emb, k=10).count(),
+        ),
+        (
+            # FIXED query COUNT (r6): the two rows above grow nq with the
+            # corpus (query_stride is a fixed divisor), so their growth
+            # mixes per-query cost with query-batch size — this row holds
+            # nq ~ 20 by scaling query_stride with N, isolating what a
+            # production deployment pays per fixed query batch as the
+            # corpus grows (the honest per-query scale number; the
+            # remaining growth is the N/codebook_stride medoid codebook)
+            "ivfpq_residual_fixed_nq",
+            lambda: SIM.ivfpq_residual_topk(
+                emb, k=10, centroid_every=100, codebook_stride=50,
+                query_stride=max(100, (emb.count() // 20) // 100 * 100),
+            ).count(),
         ),
     ]
 

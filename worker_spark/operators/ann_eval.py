@@ -265,7 +265,9 @@ def evaluate_ann(
 
     # PQ family (queries are vec_id % query_stride inside the operators)
     t0 = time.perf_counter()
-    adc = S.pq_adc_topk(emb, k=k, query_stride=query_stride)
+    adc = S.pq_adc_topk(
+        emb, k=k, query_stride=query_stride, codebook_stride=50
+    )
     adc.collect()
     record("pq_adc", "l2", adc, truth_l2, denom, 0, time.perf_counter() - t0)
 
@@ -274,7 +276,8 @@ def evaluate_ann(
     for sl in (pq_shortlist, 2 * pq_shortlist):
         t0 = time.perf_counter()
         ref = S.pq_adc_refined_topk(
-            emb, k=k, shortlist=sl, query_stride=query_stride
+            emb, k=k, shortlist=sl, query_stride=query_stride,
+            codebook_stride=50,
         )
         ref.collect()
         record(f"pq_adc_refined_{sl}", "l2", ref, truth_l2, denom, nq * sl,
@@ -286,7 +289,8 @@ def evaluate_ann(
     # the operator's probe + membership join (ivfpq_residual_topk).
     t0 = time.perf_counter()
     ivfpq = S.ivfpq_residual_topk(
-        emb, k=k, query_stride=query_stride, centroid_every=100
+        emb, k=k, query_stride=query_stride, centroid_every=100,
+        codebook_stride=50,
     )
     ivfpq.collect()
     ivfpq_secs = time.perf_counter() - t0
@@ -340,19 +344,23 @@ def evaluate_ann(
     t0 = time.perf_counter()
     ivfpq_ref = S.ivfpq_residual_refined_topk(
         emb, k=k, shortlist=pq_shortlist, query_stride=query_stride,
-        centroid_every=100,
+        centroid_every=100, codebook_stride=50,
     )
     ivfpq_ref.collect()
     record(f"ivfpq_refined_{pq_shortlist}", "l2", ivfpq_ref, truth_l2,
            ivfpq_cand, nq * pq_shortlist, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    pqk = S.pq_kmeans_topk(emb, k=k, query_stride=query_stride)
+    pqk = S.pq_kmeans_topk(
+        emb, k=k, query_stride=query_stride, codebook_stride=50
+    )
     pqk.collect()
     record("pq_kmeans", "l2", pqk, truth_l2, denom, 0, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    opq = S.opq_pq_kmeans_topk(emb, k=k, query_stride=query_stride)
+    opq = S.opq_pq_kmeans_topk(
+        emb, k=k, query_stride=query_stride, codebook_stride=50
+    )
     opq.collect()
     record("opq_kmeans", "l2", opq, truth_l2, denom, 0, time.perf_counter() - t0)
 

@@ -137,6 +137,40 @@ def resolve_centroid_stride(
     return int(centroid_every)
 
 
+PQ_CODEBOOK_BUDGET = 256  # codewords per subspace (8-bit codes, FAISS norm)
+
+
+def auto_codebook_stride(
+    n: int,
+    budget: int = PQ_CODEBOOK_BUDGET,
+    min_stride: int = 50,
+) -> int:
+    """Fixed codeword BUDGET, not a fixed divisor (r6): a fixed
+    ``codebook_stride`` makes the per-subspace codebook N/stride
+    codewords, so code/residual ASSIGNMENT — every vector scored against
+    every codeword — is N^2/stride pair scorings, the PQ family's
+    heaviest structural term (measured ~35x wall at 10x volume even with
+    a FIXED query batch; tools/scaling_probe.py). Capping codewords at
+    ``budget`` (256 = 8-bit codes, the FAISS norm) makes encoding
+    N * budget, i.e. corpus-linear. ``min_stride`` keeps small-N
+    behavior identical to the pinned registered queries — the crossover
+    is N = budget * min_stride (12,800 at defaults)."""
+    import math
+
+    return max(min_stride, math.ceil(max(1, n) / budget))
+
+
+def resolve_codebook_stride(
+    vectors: DataFrame, codebook_stride, id_col: str
+) -> int:
+    """"auto" -> auto_codebook_stride from one corpus count; ints pass
+    through (the registered oracle queries pin 50 — data-independent
+    codebooks for hash-stable replay)."""
+    if codebook_stride == "auto":
+        return auto_codebook_stride(vectors.select(id_col).count())
+    return int(codebook_stride)
+
+
 def cosine_neighbors(
     queries: DataFrame,
     candidates: DataFrame,
@@ -669,7 +703,7 @@ def _sub_l2(a: Column, b: Column) -> Column:
 def pq_adc_topk(
     vectors: DataFrame,
     k: int = 10,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -681,6 +715,9 @@ def pq_adc_topk(
     as the only real shuffle."""
     from pyspark.sql import Window
 
+    codebook_stride = resolve_codebook_stride(
+        vectors, codebook_stride, id_col
+    )
     cents = vectors.filter(F.col(id_col) % codebook_stride == 0)
     vsub = _pq_subspaces(vectors, "vid", id_col, vec_col)
     csub = _pq_subspaces(cents, "cent_id", id_col, vec_col)
@@ -735,7 +772,7 @@ def pq_adc_refined_topk(
     vectors: DataFrame,
     k: int = 10,
     shortlist: int = 100,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -829,7 +866,7 @@ def _sq_dist(a_prefix: str, b_prefix: str) -> Column:
 def pq_kmeans_topk(
     vectors: DataFrame,
     k: int = 10,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     iters: int = PQ_KMEANS_ITERS,
     id_col: str = "vec_id",
@@ -842,6 +879,9 @@ def pq_kmeans_topk(
     members simply drop (same rule both engines)."""
     from pyspark.sql import Window
 
+    codebook_stride = resolve_codebook_stride(
+        vectors, codebook_stride, id_col
+    )
     sub = _pq_subcols(vectors, "vid", id_col, vec_col)
     sub = sub.cache()
     sub.count()  # materialize: feeds every round plus encoding and queries
@@ -961,7 +1001,7 @@ def opq_dim_groups(
 def opq_pq_kmeans_topk(
     vectors: DataFrame,
     k: int = 10,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1450,7 +1490,7 @@ def ivfpq_residual_topk(
     k: int = 10,
     centroid_every="auto",
     nprobe: int = 2,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1500,6 +1540,9 @@ def ivfpq_residual_topk(
 
     centroid_every = resolve_centroid_stride(
         vectors, centroid_every, 1, id_col
+    )
+    codebook_stride = resolve_codebook_stride(
+        vectors, codebook_stride, id_col
     )
     cents = vectors.filter(F.col(id_col) % centroid_every == 0)
     cvecs = cents.select(
@@ -1661,7 +1704,7 @@ def ivfpq_residual_refined_topk(
     shortlist: int = 100,
     centroid_every="auto",
     nprobe: int = 2,
-    codebook_stride: int = 50,
+    codebook_stride="auto",
     query_stride: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

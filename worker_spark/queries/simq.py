@@ -327,7 +327,9 @@ def _pq_refined_oracle() -> str:
 )
 def q_similarity_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_adc_refined_topk(emb, k=10, shortlist=100)
+    return S.pq_adc_refined_topk(
+        emb, k=10, shortlist=100, codebook_stride=50
+    )
 
 
 def _pq_kmeans_oracle(
@@ -419,7 +421,7 @@ def _pq_kmeans_oracle(
 )
 def q_similarity_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_kmeans_topk(emb, k=10)
+    return S.pq_kmeans_topk(emb, k=10, codebook_stride=50)
 
 
 def _opq_sub_prelude() -> str:
@@ -484,7 +486,7 @@ def _opq_sub_prelude() -> str:
 )
 def q_similarity_opq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.opq_pq_kmeans_topk(emb, k=10)
+    return S.opq_pq_kmeans_topk(emb, k=10, codebook_stride=50)
 
 
 def _cos_sql(x: str, y: str) -> str:
@@ -1207,7 +1209,9 @@ def q_similarity_ivfpq_residual_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     # stride pinned (not "auto"): the oracle's cell structure must be a
     # data-independent function of vec_id for hash-stable replay
-    return S.ivfpq_residual_topk(emb, k=10, centroid_every=100)
+    return S.ivfpq_residual_topk(
+        emb, k=10, centroid_every=100, codebook_stride=50
+    )
 
 
 def _ivfpq_refined_oracle() -> str:
@@ -1253,5 +1257,5 @@ def q_similarity_ivfpq_refined_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     # stride pinned for the same reason as the residual query above
     return S.ivfpq_residual_refined_topk(
-        emb, k=10, shortlist=100, centroid_every=100
+        emb, k=10, shortlist=100, centroid_every=100, codebook_stride=50
     )
