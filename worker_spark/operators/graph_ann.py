@@ -58,7 +58,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from worker_spark.operators.similarity import _dot, _norm
+from worker_spark.operators.similarity import (
+    _dot,
+    _norm,
+    resolve_centroid_stride,
+)
 
 GRAPH_DEGREE = 6  # kept out-neighbors per node (pre reverse-union)
 GRAPH_BEAM = 8  # expanded nodes per query per hop
@@ -98,18 +102,6 @@ def auto_centroid_every(
     from worker_spark.operators.similarity import auto_centroid_stride
 
     return auto_centroid_stride(n, n_assign, min_stride)
-
-
-def _resolve_centroid_every(
-    vectors: DataFrame, centroid_every, n_assign: int, id_col: str
-) -> int:
-    """graph-side resolver: "auto" -> auto_centroid_every from one
-    corpus count; int passes through (pinned oracle queries)."""
-    if centroid_every == "auto":
-        return auto_centroid_every(
-            vectors.select(id_col).count(), n_assign
-        )
-    return int(centroid_every)
 
 
 def _cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str):
@@ -181,7 +173,7 @@ def knn_graph_edges(
     the exponent). Pass an int to pin a data-independent cell structure
     (the registered queries pin 100 so their oracle replay is
     hash-stable)."""
-    centroid_every = _resolve_centroid_every(
+    centroid_every = resolve_centroid_stride(
         vectors, centroid_every, n_assign, id_col
     )
     centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
@@ -347,7 +339,7 @@ def graph_ann_topk(
     agree (silently diverging centroid sets was a review finding);
     remaining ``search_kwargs`` (beam, hops, entry_probes) go to the
     search."""
-    centroid_every = _resolve_centroid_every(
+    centroid_every = resolve_centroid_stride(
         vectors, centroid_every, n_assign, id_col
     )
     queries = vectors.filter(F.col(id_col) % query_stride == 0)

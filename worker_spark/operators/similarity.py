@@ -125,15 +125,20 @@ def auto_centroid_stride(
 
 
 def resolve_centroid_stride(
-    vectors: DataFrame, centroid_every, n_assign: int, id_col: str
+    vectors: DataFrame, centroid_every, n_assign: int, id_col: str,
+    n: int | None = None,
 ) -> int:
     """Resolve a ``centroid_every`` knob: the literal string "auto"
     derives the stride from one corpus count (a slim single-column
     job); an int passes through. Callers needing a DATA-INDEPENDENT
     cell structure (the registered oracle queries pin stride 100 for
-    hash-stable replay) pass the int explicitly."""
+    hash-stable replay) pass the int explicitly. ``n`` lets a caller
+    resolving several auto knobs share ONE corpus count instead of
+    re-running the count job per resolver."""
     if centroid_every == "auto":
-        return auto_centroid_stride(vectors.select(id_col).count(), n_assign)
+        if n is None:
+            n = vectors.select(id_col).count()
+        return auto_centroid_stride(n, n_assign)
     return int(centroid_every)
 
 
@@ -161,13 +166,16 @@ def auto_codebook_stride(
 
 
 def resolve_codebook_stride(
-    vectors: DataFrame, codebook_stride, id_col: str
+    vectors: DataFrame, codebook_stride, id_col: str, n: int | None = None
 ) -> int:
     """"auto" -> auto_codebook_stride from one corpus count; ints pass
     through (the registered oracle queries pin 50 — data-independent
-    codebooks for hash-stable replay)."""
+    codebooks for hash-stable replay). ``n``: see
+    resolve_centroid_stride — share one count across resolvers."""
     if codebook_stride == "auto":
-        return auto_codebook_stride(vectors.select(id_col).count())
+        if n is None:
+            n = vectors.select(id_col).count()
+        return auto_codebook_stride(n)
     return int(codebook_stride)
 
 
@@ -1538,11 +1546,18 @@ def ivfpq_residual_topk(
     """
     from pyspark.sql import Window
 
+    # one shared corpus count when BOTH knobs are "auto" (review
+    # finding: two identical count jobs per call otherwise)
+    n_corpus = (
+        vectors.select(id_col).count()
+        if centroid_every == "auto" or codebook_stride == "auto"
+        else None
+    )
     centroid_every = resolve_centroid_stride(
-        vectors, centroid_every, 1, id_col
+        vectors, centroid_every, 1, id_col, n=n_corpus
     )
     codebook_stride = resolve_codebook_stride(
-        vectors, codebook_stride, id_col
+        vectors, codebook_stride, id_col, n=n_corpus
     )
     cents = vectors.filter(F.col(id_col) % centroid_every == 0)
     cvecs = cents.select(
