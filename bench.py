@@ -88,6 +88,10 @@ HEADLINE = [
     "doc_bm25_topk",
     "doc_hybrid_rrf_topk",
     "similarity_ivfpq_refined_topk",
+    # round-6 late additions (streamed incremental index + windowed
+    # top-k serving topology) — no prior anchor; they join in r7
+    "streaming_index_bm25",
+    "streaming_topk_window",
 ]
 
 

@@ -469,3 +469,25 @@ def test_zorder_stats_is_single_bounded_aggregation(spark):
     plan = _physical(_SPECS["events_zorder_layout"].run(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # map-side combine on the bucket agg
+
+
+def test_incremental_index_scores_from_state_not_corpus(spark, tmp_path):
+    # the maintained-index scorer's whole point: BM25 over postings+
+    # doclen STATE, never a documents re-scan. The scoring plan must
+    # read only the state store's parquet and must broadcast the
+    # two-row stats side rather than shuffling the postings for it.
+    from pyspark.sql import functions as F
+
+    from worker_spark.streaming.retrieval_index import (
+        IncrementalRetrievalIndex,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))
+    idx.apply_batch(docs.filter(F.col("doc_id") < 100))
+    plan = _physical(idx.bm25_topk(["hash join"], k=5))
+    assert "documents.parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+    # rank-limit pushdown on the top-k window
+    assert "WindowGroupLimit" in plan

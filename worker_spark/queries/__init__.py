@@ -78,6 +78,16 @@ _DRIVER_WINDOW = [
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_refined_topk",
     "similarity_ivf_ann",
+    # (a') NEW this round — new queries always enter the window
+    # immediately: the incremental retrieval index registered as a
+    # FULL-oracle driver surface (its post-stream state provably equals
+    # the batch build, so the batch BM25 oracle applies — stronger than
+    # the rows-only check NOTES item 4 anticipated), and the windowed
+    # streaming-pre-agg + batch-rank top-k serving topology. They take
+    # the two BOTTOM r4-green fill slots (bloom_incremental_dedup,
+    # contrastive_hard_negatives), never backlog slots.
+    "streaming_index_bm25",
+    "streaming_topk_window",
     # (b) The FULL 33-entry r3-stale backlog (VERDICT item 1: last
     # driver green is round 3; new additions were frozen this round so
     # none of these lose a slot). Shared-core-refactor-touched
@@ -126,8 +136,6 @@ _DRIVER_WINDOW = [
     "bloom_membership_audit",
     "semdedup_prune",
     "streaming_hll_window_users",
-    "bloom_incremental_dedup",
-    "contrastive_hard_negatives",
     # (crawl_frontier_schedule also yields its slot to similarity_ivf_ann;
     # streaming_cms_window_users / doc_mixture_interleave /
     # doc_mixture_weights yield their fill slots to doc_bm25_topk and
@@ -136,6 +144,8 @@ _DRIVER_WINDOW = [
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # remaining r4-green block (driver row r4, unchanged since)
+    "bloom_incremental_dedup",
+    "contrastive_hard_negatives",
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",

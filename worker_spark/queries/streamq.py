@@ -652,3 +652,177 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_topk_window",
+    """
+    SELECT window_start, user_id, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                  ORDER BY count(*) DESC, user_id ASC)
+                   AS rnk
+        FROM events
+        GROUP BY date_trunc('minute', ts), user_id
+    ) WHERE rnk <= 3
+    """,
+    doc="Windowed top-k actors: the streaming-pre-aggregation + "
+    "batch-rank serving-layer topology. The STREAM holds only the "
+    "streaming-combinable state (per 1-minute tumbling window x user "
+    "counts under a watermark — SUMs, mergeable across micro-batches "
+    "and executors); the top-3-per-window rank runs as a batch pass "
+    "over the drained, already-aggregated frame, where the shuffle "
+    "carries one row per (window, active user), never per event. "
+    "Ranking is deliberately NOT in the stream: row_number is not "
+    "streaming-combinable, and pushing it there would force "
+    "per-window full sorts on every trigger. Deterministic tie-break "
+    "(count DESC, user_id ASC) keeps the result hash-stable.",
+)
+def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_topk_window: availableNow drain exceeded 300s"
+            )
+        drained = spark.table(sink).select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "n_events",
+        )
+        wk = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+        result = (
+            drained.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                "window_start",
+                "user_id",
+                "n_events",
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _index_bm25_oracle() -> str:
+    # The post-stream state is EXACTLY the batch-built index (the
+    # convergence contract pinned by tests/test_incremental_retrieval),
+    # so the natural "single-SQL oracle for a multi-batch MERGE" is the
+    # batch BM25 oracle itself: same corpus, same formula, same
+    # rounding, same tie-breaks. The stale-then-corrected update in the
+    # feed below converges to the canonical text, so the oracle needs
+    # no knowledge of the intermediate versions.
+    from worker_spark.queries.retrievalq import _bm25_oracle
+
+    return _bm25_oracle()
+
+
+@register(
+    "streaming_index_bm25",
+    _index_bm25_oracle(),
+    doc="Incrementally-maintained retrieval index driven end-to-end "
+    "through Structured Streaming (VERDICT r5 item 8 / NOTES r6 item "
+    "4): document batches arrive as files (maxFilesPerTrigger=1, "
+    "availableNow), a foreachBatch MERGE keeps postings+doclen state "
+    "current — including an UPDATE batch whose corrected text replaces "
+    "a stale draft via delete-then-insert (S8 link-replace) — and BM25 "
+    "is scored from the MAINTAINED statistics, no corpus re-scan. "
+    "Hash-checked against the batch BM25 oracle: the streamed index "
+    "must converge to the batch build exactly, which also proves the "
+    "update path replaced every stale posting.",
+)
+def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    from worker_spark.queries.retrievalq import _BM25_QUERIES
+    from worker_spark.streaming.retrieval_index import (
+        IncrementalRetrievalIndex,
+        index_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the even
+    # documents but only a stale 40-char draft for doc_id%10==0; batch 1
+    # the odd documents; batch 2 the corrected full rows for the drafted
+    # ids. Final state == the canonical corpus iff the MERGE's
+    # delete-then-insert replace works, which the batch oracle checks.
+    stale = F.col("doc_id") % 10 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale)
+    feed = tempfile.mkdtemp(prefix="idx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="idx_ckpt_")
+    state = tempfile.mkdtemp(prefix="idx_state_")
+    try:
+        now = time.time()
+        for i, batch in enumerate((b0, b1, b2)):
+            part_dir = os.path.join(feed, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            # the file source orders micro-batches by modification time;
+            # pin an unambiguous 60s spacing so the update batch always
+            # lands AFTER its stale draft
+            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        idx = IncrementalRetrievalIndex(spark, state)
+        q = index_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_index_bm25: availableNow drain exceeded 300s"
+            )
+        return idx.bm25_topk(list(_BM25_QUERIES), k=10).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
