@@ -129,6 +129,163 @@ def test_bm25_formula_has_one_definition():
     )[0]
 
 
+def _bucket_snapshot(table_dir):
+    """bucket dir -> sorted (file, size) list: the 'bytes rewritten'
+    witness — a bucket whose snapshot is unchanged was never rewritten
+    (part-file names are generation-unique, so any rewrite changes it)."""
+    out = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for name in os.listdir(table_dir):
+        p = os.path.join(table_dir, name)
+        if name.startswith("b") and "." not in name and os.path.isdir(p):
+            out[name] = sorted(
+                (f, os.path.getsize(os.path.join(p, f)))
+                for f in os.listdir(p)
+            )
+    return out
+
+
+def _changed(before, after):
+    return {
+        b
+        for b in set(before) | set(after)
+        if before.get(b) != after.get(b)
+    }
+
+
+def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The VERDICT r6/r7 scale fix: a small batch's state rewrite is
+    bounded by its TOUCHED buckets (old-manifest ∪ new-term buckets for
+    postings, the doc's own bucket for doclen) — never the full state.
+    Unique per-doc terms spread the corpus across all postings buckets,
+    so an O(state) rewrite would change every bucket and fail here."""
+    from worker_spark.streaming.retrieval_index import (
+        DOCLEN_SCHEMA,
+        POSTINGS_SCHEMA,
+    )
+
+    root = str(tmp_path / "state")
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(240)],
+        "doc_id long, text string",
+    )
+    idx = IncrementalRetrievalIndex(spark, root)
+    idx.apply_batch(corpus)
+    p_dir = os.path.join(root, idx.POSTINGS)
+    d_dir = os.path.join(root, idx.DOCLEN)
+    p_before, d_before = _bucket_snapshot(p_dir), _bucket_snapshot(d_dir)
+    assert len(p_before) == idx.store.n_buckets  # corpus fills all buckets
+
+    victim = 7
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(victim, "zznew1 zznew2")], "doc_id long, text string"
+        )
+    )
+    p_changed = _changed(p_before, _bucket_snapshot(p_dir))
+    d_changed = _changed(d_before, _bucket_snapshot(d_dir))
+
+    # expected touched sets, through the ONE shared bucket expression
+    terms = [f"w{victim}a", f"w{victim}b", f"w{victim}c", "zznew1", "zznew2"]
+    exp_p = {
+        f"b{b:05d}"
+        for b in idx.store.touched_buckets(
+            spark.createDataFrame([(t,) for t in terms], "term string"),
+            "term",
+        )
+    }
+    exp_d = {
+        f"b{b:05d}"
+        for b in idx.store.touched_buckets(
+            spark.createDataFrame([(victim,)], "doc_id long"), "doc_id"
+        )
+    }
+    assert p_changed == exp_p
+    assert d_changed == exp_d
+    assert len(p_changed) < idx.store.n_buckets  # strictly bounded
+    # and the stale-term hole the manifest exists to close: the dropped
+    # w7* terms are gone even though their buckets are not in the NEW
+    # batch's term set
+    left = {
+        r["term"]
+        for r in idx.postings().filter(F.col("doc_id") == victim).collect()
+    }
+    assert left == {"zznew1", "zznew2"}
+
+    # deleting the doc outright (empty text) still touches only its
+    # manifest buckets, and an emptied bucket stays a readable empty dir
+    p_before2 = _bucket_snapshot(p_dir)
+    idx.apply_batch(
+        spark.createDataFrame([(victim, "")], "doc_id long, text string")
+    )
+    p_changed2 = _changed(p_before2, _bucket_snapshot(p_dir))
+    exp_p2 = {
+        f"b{b:05d}"
+        for b in idx.store.touched_buckets(
+            spark.createDataFrame(
+                [("zznew1",), ("zznew2",)], "term string"
+            ),
+            "term",
+        )
+    }
+    assert p_changed2 == exp_p2
+    assert idx.postings().filter(F.col("doc_id") == victim).count() == 0
+    # state stays schema-readable across every bucket after the delete
+    assert idx.store.read(idx.POSTINGS, POSTINGS_SCHEMA).count() == 239 * 3
+    assert idx.store.read(idx.DOCLEN, DOCLEN_SCHEMA).count() == 239
+
+
+def test_bucketed_store_upsert_and_recovery(spark, tmp_path):
+    """Generic BucketedParquetStateStore contract: S7 upsert touches
+    only update-key buckets; a torn per-bucket swap (.old- left, final
+    missing) heals on the next read; n_buckets is pinned per root."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "bs")
+    store = BucketedParquetStateStore(spark, root, n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], schema
+    )
+    store.upsert("t", base, ["k"], schema)
+    before = _bucket_snapshot(os.path.join(root, "t"))
+    assert len(before) == 8
+
+    upd = spark.createDataFrame([(3, "v3new"), (64, "v64")], schema)
+    store.upsert("t", upd, ["k"], schema)
+    after = _bucket_snapshot(os.path.join(root, "t"))
+    assert _changed(before, after) == {
+        f"b{b:05d}" for b in store.touched_buckets(upd, "k")
+    }
+    got = {r["k"]: r["v"] for r in store.read("t", schema).collect()}
+    assert got[3] == "v3new" and got[64] == "v64" and len(got) == 65
+
+    # torn swap: final renamed away to .old- (crash between renames)
+    tdir = os.path.join(root, "t")
+    victim_bucket = sorted(before)[0]
+    os.rename(
+        os.path.join(tdir, victim_bucket),
+        os.path.join(tdir, f"{victim_bucket}.old-deadbeef"),
+    )
+    healed = {r["k"]: r["v"] for r in store.read("t", schema).collect()}
+    assert healed == got  # recovery restored the displaced bucket
+
+    # a second session on the same root adopts the pinned bucket count
+    again = BucketedParquetStateStore(spark, root, n_buckets=32)
+    assert again.n_buckets == 8
+    shutil.rmtree(root)
+
+
 @pytest.mark.parametrize("min_df", [1, 3])
 def test_posting_lists_min_df_matches_batch(spark, tmp_path, min_df):
     docs = _docs(spark).limit(250).localCheckpoint(eager=True)

@@ -1,0 +1,254 @@
+"""Hash-bucketed parquet state: per-batch MERGEs rewrite only touched
+buckets.
+
+``ParquetStateStore`` (plans/state.py) swaps a table's WHOLE directory
+per write — correct and crash-safe, but O(state) write bytes per batch:
+at 100 TB a micro-batch MERGE into a large postings table would rewrite
+the full table every trigger, a structural scale defect for any
+frequently-maintained state. This store fixes the write amplification in
+plain parquet, no transactional table format needed: a table is
+``n_buckets`` fixed sibling directories (``b00000``..), every row lives
+in the bucket of its BUCKET KEY (``pmod(xxhash64(key), n_buckets)``),
+and a MERGE reads and rewrites ONLY the buckets its batch touches —
+O(batch + touched buckets) I/O; untouched buckets' files are never
+opened, listed into a job, or rewritten (asserted by
+tests/test_incremental_retrieval.py over before/after file snapshots).
+
+Reference semantics carried over: S8 delete-then-insert link replace
+(src/storage.rs:150-167) and S7 upsert (src/storage.rs:118-245), scoped
+to buckets. At cluster scale the layout maps 1:1 onto a Delta/Iceberg
+table bucketed by the same key, with MERGE INTO + dynamic file pruning
+replacing the directory swaps; the API is deliberately the same shape
+as ParquetStateStore so the backend can be swapped without touching
+consumers.
+
+Crash safety is per-bucket: each bucket directory swaps through the same
+``.tmp-*`` / ``.old-*`` rename discipline as ParquetStateStore (recovery
+heals a mid-swap crash; a bucket emptied by a MERGE becomes an empty
+directory rather than a removed one, so "missing + .old present" always
+means a torn swap, never a legitimate delete). A crash BETWEEN bucket
+swaps of one batch leaves the batch partially applied, which the
+at-least-once + idempotent-apply contract (plans/state.py module
+docstring) already covers: replaying the same batch re-applies the same
+per-bucket MERGEs, each of which is idempotent.
+
+Control plane: the touched-bucket id set is collect()ed to the driver to
+drive the directory swaps — bounded by ``n_buckets`` (a fixed small
+constant), never by data volume. ``n_buckets`` is pinned in a meta file
+on first write so every later session buckets rows identically.
+
+Single-writer assumption (same as ParquetStateStore): one maintenance
+process per state root; readers are safe concurrently with recovery but
+not with an in-flight swap of the bucket they read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from worker_spark.plans.state import _merge_latest
+
+DEFAULT_N_BUCKETS = 16
+_META = "_n_buckets"
+
+
+class BucketedParquetStateStore:
+    """Directory-of-buckets parquet state with touched-bucket-only
+    copy-on-write MERGEs (the scale-safe sibling of ParquetStateStore).
+
+    CAUTION (inherited): a bucket swap invalidates lazy DataFrames
+    derived from the pre-swap files of that bucket — re-read after a
+    write, or localCheckpoint(eager=True) inputs that must survive it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = DEFAULT_N_BUCKETS,
+    ):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        meta = os.path.join(root, _META)
+        if os.path.exists(meta):
+            with open(meta) as f:
+                pinned = int(f.read().strip())
+            # the stored layout wins: rows were bucketed with it
+            n_buckets = pinned
+        else:
+            with open(meta, "w") as f:
+                f.write(str(n_buckets))
+        self.n_buckets = n_buckets
+
+    # --- bucket arithmetic ------------------------------------------------
+
+    def bucket_of(self, *cols: Column | str) -> Column:
+        """The ONE bucket assignment expression (write path, read-side
+        pruning and tests all share it): pmod(xxhash64(keys), n)."""
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
+
+    def touched_buckets(self, df: DataFrame, *cols: Column | str) -> list[int]:
+        """Distinct bucket ids present in df's key column(s) — a driver
+        collect bounded by n_buckets."""
+        rows = df.select(self.bucket_of(*cols).alias("b")).distinct().collect()
+        return sorted(r["b"] for r in rows)
+
+    # --- layout -----------------------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    @staticmethod
+    def _bucket_name(b: int) -> str:
+        return f"b{b:05d}"
+
+    def _recover(self, table: str) -> None:
+        """Heal torn per-bucket swaps (the ParquetStateStore._recover
+        logic applied per bucket) and sweep orphaned staging dirs."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return
+        names = os.listdir(tdir)
+        bases = {n.split(".")[0] for n in names if n.startswith("b")}
+        for base in bases:
+            olds = sorted(n for n in names if n.startswith(f"{base}.old-"))
+            tmps = [n for n in names if n.startswith(f"{base}.tmp-")]
+            final = os.path.join(tdir, base)
+            if not os.path.exists(final) and olds:
+                os.rename(os.path.join(tdir, olds[0]), final)
+                olds = olds[1:]
+            if os.path.exists(final):
+                for n in olds + tmps:
+                    shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+        for n in names:
+            if n.startswith(".stage-"):
+                shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+
+    def bucket_paths(
+        self, table: str, buckets: list[int] | None = None
+    ) -> list[str]:
+        """Existing bucket directories (optionally restricted) — the
+        read-side file pruning: a caller that knows its key set reads
+        only those buckets' files."""
+        tdir = self._table_dir(table)
+        ids = range(self.n_buckets) if buckets is None else buckets
+        return [
+            p
+            for b in ids
+            if os.path.isdir(p := os.path.join(tdir, self._bucket_name(b)))
+        ]
+
+    # --- read -------------------------------------------------------------
+
+    def read(
+        self,
+        table: str,
+        schema: T.StructType,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        self._recover(table)
+        paths = self.bucket_paths(table, buckets)
+        if not paths:
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # --- write ------------------------------------------------------------
+
+    def _write_buckets(
+        self,
+        table: str,
+        merged: DataFrame,
+        bucket_cols: list[str],
+        touched: list[int],
+    ) -> None:
+        """One staging job writes the merged rows partitioned by bucket,
+        then each TOUCHED bucket dir is atomically swapped in (a touched
+        bucket the merge emptied becomes an empty dir). Untouched bucket
+        directories are never renamed or rewritten."""
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        stage = os.path.join(tdir, f".stage-{uuid.uuid4().hex[:8]}")
+        (
+            merged.withColumn("_b", self.bucket_of(*bucket_cols))
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for b in touched:
+            src = os.path.join(stage, f"_b={b}")
+            final = os.path.join(tdir, self._bucket_name(b))
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(src):
+                os.rename(src, tmp)
+            else:
+                os.makedirs(tmp)  # merge emptied this bucket
+            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def delete_then_insert(
+        self,
+        table: str,
+        delete_keys: DataFrame,
+        inserts: DataFrame,
+        schema: T.StructType,
+        *,
+        bucket_col: str,
+        delete_on: str | None = None,
+        touched: list[int] | None = None,
+    ) -> None:
+        """S8 link-replace scoped to buckets: remove every row whose
+        ``delete_on`` key appears in ``delete_keys``, then insert
+        ``inserts``. When ``delete_on`` is the bucket key, the touched
+        set is derived here; when it is a DIFFERENT column (postings are
+        bucketed by term but replaced by doc_id), the caller must pass
+        ``touched`` covering every bucket that holds a doomed row — the
+        manifest contract retrieval_index documents."""
+        delete_on = delete_on or bucket_col
+        if touched is None:
+            if delete_on != bucket_col:
+                raise ValueError(
+                    "delete_on differs from bucket_col: caller must "
+                    "supply the touched-bucket set (manifest)"
+                )
+            touched = sorted(
+                set(self.touched_buckets(delete_keys, delete_on))
+                | set(self.touched_buckets(inserts, bucket_col))
+            )
+        if not touched:
+            return
+        existing = self.read(table, schema, buckets=touched)
+        kept = existing.join(
+            delete_keys.select(delete_on).distinct(), delete_on, "left_anti"
+        )
+        merged = kept.unionByName(inserts.select(*existing.columns))
+        self._write_buckets(table, merged, [bucket_col], touched)
+
+    def upsert(
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        schema: T.StructType,
+    ) -> None:
+        """S7 MERGE scoped to buckets (rows bucket on the full key
+        tuple): matched -> replace, not matched -> insert. Touched
+        buckets = buckets of the update keys only."""
+        touched = self.touched_buckets(updates, *keys)
+        if not touched:
+            return
+        existing = self.read(table, schema, buckets=touched)
+        updates = updates.select(*existing.columns)
+        merged = _merge_latest(existing, updates, keys)
+        self._write_buckets(table, merged, keys, touched)
