@@ -236,6 +236,56 @@ def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert idx.store.read(idx.DOCLEN, DOCLEN_SCHEMA).count() == 239
 
 
+def _tree_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime)
+    return out
+
+
+def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
+    """The bucketed-state sizing rule, asserted (VERDICT r7 item 5):
+    with n_buckets scaled to hold bucket bytes constant, a FIXED batch's
+    rewritten bytes stay ~flat while state grows 8x — the structural
+    bound behind the wall-clock rows in NOTES (tools/scaling_probe.py
+    --state measures the same thing at sf volumes, plus the full-store
+    linear contrast). Bytes, not wall time: deterministic on a noisy
+    host."""
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(10**9 + i, f"qq{i}a qq{i}b qq{i}c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rewritten = {}
+    for tag, n, nb in (("small", 2_000, 16), ("big", 16_000, 128)):
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("w"), F.col("id"), F.lit("x")),
+                F.concat(F.lit("w"), F.col("id"), F.lit("y")),
+                F.concat(F.lit("w"), F.col("id"), F.lit("z")),
+            ).alias("text"),
+        )
+        root = str(tmp_path / tag)
+        idx = IncrementalRetrievalIndex(spark, root, n_buckets=nb)
+        idx.apply_batch(corpus)
+        before = _tree_files(root)
+        idx.apply_batch(batch)
+        after = _tree_files(root)
+        rewritten[tag] = sum(
+            sz
+            for p, (sz, mt) in after.items()
+            if before.get(p) != (sz, mt)
+        )
+    # 8x the state, ~same bytes per batch (slack for parquet footers)
+    assert rewritten["big"] < 3 * rewritten["small"], rewritten
+
+
 def test_bucketed_store_upsert_and_recovery(spark, tmp_path):
     """Generic BucketedParquetStateStore contract: S7 upsert touches
     only update-key buckets; a torn per-bucket swap (.old- left, final

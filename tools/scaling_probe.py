@@ -393,5 +393,127 @@ def main() -> None:
     print(json.dumps(line))
 
 
+def _tree_bytes(root: str) -> dict[str, tuple[int, float]]:
+    """file path -> (size, mtime): the rewritten-bytes witness."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _rewritten_bytes(before, after) -> int:
+    return sum(
+        sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt)
+    )
+
+
+def state_probe() -> None:
+    """VERDICT r7 item 5: per-batch maintenance cost as STATE grows
+    (1x/4x/10x state rows, constant arrival batch) — the write-
+    amplification axis the corpus-volume probe above cannot see.
+
+    Two regimes per factor:
+    * bucketed — IncrementalRetrievalIndex on BucketedParquetStateStore
+      with n_buckets scaled to hold BUCKET BYTES constant (the sizing
+      rule in plans/bucketed_state.py): per-batch wall and rewritten
+      bytes should stay ~flat as state grows 10x.
+    * full-rewrite — ParquetStateStore.upsert of the same batch's
+      posting rows into the same-size postings table: rewritten bytes
+      ARE the state (the pre-r8 behavior the verdict graded weak),
+      growing linearly.
+
+    Synthetic unique-term docs keep the term side honest (the sf
+    corpus's 31-token vocabulary would alias every batch onto every
+    bucket — the fixture-realism caveat)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from worker_spark.plans.state import ParquetStateStore
+    from worker_spark.session import get_spark
+    from worker_spark.streaming.retrieval_index import (
+        POSTINGS_SCHEMA,
+        IncrementalRetrievalIndex,
+    )
+
+    spark = get_spark(
+        "state_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.range(1).count()
+    n0 = int(os.environ.get("STATE_PROBE_N0", "20000"))
+    batch = spark.createDataFrame(
+        [(900_000_000 + i, f"qq{i}x qq{i}y qq{i}z") for i in range(20)],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    line: dict[str, object] = {"metric": "state_probe", "n0": n0}
+    rows = []
+    for factor in FACTORS:
+        n = n0 * factor
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("w"), F.col("id"), F.lit("x")),
+                F.concat(F.lit("w"), F.col("id"), F.lit("y")),
+                F.concat(F.lit("w"), F.col("id"), F.lit("z")),
+            ).alias("text"),
+        ).localCheckpoint()
+        work = tempfile.mkdtemp(prefix=f"stateprobe{factor}-")
+        try:
+            idx = IncrementalRetrievalIndex(
+                spark, os.path.join(work, "idx"), n_buckets=64 * factor
+            )
+            idx.apply_batch(corpus)  # seed state (not timed)
+            snap = _tree_bytes(os.path.join(work, "idx"))
+            t0 = time.perf_counter()
+            idx.apply_batch(batch)
+            t_bucketed = time.perf_counter() - t0
+            mb_bucketed = _rewritten_bytes(
+                snap, _tree_bytes(os.path.join(work, "idx"))
+            ) / 1e6
+
+            full = ParquetStateStore(spark, os.path.join(work, "full"))
+            full.write("postings", idx.postings())
+            batch_tf, _dl = idx._batch_delta(batch, "doc_id", "text")
+            snap = _tree_bytes(os.path.join(work, "full"))
+            t0 = time.perf_counter()
+            full.upsert(
+                "postings", batch_tf, ["term", "doc_id"], POSTINGS_SCHEMA
+            )
+            t_full = time.perf_counter() - t0
+            mb_full = _rewritten_bytes(
+                snap, _tree_bytes(os.path.join(work, "full"))
+            ) / 1e6
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        rows.append((factor, n, t_bucketed, mb_bucketed, t_full, mb_full))
+        line[f"f{factor}"] = {
+            "state_rows": n,
+            "bucketed_s": round(t_bucketed, 3),
+            "bucketed_mb": round(mb_bucketed, 3),
+            "full_s": round(t_full, 3),
+            "full_mb": round(mb_full, 3),
+        }
+    print(
+        "| state | bucketed apply | bucketed MB rewritten | "
+        "full-store upsert | full-store MB rewritten |"
+    )
+    print("|---|---|---|---|---|")
+    for factor, n, tb, mb, tf_, mf in rows:
+        print(
+            f"| {factor}x ({n} docs) | {tb:.2f}s | {mb:.2f} | "
+            f"{tf_:.2f}s | {mf:.2f} |"
+        )
+    spark.stop()
+    print(json.dumps(line))
+
+
 if __name__ == "__main__":
-    main()
+    if "--state" in sys.argv:
+        state_probe()
+    else:
+        main()

@@ -32,10 +32,22 @@ at-least-once + idempotent-apply contract (plans/state.py module
 docstring) already covers: replaying the same batch re-applies the same
 per-bucket MERGEs, each of which is idempotent.
 
+Sizing rule (the scale contract): a touched bucket's rewrite costs one
+bucket of bytes, so choose ``n_buckets`` to hold BUCKET BYTES near a
+file-compaction target (state_bytes / ~256 MB at cluster scale). Then a
+batch's MERGE cost is O(batch keys x target bytes) — independent of
+total state size, the same granularity contract as Delta/Iceberg
+file-level MERGE. With n_buckets held fixed while state grows, cost
+degrades gracefully to (touched/n_buckets) of a full rewrite — still
+16x+ better than ParquetStateStore's whole-table swap, but the constant
+is the knob, not the law. tools/scaling_probe.py --state measures both
+regimes.
+
 Control plane: the touched-bucket id set is collect()ed to the driver to
-drive the directory swaps — bounded by ``n_buckets`` (a fixed small
-constant), never by data volume. ``n_buckets`` is pinned in a meta file
-on first write so every later session buckets rows identically.
+drive the directory swaps — bounded by ``n_buckets``, never by data
+volume (and by the batch's key count when that is smaller).
+``n_buckets`` is pinned in a meta file on first write so every later
+session buckets rows identically.
 
 Single-writer assumption (same as ParquetStateStore): one maintenance
 process per state root; readers are safe concurrently with recovery but
