@@ -338,6 +338,18 @@ R6_ANCHOR: dict[str, float] = {
     "similarity_ivfpq_refined_topk": 5.408,
 }
 
+# Calibration reading from the SAME run that produced each anchor's
+# timings (VERDICT r7 item 4): an adjusted cross-round ratio divides the
+# raw ratio by (this run's calibration / the anchor run's calibration),
+# normalizing out host load — the r7 verdict had to do this by hand
+# (r7 calibration 0.391 vs r6 0.174 made a flat round read as 1.104x).
+# Anchors recorded before the probe existed (r1/r2/r4/r5) have no
+# calibration and get raw ratios only. Adjusted > ADJ_REGRESSION_FLAG
+# is the mechanical "real regression" gate.
+ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207}
+ADJ_REGRESSION_FLAG = 1.3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -431,9 +443,33 @@ def main() -> None:
             full[f"total_vs_{tag}"] = round(
                 full[f"anchored_total_{tag}"] / sum(anchor[n] for n in anchored), 3
             )
-        # headline summary ratios on the stdout line itself (3 short fields,
-        # not the per-query dicts)
-        for k in ("total_vs_r1", "total_vs_r2", "total_vs_r4", "total_vs_r5", "total_vs_r6"):
+            if tag in ANCHOR_CALIBRATION:
+                # host-load normalization: divide by the calibration
+                # ratio of THIS run vs the anchor's recording run
+                load = calibration_s / ANCHOR_CALIBRATION[tag]
+                full[f"vs_{tag}_adjusted"] = {
+                    n: round(timings[n] / anchor[n] / load, 2)
+                    for n in anchored
+                }
+                full[f"total_vs_{tag}_adjusted"] = round(
+                    full[f"total_vs_{tag}"] / load, 3
+                )
+                full[f"regressions_{tag}_adjusted"] = {
+                    n: r
+                    for n, r in full[f"vs_{tag}_adjusted"].items()
+                    if r > ADJ_REGRESSION_FLAG
+                }
+        # headline summary ratios on the stdout line itself (short
+        # fields, not the per-query dicts)
+        for k in (
+            "total_vs_r1",
+            "total_vs_r2",
+            "total_vs_r4",
+            "total_vs_r5",
+            "total_vs_r6",
+            "total_vs_r6_adjusted",
+            "total_vs_r8_adjusted",
+        ):
             if k in full:
                 out[k] = full[k]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
