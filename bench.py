@@ -92,6 +92,12 @@ HEADLINE = [
     # top-k serving topology) — no prior anchor; they join in r7
     "streaming_index_bm25",
     "streaming_topk_window",
+    # round-8 additions (documents_v2 realism twins — the re-anchored
+    # retrieval bench rows; v1 siblings stay one round for hash
+    # stability) — no prior anchor; they join the anchor set in r8
+    "doc_bm25_topk_v2",
+    "inverted_index_postings_v2",
+    "doc_hybrid_rrf_topk_v2",
 ]
 
 

@@ -195,6 +195,7 @@ def _bm25_scores(
     b: float = BM25_B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prune_high_df: bool = False,
 ) -> DataFrame:
     """The shared BM25 scoring core: given a (query_col, term) frame,
     return (query_col, doc_id, bm25) summed per (query, doc). One
@@ -202,7 +203,17 @@ def _bm25_scores(
     the more-like-this surface (hybrid_rrf_topk) so the formula —
     including its rounding scheme — can never drift between them
     (review finding). ``exclude_self`` drops doc_id == query_col rows
-    before aggregation (more-like-this queries ARE corpus docs)."""
+    before aggregation (more-like-this queries ARE corpus docs).
+
+    ``prune_high_df`` is max-score-style stop pruning (the WAND family's
+    cheapest member): drop query terms with df/N >= 1/2 BEFORE the
+    posting join. Such a term's IDF is <= ln(2 - 1/(2N+1)) ~ 0.69 yet
+    its posting list is >= N/2 rows — on a Zipf-shaped corpus the ~20
+    stopword heads carry the majority of scored rows for near-zero rank
+    signal. Exact in integers (2*df < N, no ratio arithmetic), so the
+    oracle replays it verbatim. Changes scores only by the pruned
+    terms' (bounded, uniform-ish) contribution; OFF by default — the
+    v1-corpus queries keep their pinned semantics."""
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -214,9 +225,15 @@ def _bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     term_score = bm25_term_score(k1, b)
+    qdf = qterms.join(dfreq, "term")
+    if prune_high_df:
+        # prune on the TINY (query, term, df) side, before the
+        # posting-list join fans out
+        qdf = qdf.crossJoin(F.broadcast(stats.select("n_docs"))).filter(
+            F.col("df") * F.lit(2) < F.col("n_docs")
+        ).drop("n_docs")
     scored = (
-        qterms.join(dfreq, "term")
-        .join(tf, "term")
+        qdf.join(tf, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
@@ -306,6 +323,7 @@ def hybrid_rrf_topk(
     rrf_k: int = RRF_K,
     semantic: str = "hamming",
     hamming_shortlist: int = RRF_HAMMING_SHORTLIST,
+    lexical_prune: bool = False,
 ) -> DataFrame:
     """Hybrid more-like-this retrieval with reciprocal rank fusion
     (Cormack'09 RRF — the standard way production search combines a
@@ -333,6 +351,12 @@ def hybrid_rrf_topk(
       (q_id, doc_id, sem_rank) — plug in any ANN shortlist (e.g. a
       graph_ann_topk wrapper) without touching the fusion.
 
+    ``lexical_prune`` applies the _bm25_scores max-score stop pruning
+    (df/N >= 1/2 query terms skipped) to the lexical arm — the right
+    default on a realistic Zipf vocabulary where stopword heads carry
+    most of the posting traffic; OFF by default so the v1-corpus
+    pinned results are unchanged.
+
     The embeddings table's vec_id is the documents table's doc_id (the
     testdata contract); the query doc itself is excluded from both
     sources. Scale shape: BM25 inherits the per-term posting traffic of
@@ -351,7 +375,9 @@ def hybrid_rrf_topk(
         .select(F.col("doc_id").alias("q_id"), "term")
         .distinct()
     )
-    lex_scores = _bm25_scores(docs, qterms, "q_id", exclude_self=True)
+    lex_scores = _bm25_scores(
+        docs, qterms, "q_id", exclude_self=True, prune_high_df=lexical_prune
+    )
     wl = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = (
         lex_scores.withColumn("lex_rank", F.row_number().over(wl))

@@ -39,8 +39,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 126 queries / 50 slots: every entry gets a driver row at
-# least every ~2.3 rounds; new or changed queries always re-enter the window
+# Steady state for 131 queries / 50 slots: every entry gets a driver row at
+# least every ~2.6 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 #
 # "Changed" means ANY TRANSITIVE code change (VERDICT r5 item 6): the query
@@ -51,99 +51,27 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-6 rotation (VERDICT r5 items 1 + 6). ----
-    # (a) Every query transitively CHANGED this round, verified
-    # mechanically by tools/query_hashes.py against the round-5 close
-    # commit: doc_hybrid_rrf_topk's semantic arm is now the
-    # Hamming-shortlist ANN source (VERDICT item 2);
-    # similarity_binary_topk shares the refactored binary-code oracle
-    # fragments; dedup_embedding_blocked now calls the factored
-    # similarity.embedding_blocked_pairs (shared with the dedup eval
-    # harness); similarity_graph_ann / graph_nn_descent_stats pin
-    # centroid_every=100 explicitly now that the build knob defaults to
-    # "auto" (VERDICT item 3); doc_bm25_topk shares the bm25_term_score
-    # expression factored out of _bm25_scores for the incremental index
-    # (streaming/retrieval_index.py); the IVF-PQ pair pins stride 100
-    # now that the coarse-quantizer knob defaults to "auto" (the
-    # K ~ sqrt(N) rule extended from the graph build to the IVF-PQ
-    # family after the probe measured ~54x wall at 10x volume on the
-    # pinned stride — similarity_ivf_ann and semdedup_prune join for the
-    # same auto-stride extension to ivf_ann_neighbors / semantic_dedup.
-    "doc_hybrid_rrf_topk",
-    "doc_bm25_topk",
-    "similarity_binary_topk",
-    "dedup_embedding_blocked",
-    "similarity_graph_ann",
-    "graph_nn_descent_stats",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_refined_topk",
-    "similarity_ivf_ann",
-    # (a') NEW this round — new queries always enter the window
-    # immediately: the incremental retrieval index registered as a
-    # FULL-oracle driver surface (its post-stream state provably equals
-    # the batch build, so the batch BM25 oracle applies — stronger than
-    # the rows-only check NOTES item 4 anticipated), and the windowed
-    # streaming-pre-agg + batch-rank top-k serving topology. They take
-    # the two BOTTOM r4-green fill slots (bloom_incremental_dedup,
-    # contrastive_hard_negatives), never backlog slots.
+    # ---- Round-8 rotation (VERDICT r7 items 1 + 2 + 3). ----
+    # (a) Every query transitively CHANGED or NEW this round, verified
+    # mechanically by tools/query_hashes.py against the round-7 close
+    # commit: streaming_index_bm25's state moved onto the hash-bucketed
+    # store (touched-buckets-only MERGEs, VERDICT item 2); the three
+    # documents_v2 twins are NEW (Zipf-ish derived corpus, VERDICT
+    # item 3 — the v1 siblings stay registered unchanged for one
+    # round); doc_bm25_topk and doc_hybrid_rrf_topk changed
+    # transitively because the shared _bm25_sql_core/_bm25_scores
+    # gained the docs-source and max-score-pruning parameters (their
+    # SQL output and Spark semantics are bit-identical — defaults — but
+    # the rotation policy counts source, not output).
     "streaming_index_bm25",
-    "streaming_topk_window",
-    # (b) The FULL 33-entry r3-stale backlog (VERDICT item 1: last
-    # driver green is round 3; new additions were frozen this round so
-    # none of these lose a slot). Shared-core-refactor-touched
-    # PQ/quantized/LSH/cosine first, then the streaming four, then the
-    # rest alphabetically.
-    "similarity_pq_adc_topk",
-    "similarity_pq_refined_topk",
-    "similarity_quantized_topk",
-    "similarity_pq_kmeans_topk",
-    "similarity_opq_kmeans_topk",
-    "similarity_lsh_ann",
-    "similarity_cosine_topk",
-    "streaming_event_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_view_purchase_join",
-    "streaming_dedup_keys",
-    "dedup_cluster_components",
-    "dedup_pagerank_centrality",
-    "dedup_translit_shingles",
-    "doc_cdc_chunks",
-    "doc_cdc_chunks_clamped",
-    "doc_char_entropy",
-    "doc_gopher_rules",
-    "doc_mixture_report",
-    "doc_split_assign",
-    "doc_stratified_sample",
-    "documents_profile",
-    "event_asof_attribution",
-    "event_range_join",
-    "hll_distinct_users",
-    "inline_ref_parse",
-    "inverted_index_postings",
-    "outbox_dedup_append",
-    "pack_utilization",
-    "place_crawl_closure",
-    "reverse_invalidation",
-    "search_index_config",
-    "url_build_redact",
-    # (c) Oldest r4-green block fills the window to exactly 50 (their
-    # last driver row is round 4; the remainder of the r4 block plus the
-    # r5-green set wait below, re-pinned every session by
-    # tests/test_oracle_parity.py which replays ALL entries).
-    "doc_cdc_duplicate_chunks",
-    "dedup_substring_spans",
-    "embedding_label_centroids",
-    "bloom_membership_audit",
-    "semdedup_prune",
-    "streaming_hll_window_users",
-    # (crawl_frontier_schedule also yields its slot to similarity_ivf_ann;
-    # streaming_cms_window_users / doc_mixture_interleave /
-    # doc_mixture_weights yield their fill slots to doc_bm25_topk and
-    # the IVF-PQ pair above: changed queries outrank r4-green fills)
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # remaining r4-green block (driver row r4, unchanged since)
+    "doc_bm25_topk_v2",
+    "doc_hybrid_rrf_topk_v2",
+    "inverted_index_postings_v2",
+    "doc_bm25_topk",
+    "doc_hybrid_rrf_topk",
+    # (b) The FULL 36-entry r4-stale backlog (VERDICT item 1: last
+    # driver green is round 4, three rounds stale after the r7 no-op
+    # round; nothing outranks it this time).
     "bloom_incremental_dedup",
     "contrastive_hard_negatives",
     "crawl_frontier_schedule",
@@ -180,9 +108,7 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "doc_sequence_pack",
     "top_revenue_orders",
-    # r5-green set rotated out this round (driver row r5, unchanged —
-    # the transitive-hash guard would move any of these back above the
-    # boundary if a refactor touched them)
+    # (c) Oldest r5-green entries fill the window to exactly 50.
     "event_quantile_sketch",
     "kmv_distinct_users",
     "doc_lm_score",
@@ -191,6 +117,62 @@ _DRIVER_WINDOW = [
     "event_value_percentiles",
     "doc_length_quantiles",
     "event_audience_overlap",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r7-green block (the round-6/7 window, minus the three re-entering
+    # above; driver row r7, unchanged since — the transitive-hash guard
+    # would move any of these back above the boundary if a refactor
+    # touched them). These lead the round-9 rotation together with the
+    # r5-green remainder below, whichever class is then older.
+    "similarity_binary_topk",
+    "dedup_embedding_blocked",
+    "similarity_graph_ann",
+    "graph_nn_descent_stats",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_refined_topk",
+    "similarity_ivf_ann",
+    "streaming_topk_window",
+    "similarity_pq_adc_topk",
+    "similarity_pq_refined_topk",
+    "similarity_quantized_topk",
+    "similarity_pq_kmeans_topk",
+    "similarity_opq_kmeans_topk",
+    "similarity_lsh_ann",
+    "similarity_cosine_topk",
+    "streaming_event_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_view_purchase_join",
+    "streaming_dedup_keys",
+    "dedup_cluster_components",
+    "dedup_pagerank_centrality",
+    "dedup_translit_shingles",
+    "doc_cdc_chunks",
+    "doc_cdc_chunks_clamped",
+    "doc_char_entropy",
+    "doc_gopher_rules",
+    "doc_mixture_report",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "documents_profile",
+    "event_asof_attribution",
+    "event_range_join",
+    "hll_distinct_users",
+    "inline_ref_parse",
+    "inverted_index_postings",
+    "outbox_dedup_append",
+    "pack_utilization",
+    "place_crawl_closure",
+    "reverse_invalidation",
+    "search_index_config",
+    "url_build_redact",
+    "doc_cdc_duplicate_chunks",
+    "dedup_substring_spans",
+    "embedding_label_centroids",
+    "bloom_membership_audit",
+    "semdedup_prune",
+    "streaming_hll_window_users",
+    # r5-green remainder (driver row r5, unchanged)
     "lang_shingle_overlap",
     "join_skew_profile",
     "doc_rag_chunks",

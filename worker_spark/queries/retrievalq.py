@@ -96,14 +96,20 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES = ("hash join", "table scan fast", "stream window batch")
 
 
-def _bm25_sql_core(qterms_cte: str, query_col: str, self_filter: str) -> str:
+def _bm25_sql_core(
+    qterms_cte: str,
+    query_col: str,
+    self_filter: str,
+    docs_table: str = "documents",
+) -> str:
     """The shared BM25 CTE chain (base/tf/dl/stats/dfreq/scored/agg) —
     ONE SQL definition of the formula for both the literal-query and
     more-like-this oracles, mirroring operators/retrieval._bm25_scores
-    (review finding: four drifting copies -> two shared cores). Every
-    constant is CAST AS DOUBLE: a bare 2.2 parses as a DuckDB DECIMAL
-    and e.g. tf*2.2 would take a DECIMAL-exact path that differs from
-    Spark's double product by an ulp."""
+    (review finding: four drifting copies -> two shared cores), over
+    either the raw documents table or a prepended corpus CTE
+    (documents_v2). Every constant is CAST AS DOUBLE: a bare 2.2 parses
+    as a DuckDB DECIMAL and e.g. tf*2.2 would take a DECIMAL-exact path
+    that differs from Spark's double product by an ulp."""
     from worker_spark.operators.retrieval import BM25_B, BM25_K1
 
     return f"""base AS (
@@ -111,7 +117,7 @@ def _bm25_sql_core(qterms_cte: str, query_col: str, self_filter: str) -> str:
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\\s+'))
                        AS term
-            FROM documents WHERE length(trim(text)) > 0
+            FROM {docs_table} WHERE length(trim(text)) > 0
         ) WHERE length(term) > 0
     ),
     tf AS (
@@ -152,10 +158,14 @@ def _bm25_sql_core(qterms_cte: str, query_col: str, self_filter: str) -> str:
     )"""
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(
+    queries: tuple[str, ...] = _BM25_QUERIES,
+    docs_table: str = "documents",
+    prelude: str = "",
+) -> str:
     qvals = ",\n            ".join(
         f"('{q}', '{t}')"
-        for q in _BM25_QUERIES
+        for q in queries
         for t in dict.fromkeys(q.split())
     )
     core = _bm25_sql_core(
@@ -165,9 +175,10 @@ def _bm25_oracle() -> str:
     )""",
         "query",
         "",
+        docs_table=docs_table,
     )
     return f"""
-    WITH {core}
+    WITH {prelude}{core}
     SELECT query, doc_id, CAST(bm25 AS DOUBLE) AS bm25,
            CAST(rnk AS INTEGER) AS rnk
     FROM (
@@ -196,7 +207,11 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, list(_BM25_QUERIES), k=10)
 
 
-def _hybrid_rrf_oracle() -> str:
+def _hybrid_rrf_oracle(
+    docs_table: str = "documents",
+    prelude: str = "",
+    lexical_prune: bool = False,
+) -> str:
     from worker_spark.operators.retrieval import (
         RRF_HAMMING_SHORTLIST,
         RRF_K,
@@ -217,16 +232,21 @@ def _hybrid_rrf_oracle() -> str:
         "/ (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
         "*  sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
     )
+    self_filter = "WHERE t.doc_id <> q.q_id"
+    if lexical_prune:
+        # the max-score stop pruning twin: exact integer df gate
+        self_filter += " AND 2 * f.df < s.n_docs"
     core = _bm25_sql_core(
         """qterms AS (
         SELECT DISTINCT doc_id AS q_id, term FROM base
         WHERE doc_id % 100 = 0
     )""",
         "q_id",
-        "WHERE t.doc_id <> q.q_id",
+        self_filter,
+        docs_table=docs_table,
     )
     return f"""
-    WITH {core},
+    WITH {prelude}{core},
     lex AS (
         SELECT q_id, doc_id, lex_rank FROM (
             SELECT q_id, doc_id,
@@ -302,3 +322,104 @@ def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return hybrid_rrf_topk(docs, emb)
+
+
+# --------------------------------------------------------------------------
+# documents_v2 twins (VERDICT r7 item 3 — fixture realism): the SAME
+# operators over the Zipf-ish derived corpus (sources/synth_corpus.py),
+# where df spans ~4 orders of magnitude instead of df ~ N for all 31
+# v1 terms. The v1 queries stay registered unchanged for one round
+# (hash stability); these twins are the re-anchored bench rows.
+# --------------------------------------------------------------------------
+
+# terms picked across the df spread (head stopword, common, mid, tail)
+_BM25_V2_QUERIES = ("t3 t40 t500", "s1 t12 t2500", "t7 t77 t777")
+_V2_POSTINGS_MIN_DF = 10
+
+
+def _v2_prelude() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return documents_v2_sql("docs2") + ",\n    "
+
+
+@register(
+    "doc_bm25_topk_v2",
+    _bm25_oracle(
+        queries=_BM25_V2_QUERIES, docs_table="docs2", prelude=_v2_prelude()
+    ),
+    doc="BM25 over the documents_v2 corpus (seeded ~10k-term Zipf-ish "
+    "vocabulary, derived identically in both engines from md5 hashes — "
+    "sources/synth_corpus.py): realistic posting-list lengths make this "
+    "the honest per-term-traffic bench row; formula/rounding identical "
+    "to doc_bm25_topk via the ONE shared core.",
+)
+def q_doc_bm25_topk_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import bm25_topk
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return bm25_topk(documents_v2(spark, sf_dir), list(_BM25_V2_QUERIES), k=10)
+
+
+@register(
+    "inverted_index_postings_v2",
+    f"""
+    WITH {_v2_prelude()}tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM docs2 WHERE length(trim(text)) > 0
+        )
+        WHERE length(term) > 0
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || tf, ','
+                      ORDER BY doc_id || ':' || tf) AS postings
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= {_V2_POSTINGS_MIN_DF}
+    """,
+    doc=f"Inverted-index posting lists over documents_v2, df >= "
+    f"{_V2_POSTINGS_MIN_DF}: with the Zipf-ish vocabulary the df "
+    "distribution spans stopword heads (df ~ N) down to the cutoff — "
+    "the posting-bounded shape the S9 build surface actually sees in "
+    "production, which the 31-term v1 corpus could not exercise.",
+)
+def q_inverted_index_postings_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return R.inverted_postings(
+        documents_v2(spark, sf_dir), min_df=_V2_POSTINGS_MIN_DF
+    )
+
+
+@register(
+    "doc_hybrid_rrf_topk_v2",
+    _hybrid_rrf_oracle(
+        docs_table="docs2", prelude=_v2_prelude(), lexical_prune=True
+    ),
+    doc="Hybrid RRF retrieval over documents_v2 + embeddings with "
+    "max-score stop pruning on the lexical arm (2*df < N, exact in "
+    "integers): realistic per-term posting traffic instead of the v1 "
+    "corpus's every-term-matches-every-doc degeneracy (the ~6s "
+    "artifact VERDICT r7 item 3 flagged) — the ~20 stopword heads "
+    "that carry most scored rows for near-zero IDF are skipped, the "
+    "WAND family's cheapest member. The semantic arm is the same "
+    "Hamming-shortlist ANN; fusion, ranks and tie-breaks identical to "
+    "doc_hybrid_rrf_topk via the shared cores.",
+)
+def q_doc_hybrid_rrf_topk_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import hybrid_rrf_topk
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return hybrid_rrf_topk(
+        documents_v2(spark, sf_dir), emb, lexical_prune=True
+    )
