@@ -89,6 +89,25 @@ def test_dedup_eval_floors_and_cost_ordering(spark):
     assert exact["planted_precision"] == 1.0
 
 
+def test_dedup_eval_v2_corpus_realism(spark):
+    """The documents_v2 floors (VERDICT r7 item 3): on a Zipf-shaped
+    vocabulary, unplanted documents are no longer legitimately
+    shingle-similar, so minhash precision against the planted truth
+    recovers — the low v1 number was the 31-token corpus's organic
+    collisions, not the method's."""
+    rows = {
+        r["method"]: r
+        for r in evaluate_dedup(
+            spark, SF_ORACLE, corpus_source="documents_v2"
+        )
+    }
+    mh = rows["minhash_lsh(tau=0.5)"]
+    for r in rows.values():
+        assert r["recall_t0"] == 1.0
+    assert mh["planted_precision"] >= 0.9
+    assert rows["exact"]["planted_precision"] == 1.0
+
+
 def test_semantic_planting_is_deterministic_and_tiered(spark):
     from worker_spark.operators.dedup_eval import (
         EMB_TIERS,
@@ -137,20 +156,26 @@ def test_semantic_dedup_eval_floors(spark):
         for r in evaluate_semantic_dedup(spark, SF_ORACLE)
     }
     sem, blk = rows["semdedup"], rows["embedding_blocked"]
-    # identical copies: both methods must catch every plant
-    assert sem["recall_c0.0"] == 1.0
-    assert blk["recall_c0.0"] == 1.0
+    # identical copies: both methods must DROP every planted copy (the
+    # pruner's honest effectiveness unit, VERDICT r7 item 7)
+    assert sem["drop_c0.0"] == 1.0
+    assert blk["drop_c0.0"] == 1.0
+    # pair attribution can only lose to drop accounting (a dropped copy
+    # attributed to an organic cell-mate instead of its planted source)
+    for c in ("0.0", "0.5", "2.0", "6.0"):
+        assert sem[f"drop_c{c}"] >= sem[f"pair_c{c}"]
+        assert blk[f"drop_c{c}"] >= blk[f"pair_c{c}"]
     # above-tau paraphrase tiers: the label-block never misses (the
     # copy keeps its label, cos stays above tau), semdedup pays a
     # cell-hop tax that grows with noise but stays useful
-    assert blk["recall_c0.5"] == 1.0
-    assert blk["recall_c2.0"] == 1.0
-    assert sem["recall_c0.5"] >= 0.6
-    assert sem["recall_c2.0"] >= 0.4
-    assert sem["recall_c0.5"] >= sem["recall_c2.0"]
+    assert blk["pair_c0.5"] == 1.0
+    assert blk["pair_c2.0"] == 1.0
+    assert sem["drop_c0.5"] >= 0.6
+    assert sem["drop_c2.0"] >= 0.4
+    assert sem["drop_c0.5"] >= sem["drop_c2.0"]
     # tier 3 sits below both taus by design: a verified (partial) miss
-    assert sem["recall_c6.0"] <= 0.6
-    assert blk["recall_c6.0"] <= 0.6
+    assert sem["drop_c6.0"] <= 0.6
+    assert blk["drop_c6.0"] <= 0.6
     # cost shape: both candidate stages are bounded blocks, never the
     # full N*(N-1)/2 cross join
     n = (

@@ -40,11 +40,29 @@ def main() -> None:
     )
 
     rows = evaluate_dedup(spark, sf_dir, include_edit_distance=include_edit)
+    print("## lexical tiers — documents (v1 fixture)\n")
     print(markdown_table(rows))
+    rows_v2 = evaluate_dedup(
+        spark,
+        sf_dir,
+        include_edit_distance=include_edit,
+        corpus_source="documents_v2",
+    )
+    print("\n## lexical tiers — documents_v2 (Zipf-ish derived corpus)\n")
+    print(markdown_table(rows_v2))
     sem_rows = evaluate_semantic_dedup(spark, sf_dir)
     print()
     print(markdown_semantic_table(sem_rows))
-    print(json.dumps({"sf_dir": sf_dir, "rows": rows, "semantic_rows": sem_rows}))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "rows": rows,
+                "rows_v2": rows_v2,
+                "semantic_rows": sem_rows,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -245,6 +245,7 @@ def evaluate_dedup(
     plant_stride: int = PLANT_STRIDE,
     shingle_df_cap: int = 1000,
     include_edit_distance: bool = False,
+    corpus_source: str = "documents",
 ) -> list[dict]:
     """Run every dedup method over the planted corpus; one result dict
     per method: name, cand_pairs, found_total, found_planted,
@@ -252,8 +253,25 @@ def evaluate_dedup(
 
     include_edit_distance gates the banded edit-distance method (its
     per-pair DP cost is the highest of the family — fine at sf0.01,
-    several minutes at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    several minutes at sf0.1).
+
+    corpus_source: "documents" (the raw fixture — its ~31-token
+    vocabulary makes unplanted documents legitimately shingle-similar,
+    so planted_precision reads low for reasons that are the CORPUS's,
+    not the method's) or "documents_v2" (the Zipf-ish derived corpus,
+    sources/synth_corpus.py — realistic organic-collision rates; the
+    corpus the headline precision/recall claims should be read from,
+    VERDICT r7 item 3)."""
+    if corpus_source == "documents_v2":
+        from worker_spark.sources.synth_corpus import documents_v2
+
+        docs = documents_v2(spark, sf_dir)
+    elif corpus_source == "documents":
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+    else:
+        raise ValueError(f"unknown corpus_source: {corpus_source!r}")
     corpus = planted_corpus(docs, plant_stride).cache()
     corpus.count()
     # NOTE: the _lsh/_simhash/_ngram candidate counters rebuild the
@@ -485,47 +503,66 @@ def evaluate_semantic_dedup(
         .count()
     )
 
-    # semdedup is a PRUNER, not a pair lister: its output attributes
-    # each dropped vector to the MIN offending lower id, and at
-    # tau=0.35 an ORGANIC >= tau cell-mate with an id smaller than the
-    # planted original frequently wins that min. Joining on the exact
-    # (orig, copy) pair would therefore count a genuinely pruned
-    # duplicate as a miss (measured: tier-0 "recall" 0.84 under pair
-    # attribution vs every identical copy actually dropped). The
-    # honest recall unit for a pruner is "planted copy DROPPED", and
-    # found_total/precision use the same dropped-vector unit — noted in
-    # DEDUP_EVAL.md because it differs from the pair rows.
+    # Two recall units, BOTH first-class columns (VERDICT r7 item 7):
+    #
+    # * pair_c{c} — pair attribution: the found (id_a, id_b) must be
+    #   exactly the planted (original, copy) pair;
+    # * drop_c{c} — "planted copy dropped": the copy id appears as the
+    #   duplicate side of ANY found pair / pruned vector.
+    #
+    # For a pair LISTER the two mostly agree. For a PRUNER (semdedup)
+    # they measure different things: its dup_of is the MIN offending
+    # lower id, and at tau=0.35 an ORGANIC >= tau cell-mate with an id
+    # smaller than the planted original frequently wins that min —
+    # pair attribution then counts a genuinely pruned duplicate as a
+    # miss (measured at sf0.1: tier-0 pair 0.84 vs drop 1.0). The drop
+    # column is the pruner's honest effectiveness number; the pair
+    # column shows how often the attribution landed on the planted
+    # source. found_total / planted_precision stay in each method's
+    # primary unit (pruner: dropped vectors; lister: pairs).
     sem_out = S.semantic_dedup(
         corpus, centroid_every=S.SEMDEDUP_CENTROID_EVERY, tau=semdedup_tau
     )
-    sem_found = sem_out.filter(~F.col("kept")).select(
-        F.col("vec_id").alias("id_b")
+    sem_pairs = sem_out.filter(~F.col("kept")).select(
+        F.col("dup_of").alias("id_a"), F.col("vec_id").alias("id_b")
     )
-    blk_found = S.embedding_blocked_pairs(
+    blk_pairs = S.embedding_blocked_pairs(
         corpus, tau=blocked_tau, block_col="label"
     ).select("id_a", "id_b")
 
     base_cached = _persistent_rdd_ids(spark)
     rows = []
-    for name, found_df, join_cols, cand_pairs in (
-        (f"semdedup(tau={semdedup_tau})", sem_found, ["id_b"], cell_cand),
+    for name, pairs_df, primary_unit, cand_pairs in (
+        (f"semdedup(tau={semdedup_tau})", sem_pairs, "drop", cell_cand),
         (
             f"embedding_blocked(tau={blocked_tau})",
-            blk_found,
-            ["id_a", "id_b"],
+            blk_pairs,
+            "pair",
             label_cand,
         ),
     ):
-        found = found_df.distinct().cache()
-        found_total = found.count()
-        hits = truth.join(found, join_cols)
-        found_planted = hits.count()
-        hit_tiers = {
+        pairs = pairs_df.distinct().cache()
+        drops = pairs.select("id_b").distinct().cache()
+        pair_hits = truth.join(pairs, ["id_a", "id_b"])
+        drop_hits = truth.join(drops, ["id_b"])
+        pair_tiers = {
             int(r["tier"]): int(r["n"])
-            for r in hits.groupBy("tier")
+            for r in pair_hits.groupBy("tier")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        drop_tiers = {
+            int(r["tier"]): int(r["n"])
+            for r in drop_hits.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if primary_unit == "drop":
+            found_total = drops.count()
+            found_planted = sum(drop_tiers.values())
+        else:
+            found_total = pairs.count()
+            found_planted = sum(pair_tiers.values())
         row = {
             "method": name,
             "cand_pairs": cand_pairs,
@@ -537,8 +574,11 @@ def evaluate_semantic_dedup(
         }
         for tier, c in enumerate(EMB_TIERS):
             denom = per_tier.get(tier, 0)
-            row[f"recall_c{c}"] = (
-                round(hit_tiers.get(tier, 0) / denom, 4) if denom else None
+            row[f"pair_c{c}"] = (
+                round(pair_tiers.get(tier, 0) / denom, 4) if denom else None
+            )
+            row[f"drop_c{c}"] = (
+                round(drop_tiers.get(tier, 0) / denom, 4) if denom else None
             )
         rows.append(row)
         _unpersist_added_since(spark, base_cached)
@@ -550,7 +590,8 @@ def evaluate_semantic_dedup(
 def markdown_semantic_table(rows: list[dict]) -> str:
     cols = [
         "method",
-        *[f"recall_c{c}" for c in EMB_TIERS],
+        *[f"pair_c{c}" for c in EMB_TIERS],
+        *[f"drop_c{c}" for c in EMB_TIERS],
         "cand_pairs",
         "found_total",
         "found_planted",
