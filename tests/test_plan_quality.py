@@ -463,6 +463,54 @@ def test_hybrid_rrf_semantic_arm_is_hamming_shortlist(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_hybrid_rrf_v2_same_plan_guarantees_plus_stop_prune(spark):
+    # the documents_v2 twin must keep every v1 plan guarantee (no
+    # cartesian, hamming shortlist sort carries no embedding payload,
+    # map-side rank-limit) AND show the max-score stop-prune gate on
+    # the tiny (query, term, df) side before the posting join
+    df = _SPECS["doc_hybrid_rrf_topk_v2"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    sort_lines = [
+        ln for ln in plan.splitlines() if "Sort [" in ln and "hamming" in ln
+    ]
+    assert sort_lines and all("embedding" not in ln for ln in sort_lines)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the integer df gate ((df * 2) < n_docs) survives into the plan
+    assert any(
+        "* 2" in ln and "n_docs" in ln for ln in plan.splitlines()
+    ), "stop-prune filter not found in the physical plan"
+
+
+def test_bucketed_index_bm25_reads_only_query_term_buckets(spark, tmp_path):
+    # the term-bucketing payoff: the scorer's postings FileScan must
+    # list ONLY the buckets containing the query's terms — file-level
+    # pruning a reader gets for free from the layout
+    from worker_spark.streaming.retrieval_index import (
+        IncrementalRetrievalIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b") for i in range(64)], "doc_id long, text string"
+    )
+    idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))
+    idx.apply_batch(corpus)
+    qterms = spark.createDataFrame([("w7a",)], "term string")
+    (expected_bucket,) = idx.store.touched_buckets(qterms, "term")
+    df = idx.bm25_topk(["w7a"], k=5)
+    # inputFiles() is the untruncated file list the plan reads (the
+    # plan-string Location field truncates long pytest tmp paths)
+    import re
+
+    scanned = {
+        m.group(1)
+        for f in df.inputFiles()
+        if (m := re.search(r"postings/(b\d{5})/", f))
+    }
+    assert scanned == {f"b{expected_bucket:05d}"}, scanned
+    assert "CartesianProduct" not in _physical(df)
+
+
 def test_zorder_stats_is_single_bounded_aggregation(spark):
     # one pass: explode layout tags -> ONE groupBy over (layout, bucket)
     # cells; no join back onto row data, no global sort
