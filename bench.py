@@ -344,6 +344,86 @@ R6_ANCHOR: dict[str, float] = {
     "similarity_ivfpq_refined_topk": 5.408,
 }
 
+# Round-8 anchor: recorded by tools/record_anchor.py from the SECOND of
+# two back-to-back serialized sf0.1 runs at round-8 close (total
+# 126.543s over all 62 headline queries, calibration_s 0.210,
+# total_vs_r6 1.046 / adjusted 1.031 — within noise; the one flagged
+# adjusted ratio, similarity_lsh_ann 1.44, is code untouched since r5
+# and read 1.4-1.7x across three differently-loaded runs this session —
+# host noise on a ~2s query, not a plan change). First anchor for the
+# documents_v2 twins (doc_bm25_topk_v2 2.795, inverted_index_postings_v2
+# 1.282, doc_hybrid_rrf_topk_v2 4.668 — vs the v1 hybrid's 8.452 on the
+# same run: the realistic-vocabulary lexical arm + stop pruning halves
+# the fused query) and first with the bucketed-state
+# streaming_index_bm25 (8.2 vs ~4.9 on the old full-rewrite path: the
+# per-bucket swap + manifest jobs cost ~1.5s/batch at demo scale — the
+# deliberate bytes-for-wall trade; rewritten bytes are now O(batch),
+# see NOTES r8 probe table).
+R8_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.471,
+    "top_revenue_orders": 1.237,
+    "revenue_by_nation": 0.968,
+    "orders_with_returns": 0.573,
+    "customer_any_return": 0.571,
+    "sync_diff_classify": 0.603,
+    "event_journey": 0.215,
+    "outbox_drain_cap": 0.329,
+    "doc_token_stats": 0.228,
+    "dedup_minhash_lsh": 2.989,
+    "dedup_simhash": 3.248,
+    "similarity_cosine_topk": 0.997,
+    "similarity_lsh_ann": 2.561,
+    "dedup_embedding_blocked": 1.921,
+    "multimodal_features": 0.355,
+    "event_value_percentiles": 0.199,
+    "reverse_invalidation": 0.54,
+    "doc_build_scale": 1.857,
+    "dedup_cluster_components": 5.712,
+    "doc_sequence_pack": 0.511,
+    "doc_stratified_sample": 0.209,
+    "similarity_quantized_topk": 0.56,
+    "benchmark_contamination": 2.544,
+    "similarity_pq_refined_topk": 4.232,
+    "similarity_pq_kmeans_topk": 4.4,
+    "doc_cdc_chunks": 1.995,
+    "dedup_translit_shingles": 4.45,
+    "doc_substring_dedup_report": 0.538,
+    "hll_distinct_users": 0.293,
+    "token_cms_heavy_hitters": 1.848,
+    "bpe_train_merges": 1.877,
+    "dedup_edit_distance": 2.09,
+    "token_bigram_collocations": 0.756,
+    "inverted_index_postings": 0.452,
+    "similarity_opq_kmeans_topk": 6.365,
+    "search_documents_flat": 1.529,
+    "bloom_membership_audit": 0.539,
+    "doc_dsir_selection": 1.947,
+    "semdedup_prune": 0.859,
+    "doc_curation_decision": 2.347,
+    "event_quantile_sketch": 1.119,
+    "similarity_graph_ann": 7.3,
+    "event_audience_overlap": 0.811,
+    "lang_shingle_overlap": 1.768,
+    "join_skew_profile": 0.458,
+    "doc_rag_chunks": 0.288,
+    "events_zorder_layout": 0.861,
+    "similarity_binary_topk": 2.393,
+    "event_funnel_conversion": 0.529,
+    "event_retention_cohorts": 0.408,
+    "event_rate_anomalies": 0.29,
+    "similarity_multiprobe_lsh": 2.07,
+    "similarity_margin_probe_lsh": 2.125,
+    "similarity_ivfpq_residual_topk": 5.657,
+    "doc_bm25_topk": 1.486,
+    "doc_hybrid_rrf_topk": 8.452,
+    "similarity_ivfpq_refined_topk": 5.649,
+    "streaming_index_bm25": 8.2,
+    "streaming_topk_window": 2.019,
+    "doc_bm25_topk_v2": 2.795,
+    "inverted_index_postings_v2": 1.282,
+    "doc_hybrid_rrf_topk_v2": 4.668,
+}
+
 # Calibration reading from the SAME run that produced each anchor's
 # timings (VERDICT r7 item 4): an adjusted cross-round ratio divides the
 # raw ratio by (this run's calibration / the anchor run's calibration),
@@ -352,7 +432,7 @@ R6_ANCHOR: dict[str, float] = {
 # Anchors recorded before the probe existed (r1/r2/r4/r5) have no
 # calibration and get raw ratios only. Adjusted > ADJ_REGRESSION_FLAG
 # is the mechanical "real regression" gate.
-ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207}
+ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207, "r8": 0.210}
 ADJ_REGRESSION_FLAG = 1.3
 
 
@@ -436,6 +516,7 @@ def main() -> None:
             ("r4", R4_ANCHOR),
             ("r5", R5_ANCHOR),
             ("r6", R6_ANCHOR),
+            ("r8", R8_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:

@@ -103,6 +103,14 @@ def test_ann_recall_floors_and_cost_shape(spark):
     assert hh["recall_at_k"] >= 0.9
     assert hh["exact_pairs"] < hb["exact_pairs"]
 
+    # documents_v2 twin rows (r8): same fused guarantees on the
+    # realistic corpus with the stop-pruned lexical arm
+    hb2 = rows["hybrid_rrf_v2_brute"]
+    hh2 = rows["hybrid_rrf_v2_hamming_300"]
+    assert hb2["recall_at_k"] == 1.0
+    assert hh2["recall_at_k"] >= 0.9
+    assert hh2["exact_pairs"] < hb2["exact_pairs"]
+
     # the table renders (tools/ann_eval.py commits it as ANN_EVAL.md)
     md = markdown_table(list(rows.values()))
     assert md.count("\n") == len(rows) + 1

@@ -467,6 +467,37 @@ def evaluate_ann(
         time.perf_counter() - t0,
     )
 
+    # documents_v2 twin rows (r8, VERDICT r7 item 3): the same fused
+    # comparison on the Zipf-ish derived corpus with the stop-pruned
+    # lexical arm — on v1 the degenerate 31-token lexical arm dominated
+    # wall time and hid the vector-arm swap; the v2 secs column is the
+    # realistic split. Fused-recall semantics identical (brute row is
+    # its own 1.0 anchor; truth lists differ from v1 because the
+    # lexical arm ranks a different corpus).
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    docs2 = documents_v2(spark, sf_dir)
+    t0 = time.perf_counter()
+    fused2_brute = hybrid_rrf_topk(
+        docs2, emb, k=k, semantic="brute", lexical_prune=True
+    ).select("q_id", F.col("doc_id").alias("c_id"))
+    truth2_fused = _pairs(fused2_brute)
+    record(
+        "hybrid_rrf_v2_brute", "fused", fused2_brute, truth2_fused, denom,
+        denom, time.perf_counter() - t0,
+    )
+    t0 = time.perf_counter()
+    fused2_ann = hybrid_rrf_topk(
+        docs2, emb, k=k, semantic="hamming", lexical_prune=True
+    ).select("q_id", F.col("doc_id").alias("c_id"))
+    fused2_ann.collect()  # collect BEFORE reading the clock (r6 gotcha)
+    record(
+        f"hybrid_rrf_v2_hamming_{RRF_HAMMING_SHORTLIST}", "fused",
+        fused2_ann, truth2_fused, denom,
+        nq * min(RRF_HAMMING_SHORTLIST, n - 1),
+        time.perf_counter() - t0,
+    )
+
     emb.unpersist()
     return rows
 

@@ -189,6 +189,13 @@ class BucketedParquetStateStore:
         stage = os.path.join(tdir, f".stage-{uuid.uuid4().hex[:8]}")
         (
             merged.withColumn("_b", self.bucket_of(*bucket_cols))
+            # co-locate each bucket's rows into ~one task before the
+            # partitioned write: without this every input task writes a
+            # sliver into every touched bucket dir (tasks x buckets tiny
+            # files — measured 2x wall on the incremental index), and at
+            # cluster scale file-count control IS the compaction target
+            # the n_buckets sizing rule assumes
+            .repartition(max(len(touched), 1), F.col("_b"))
             .write.partitionBy("_b")
             .mode("overwrite")
             .parquet(stage)

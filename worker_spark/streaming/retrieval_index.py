@@ -189,6 +189,10 @@ class IncrementalRetrievalIndex:
             inserts=new_dl,
             schema=DOCLEN_SCHEMA,
             bucket_col="doc_id",
+            # already collected above for the old-manifest read; inserts
+            # are a subset of the batch docs, so this is exact — saves a
+            # driver round-trip per batch
+            touched=doc_buckets,
         )
 
     # --- read side -------------------------------------------------------
