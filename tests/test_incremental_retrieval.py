@@ -236,16 +236,6 @@ def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert idx.store.read(idx.DOCLEN, DOCLEN_SCHEMA).count() == 239
 
 
-def _tree_files(root):
-    out = {}
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            p = os.path.join(dirpath, f)
-            st = os.stat(p)
-            out[p] = (st.st_size, st.st_mtime)
-    return out
-
-
 def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
     """The bucketed-state sizing rule, asserted (VERDICT r7 item 5):
     with n_buckets scaled to hold bucket bytes constant, a FIXED batch's
@@ -253,8 +243,11 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
     bound behind the wall-clock rows in NOTES (tools/scaling_probe.py
     --state measures the same thing at sf volumes, plus the full-store
     linear contrast). Bytes, not wall time: deterministic on a noisy
-    host."""
+    host. Uses the ONE shared witness (bucketed_state.tree_bytes) so
+    this bound and the probe's NOTES rows measure the same thing."""
     from pyspark.sql import functions as F
+
+    from worker_spark.plans.bucketed_state import rewritten_bytes, tree_bytes
 
     batch = spark.createDataFrame(
         [(10**9 + i, f"qq{i}a qq{i}b qq{i}c") for i in range(5)],
@@ -274,14 +267,9 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
         root = str(tmp_path / tag)
         idx = IncrementalRetrievalIndex(spark, root, n_buckets=nb)
         idx.apply_batch(corpus)
-        before = _tree_files(root)
+        before = tree_bytes(root)
         idx.apply_batch(batch)
-        after = _tree_files(root)
-        rewritten[tag] = sum(
-            sz
-            for p, (sz, mt) in after.items()
-            if before.get(p) != (sz, mt)
-        )
+        rewritten[tag] = rewritten_bytes(before, tree_bytes(root))
     # 8x the state, ~same bytes per batch (slack for parquet footers)
     assert rewritten["big"] < 3 * rewritten["small"], rewritten
 
@@ -333,6 +321,37 @@ def test_bucketed_store_upsert_and_recovery(spark, tmp_path):
     # a second session on the same root adopts the pinned bucket count
     again = BucketedParquetStateStore(spark, root, n_buckets=32)
     assert again.n_buckets == 8
+
+    # an insert landing OUTSIDE the caller-supplied touched set must
+    # fail loudly before any swap (silent data loss otherwise — review
+    # finding), leaving state untouched
+    cand = spark.createDataFrame([(200 + i, "x") for i in range(16)], schema)
+    by_bucket = {}
+    for r in cand.select("k", store.bucket_of("k").alias("b")).collect():
+        by_bucket.setdefault(r["b"], r["k"])
+    (b0, k0), (b1, k1) = sorted(by_bucket.items())[:2]
+    two = spark.createDataFrame([(k0, "a"), (k1, "b")], schema)
+    buckets = sorted([b0, b1])
+    import pytest as _pytest
+
+    before_fail = _bucket_snapshot(tdir)
+    with _pytest.raises(ValueError, match="touched"):
+        store.delete_then_insert(
+            "t",
+            delete_keys=two.select("k"),
+            inserts=two,
+            schema=schema,
+            bucket_col="k",
+            touched=buckets[:1],
+        )
+    assert _bucket_snapshot(tdir) == before_fail  # nothing swapped
+
+    # orphan .tmp- for a NEVER-populated bucket (crash before its first
+    # commit) rolls back on recovery instead of lingering forever
+    orphan = os.path.join(tdir, "b00099.tmp-deadbeef")
+    os.makedirs(orphan)
+    store.read("t", schema).count()
+    assert not os.path.exists(orphan)
     shutil.rmtree(root)
 
 

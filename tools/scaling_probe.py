@@ -393,23 +393,6 @@ def main() -> None:
     print(json.dumps(line))
 
 
-def _tree_bytes(root: str) -> dict[str, tuple[int, float]]:
-    """file path -> (size, mtime): the rewritten-bytes witness."""
-    out = {}
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            p = os.path.join(dirpath, f)
-            st = os.stat(p)
-            out[p] = (st.st_size, st.st_mtime)
-    return out
-
-
-def _rewritten_bytes(before, after) -> int:
-    return sum(
-        sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt)
-    )
-
-
 def state_probe() -> None:
     """VERDICT r7 item 5: per-batch maintenance cost as STATE grows
     (1x/4x/10x state rows, constant arrival batch) — the write-
@@ -433,6 +416,7 @@ def state_probe() -> None:
 
     from pyspark.sql import functions as F
 
+    from worker_spark.plans.bucketed_state import rewritten_bytes, tree_bytes
     from worker_spark.plans.state import ParquetStateStore
     from worker_spark.session import get_spark
     from worker_spark.streaming.retrieval_index import (
@@ -468,25 +452,25 @@ def state_probe() -> None:
                 spark, os.path.join(work, "idx"), n_buckets=64 * factor
             )
             idx.apply_batch(corpus)  # seed state (not timed)
-            snap = _tree_bytes(os.path.join(work, "idx"))
+            snap = tree_bytes(os.path.join(work, "idx"))
             t0 = time.perf_counter()
             idx.apply_batch(batch)
             t_bucketed = time.perf_counter() - t0
-            mb_bucketed = _rewritten_bytes(
-                snap, _tree_bytes(os.path.join(work, "idx"))
+            mb_bucketed = rewritten_bytes(
+                snap, tree_bytes(os.path.join(work, "idx"))
             ) / 1e6
 
             full = ParquetStateStore(spark, os.path.join(work, "full"))
             full.write("postings", idx.postings())
             batch_tf, _dl = idx._batch_delta(batch, "doc_id", "text")
-            snap = _tree_bytes(os.path.join(work, "full"))
+            snap = tree_bytes(os.path.join(work, "full"))
             t0 = time.perf_counter()
             full.upsert(
                 "postings", batch_tf, ["term", "doc_id"], POSTINGS_SCHEMA
             )
             t_full = time.perf_counter() - t0
-            mb_full = _rewritten_bytes(
-                snap, _tree_bytes(os.path.join(work, "full"))
+            mb_full = rewritten_bytes(
+                snap, tree_bytes(os.path.join(work, "full"))
             ) / 1e6
         finally:
             shutil.rmtree(work, ignore_errors=True)

@@ -515,7 +515,8 @@ def evaluate_semantic_dedup(
     # lower id, and at tau=0.35 an ORGANIC >= tau cell-mate with an id
     # smaller than the planted original frequently wins that min —
     # pair attribution then counts a genuinely pruned duplicate as a
-    # miss (measured at sf0.1: tier-0 pair 0.84 vs drop 1.0). The drop
+    # miss (measured at sf0.1: tier-0 pair 0.66 vs drop 1.0,
+    # DEDUP_EVAL.md). The drop
     # column is the pruner's honest effectiveness number; the pair
     # column shows how often the attribution landed on the planted
     # source. found_total / planted_precision stay in each method's

@@ -70,6 +70,29 @@ DEFAULT_N_BUCKETS = 16
 _META = "_n_buckets"
 
 
+def tree_bytes(root: str) -> dict[str, tuple[int, float]]:
+    """file path -> (size, mtime): the ONE 'bytes rewritten' witness —
+    shared by the state scaling probe (tools/scaling_probe.py --state)
+    and the flat-rewritten-bytes test so the asserted bound and the
+    NOTES.md probe rows can never measure subtly different things."""
+    out: dict[str, tuple[int, float]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime)
+    return out
+
+
+def rewritten_bytes(
+    before: dict[str, tuple[int, float]],
+    after: dict[str, tuple[int, float]],
+) -> int:
+    return sum(
+        sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt)
+    )
+
+
 class BucketedParquetStateStore:
     """Directory-of-buckets parquet state with touched-bucket-only
     copy-on-write MERGEs (the scale-safe sibling of ParquetStateStore).
@@ -139,6 +162,13 @@ class BucketedParquetStateStore:
             if os.path.exists(final):
                 for n in olds + tmps:
                     shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+            elif not olds:
+                # crash before a NEVER-populated bucket's first commit:
+                # no final, no displaced .old- — the orphan .tmp- is an
+                # uncommitted write and is correctly rolled back (the
+                # ParquetStateStore doctrine)
+                for n in tmps:
+                    shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
         for n in names:
             if n.startswith(".stage-"):
                 shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
@@ -200,6 +230,24 @@ class BucketedParquetStateStore:
             .mode("overwrite")
             .parquet(stage)
         )
+        # loud-failure guard (free: one listdir of the stage): rows whose
+        # bucket is NOT in the caller's touched set would be staged and
+        # then discarded with the stage dir — silent data loss for a
+        # caller whose manifest/touched computation is wrong
+        touched_set = set(touched)
+        stray = [
+            d
+            for d in os.listdir(stage)
+            if d.startswith("_b=") and int(d[3:]) not in touched_set
+        ]
+        if stray:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"{table}: merged rows landed in buckets outside the "
+                f"touched set ({sorted(stray)}) — caller's touched/"
+                "manifest computation is incomplete; aborting before "
+                "any swap"
+            )
         for b in touched:
             src = os.path.join(stage, f"_b={b}")
             final = os.path.join(tdir, self._bucket_name(b))
@@ -226,6 +274,7 @@ class BucketedParquetStateStore:
         bucket_col: str,
         delete_on: str | None = None,
         touched: list[int] | None = None,
+        existing: DataFrame | None = None,
     ) -> None:
         """S8 link-replace scoped to buckets: remove every row whose
         ``delete_on`` key appears in ``delete_keys``, then insert
@@ -233,7 +282,13 @@ class BucketedParquetStateStore:
         set is derived here; when it is a DIFFERENT column (postings are
         bucketed by term but replaced by doc_id), the caller must pass
         ``touched`` covering every bucket that holds a doomed row — the
-        manifest contract retrieval_index documents."""
+        manifest contract retrieval_index documents (an insert landing
+        outside ``touched`` fails loudly in _write_buckets rather than
+        being silently dropped). ``existing`` lets a caller that already
+        read the touched buckets (e.g. for its manifest) hand the frame
+        over instead of paying a second read — it MUST be exactly
+        read(table, schema, buckets=touched) and still lazy over the
+        pre-swap files."""
         delete_on = delete_on or bucket_col
         if touched is None:
             if delete_on != bucket_col:
@@ -247,7 +302,8 @@ class BucketedParquetStateStore:
             )
         if not touched:
             return
-        existing = self.read(table, schema, buckets=touched)
+        if existing is None:
+            existing = self.read(table, schema, buckets=touched)
         kept = existing.join(
             delete_keys.select(delete_on).distinct(), delete_on, "left_anti"
         )

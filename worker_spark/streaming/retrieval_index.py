@@ -189,10 +189,14 @@ class IncrementalRetrievalIndex:
             inserts=new_dl,
             schema=DOCLEN_SCHEMA,
             bucket_col="doc_id",
-            # already collected above for the old-manifest read; inserts
-            # are a subset of the batch docs, so this is exact — saves a
-            # driver round-trip per batch
+            # already computed/read above for the old-manifest step;
+            # inserts are a subset of the batch docs, so touched is
+            # exact, and handing old_dl over skips a second read()+
+            # recover of the same doc buckets (review finding) — old_dl
+            # stays valid here because only POSTINGS buckets were
+            # swapped since it was created
             touched=doc_buckets,
+            existing=old_dl,
         )
 
     # --- read side -------------------------------------------------------
