@@ -141,6 +141,7 @@ def probes(docs, events, emb, fixed_batch):
     from worker_spark.operators import zorder as Z
     from worker_spark.operators import substrings as SS
     from worker_spark.operators import text as T
+    from worker_spark.sources.synth_corpus import documents_v2_from
 
     # streaming HLL/CMS micro-batch core: the windowed register/cell
     # aggregation the availableNow jobs run per batch (the streaming
@@ -345,6 +346,19 @@ def probes(docs, events, emb, fixed_batch):
             lambda: SIM.ivfpq_residual_topk(
                 emb, k=10, centroid_every=100, codebook_stride=50,
                 query_stride=max(100, (emb.count() // 20) // 100 * 100),
+            ).count(),
+        ),
+        (
+            # r8: BM25 on the Zipf-ish v2 corpus derived from the SAME
+            # replicated doc ids — the posting-bounded scaling number
+            # the 31-token v1 corpus could not show (every v1 query term
+            # joined ~every document, so the v1 bm25 row measured the
+            # degenerate case; VERDICT r6/r7 fixture-realism item)
+            "bm25_v2_topk",
+            lambda: R.bm25_topk(
+                documents_v2_from(docs.select("doc_id")),
+                ["t3 t40 t500", "s1 t12 t2500"],
+                k=10,
             ).count(),
         ),
     ]

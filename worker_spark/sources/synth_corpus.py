@@ -65,11 +65,12 @@ def _token_expr(doc_id: Column, pos: Column) -> Column:
     ).otherwise(F.concat(F.lit("t"), rank.cast("string")))
 
 
-def documents_v2(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+def documents_v2_from(
+    doc_ids: DataFrame, materialize: bool = True
 ) -> DataFrame:
-    """(doc_id, text) with the Zipf-ish v2 text; doc_ids are the
-    documents table's own (the embeddings vec_id contract holds).
+    """(doc_id, text) with the Zipf-ish v2 text generated from an
+    arbitrary doc_id frame — the scaling probe feeds replicated id sets
+    through the same one generator the registered queries use.
 
     ``materialize`` (default) localCheckpoints the generated corpus:
     every retrieval/dedup consumer scans its docs frame on several plan
@@ -78,13 +79,12 @@ def documents_v2(
     union-recompute trap). In production terms this is the one-time
     materialization of a derived table; there is nothing beneath it
     for Catalyst to push into."""
+    spark = doc_ids.sparkSession
     # the documents parquet is 1-2 input splits at test SFs; the token
     # transform is the heavy stage, so spread DOC rows first (the
     # NOTES.md single-split HOF trap) — a tiny id-only shuffle
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = doc_ids.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
     hlen = _hx(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
@@ -96,6 +96,16 @@ def documents_v2(
     )
     out = docs.select("doc_id", F.array_join(toks, " ").alias("text"))
     return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """documents_v2_from over the documents table's own doc_ids (the
+    embeddings vec_id contract holds)."""
+    return documents_v2_from(
+        load_table(spark, sf_dir, "documents"), materialize=materialize
+    )
 
 
 def documents_v2_sql(cte_name: str = "docs2") -> str:
