@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_bm25_topk_v2",
     "inverted_index_postings_v2",
     "doc_hybrid_rrf_topk_v2",
+    "doc_bm25f_topk",
 ]
 
 

@@ -38,3 +38,39 @@ def test_inverted_postings_counts_and_order(spark):
     assert got["b"]["postings"] == "10:2,1:1,2:2"
     assert got["a"]["df"] == 2 and got["a"]["postings"] == "10:1,2:1"
     assert "only" not in got  # df 1 < min_df
+
+
+def test_bm25f_title_weight_outranks_body_hit(spark):
+    """The field-priority semantics BM25F exists for (S10 ranking
+    rules): the same term matching in the x3-weighted title must
+    outrank its match buried in the body of an otherwise-identical
+    document — and with weights {field: 1} the scorer must degrade to
+    plain single-field BM25 over the concatenation."""
+    from worker_spark.operators.retrieval import bm25_topk, bm25f_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple", "pear plum cherry"),
+            (2, "plum", "apple pear cherry"),
+            (3, "grape", "pear plum cherry"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    ranked = bm25f_topk(docs, ["apple"], k=3).collect()
+    assert [r["doc_id"] for r in ranked] == [1, 2]  # title hit first
+    assert ranked[0]["bm25f"] > ranked[1]["bm25f"]
+
+    # weight-1 degeneracy: identical scores to single-field BM25 over
+    # the concatenated text (same tf, dl, df, N by construction)
+    flat = docs.selectExpr("doc_id", "concat(title, ' ', text) AS text")
+    uni = {
+        (r["doc_id"]): r["bm25"]
+        for r in bm25_topk(flat, ["apple"], k=3).collect()
+    }
+    f1 = {
+        (r["doc_id"]): r["bm25f"]
+        for r in bm25f_topk(
+            docs, ["apple"], field_weights={"title": 1, "text": 1}, k=3
+        ).collect()
+    }
+    assert uni == f1

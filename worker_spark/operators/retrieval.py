@@ -246,6 +246,88 @@ def _bm25_scores(
     )
 
 
+def bm25f_topk(
+    docs: DataFrame,
+    queries: list[str],
+    field_weights: dict[str, int] | None = None,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F multi-field ranking (Robertson/Zaragoza'04, the simple
+    weighted-field variant): per-term tf becomes the INTEGER-weighted
+    sum over fields, tf~(t,d) = sum_f w_f * tf_f(t,d), document length
+    becomes dl~(d) = sum_f w_f * len_f(d), df counts documents holding
+    the term in ANY field, and the ONE shared ``bm25_term_score``
+    expression scores (tf~, df, dl~, N, dl_sum) exactly as single-field
+    BM25 — so a title hit outranks the same hit buried in the body by
+    the field weight, which is the scoring-side expression of the
+    reference's searchable-attribute priority order (S10 index
+    configuration, src/meili.rs:273-433: lemmas rank above definition
+    text for the same match).
+
+    Determinism: field weights are integers, so tf~ and dl~ stay exact
+    integers and the engine-exactness argument of bm25_topk carries
+    over unchanged. Scale shape: one tokenize+explode per field (union,
+    map-only), then the identical vocabulary-bounded aggregates and
+    per-term posting joins as bm25_topk."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if field_weights is None:
+        field_weights = {"title": 3, "text": 1}
+    spark = docs.sparkSession
+    parts = [
+        docs.filter(F.length(F.trim(F.col(fld))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(fld)))).alias("term"),
+            F.lit(int(w)).cast("long").alias("w"),
+        )
+        .filter(F.length("term") > 0)
+        for fld, w in field_weights.items()
+    ]
+    base = reduce(lambda a, b_: a.unionByName(b_), parts)
+    tf = base.groupBy("doc_id", "term").agg(F.sum("w").alias("tf"))
+    dl = base.groupBy("doc_id").agg(F.sum("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [
+            (q, t)
+            for q in queries
+            for t in dict.fromkeys(q.lower().split())
+        ],
+        "query string, term string",
+    )
+    scored = (
+        qterms.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    agg = (
+        scored.select("query", "doc_id", bm25_term_score(k1, b).alias("ts"))
+        .groupBy("query", "doc_id")
+        .agg(F.sum("ts").alias("bm25f"))
+    )
+    w_ = Window.partitionBy("query").orderBy(F.desc("bm25f"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query",
+            "doc_id",
+            F.col("bm25f").cast("double").alias("bm25f"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[str],

@@ -39,7 +39,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 131 queries / 50 slots: every entry gets a driver row at
+# Steady state for 132 queries / 50 slots: every entry gets a driver row at
 # least every ~2.6 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 #
@@ -67,6 +67,7 @@ _DRIVER_WINDOW = [
     "doc_bm25_topk_v2",
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
+    "doc_bm25f_topk",
     "doc_bm25_topk",
     "doc_hybrid_rrf_topk",
     # (b) The FULL 36-entry r4-stale backlog (VERDICT item 1: last
@@ -108,7 +109,9 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "doc_sequence_pack",
     "top_revenue_orders",
-    # (c) Oldest r5-green entries fill the window to exactly 50.
+    # (c) Oldest r5-green entries fill the window to exactly 50
+    # (event_audience_overlap yielded its fill slot to the NEW
+    # doc_bm25f_topk — new queries outrank fills, the r6 precedent).
     "event_quantile_sketch",
     "kmv_distinct_users",
     "doc_lm_score",
@@ -116,7 +119,6 @@ _DRIVER_WINDOW = [
     "doc_curation_decision",
     "event_value_percentiles",
     "doc_length_quantiles",
-    "event_audience_overlap",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -173,6 +175,7 @@ _DRIVER_WINDOW = [
     "semdedup_prune",
     "streaming_hll_window_users",
     # r5-green remainder (driver row r5, unchanged)
+    "event_audience_overlap",
     "lang_shingle_overlap",
     "join_skew_profile",
     "doc_rag_chunks",

@@ -96,6 +96,26 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES = ("hash join", "table scan fast", "stream window batch")
 
 
+def _bm25_term_score_sql(tf: str = "t.tf", df: str = "f.df", dl: str = "d.dl") -> str:
+    """The ONE SQL twin of operators/retrieval.bm25_term_score — shared
+    by the single-field core below and the BM25F oracle, so the formula
+    (constants, cast order, 6dp DECIMAL rounding) has exactly one SQL
+    definition to match its one Spark definition. Every constant is
+    CAST AS DOUBLE (a bare 2.2 parses as DuckDB DECIMAL and takes a
+    DECIMAL-exact path an ulp off Spark's double product)."""
+    from worker_spark.operators.retrieval import BM25_B, BM25_K1
+
+    return f"""CAST(round(
+                   ln(1.0 + (s.n_docs - {df} + 0.5) / ({df} + 0.5))
+                   * (({tf} * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                      / ({tf} + CAST({BM25_K1!r} AS DOUBLE)
+                         * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                            + CAST({BM25_B!r} AS DOUBLE) * {dl}
+                            / (CAST(s.dl_sum AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE))))),
+                   6) AS DECIMAL(18,6))"""
+
+
 def _bm25_sql_core(
     qterms_cte: str,
     query_col: str,
@@ -109,9 +129,8 @@ def _bm25_sql_core(
     either the raw documents table or a prepended corpus CTE
     (documents_v2). Every constant is CAST AS DOUBLE: a bare 2.2 parses
     as a DuckDB DECIMAL and e.g. tf*2.2 would take a DECIMAL-exact path
-    that differs from Spark's double product by an ulp."""
-    from worker_spark.operators.retrieval import BM25_B, BM25_K1
-
+    that differs from Spark's double product by an ulp (the formula
+    itself lives in _bm25_term_score_sql — one SQL definition)."""
     return f"""base AS (
         SELECT doc_id, term FROM (
             SELECT doc_id,
@@ -139,15 +158,7 @@ def _bm25_sql_core(
     {qterms_cte},
     lex_scores AS (
         SELECT q.{query_col}, t.doc_id,
-               sum(CAST(round(
-                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                   * ((t.tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
-                      / (t.tf + CAST({BM25_K1!r} AS DOUBLE)
-                         * (CAST({1.0 - BM25_B!r} AS DOUBLE)
-                            + CAST({BM25_B!r} AS DOUBLE) * d.dl
-                            / (CAST(s.dl_sum AS DOUBLE)
-                               / CAST(s.n_docs AS DOUBLE))))),
-                   6) AS DECIMAL(18,6))) AS bm25
+               sum({_bm25_term_score_sql()}) AS bm25
         FROM qterms q
         JOIN dfreq f USING (term)
         JOIN tf t USING (term)
@@ -422,4 +433,93 @@ def q_doc_hybrid_rrf_topk_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hybrid_rrf_topk(
         documents_v2(spark, sf_dir), emb, lexical_prune=True
+    )
+
+
+_BM25F_WEIGHTS = {"title": 3, "text": 1}
+
+
+def _bm25f_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_titled_sql
+
+    qvals = ",\n            ".join(
+        f"('{q}', '{t}')"
+        for q in _BM25_V2_QUERIES
+        for t in dict.fromkeys(q.split())
+    )
+    field_parts = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, unnest(string_split_regex(lower(trim({fld})),"
+        f" '\\s+')) AS term, CAST({w} AS BIGINT) AS w"
+        f" FROM docs2f WHERE length(trim({fld})) > 0"
+        for fld, w in _BM25F_WEIGHTS.items()
+    )
+    return f"""
+    WITH {documents_v2_titled_sql("docs2f")},
+    base AS (
+        SELECT doc_id, term, w FROM (
+            {field_parts}
+        ) WHERE length(term) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
+        FROM base GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl FROM base GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS dl_sum
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qterms(query, term) AS (
+        VALUES
+            {qvals}
+    ),
+    lex_scores AS (
+        SELECT q.query, t.doc_id,
+               sum({_bm25_term_score_sql()}) AS bm25f
+        FROM qterms q
+        JOIN dfreq f USING (term)
+        JOIN tf t USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    )
+    SELECT query, doc_id, CAST(bm25f AS DOUBLE) AS bm25f,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query
+                                     ORDER BY bm25f DESC, doc_id) AS rnk
+        FROM lex_scores
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "doc_bm25f_topk",
+    _bm25f_oracle(),
+    doc="BM25F multi-field ranking (Robertson/Zaragoza'04 weighted-"
+    "field variant) over the titled documents_v2 corpus: per-term tf "
+    "is the INTEGER-weighted sum across fields (title x3, body x1), "
+    "dl the weighted length, df any-field document frequency — the "
+    "scoring-side expression of the reference's searchable-attribute "
+    "priority order (S10 index configuration, src/meili.rs:273-433: a "
+    "lemma hit outranks the same match in definition text). Integer "
+    "weights keep tf/dl exact, so the single-field BM25 engine-"
+    "exactness argument carries over; formula has ONE Spark and ONE "
+    "SQL definition (bm25_term_score / _bm25_term_score_sql).",
+)
+def q_doc_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.retrieval import bm25f_topk
+    from worker_spark.sources.synth_corpus import documents_v2_titled
+
+    return bm25f_topk(
+        documents_v2_titled(spark, sf_dir),
+        list(_BM25_V2_QUERIES),
+        field_weights=_BM25F_WEIGHTS,
+        k=10,
     )

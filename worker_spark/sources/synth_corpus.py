@@ -108,6 +108,104 @@ def documents_v2(
     )
 
 
+V2_TITLE_MIN_TOKENS = 4
+V2_TITLE_SPREAD = 8
+
+
+def documents_v2_titled(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """(doc_id, title, text): the v2 corpus with a second, shorter
+    deterministic field — the multi-field document shape the
+    reference's search index ranks by attribute priority
+    (src/meili.rs:273-433 searchable-attribute order; lemmas before
+    definition text). The title stream uses the SAME token model under
+    the ':t:' salt, 4-11 tokens, so title terms share the body's Zipf
+    vocabulary (as real titles share their document's language) while
+    being a distinct token sequence."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    hlen = _hx(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
+    )
+    n = (F.lit(V2_MIN_TOKENS) + (hlen % V2_LEN_SPREAD)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda p: _token_expr(F.col("doc_id"), p),
+        ),
+        " ",
+    )
+    htl = _hx(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tlen"))), 1
+    )
+    nt = (F.lit(V2_TITLE_MIN_TOKENS) + (htl % V2_TITLE_SPREAD)).cast("int")
+    title = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nt - F.lit(1)),
+            lambda p: _token_expr(
+                F.col("doc_id"),
+                # the ':t:' salt via a shifted position namespace keeps
+                # one token expression: title pos p hashes as
+                # md5(doc_id ':' (1000000+p))
+                p + F.lit(1_000_000),
+            ),
+        ),
+        " ",
+    )
+    out = docs.select(
+        "doc_id", title.alias("title"), body.alias("text")
+    )
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
+    """DuckDB twin of documents_v2_titled: (doc_id, title, text)."""
+    hx = "('0x' || substr({h}, {lo}, 8))::BIGINT"
+    hlen = hx.format(h="md5(d.doc_id::VARCHAR || ':len')", lo=1)
+    htl = hx.format(h="md5(d.doc_id::VARCHAR || ':tlen')", lo=1)
+    tok_case = f"""CASE WHEN {hx.format(h="h", lo=1)} % {V2_STOP_GATE} = 0
+                        THEN 's' || ({hx.format(h="h", lo=25)} % {V2_STOPWORDS})
+                        ELSE 't' || (1 + {hx.format(h="h", lo=17)}
+                                     % (1 + {hx.format(h="h", lo=9)} % {V2_VOCAB}))
+                   END"""
+    return f"""{cte_name} AS (
+        SELECT b.doc_id, t.title, b.text
+        FROM (
+            SELECT doc_id, string_agg({tok_case}, ' ' ORDER BY p) AS text
+            FROM (
+                SELECT doc_id, p,
+                       md5(doc_id::VARCHAR || ':' || p::VARCHAR) AS h
+                FROM (
+                    SELECT d.doc_id, u.p
+                    FROM documents d,
+                         UNNEST(range(0, {V2_MIN_TOKENS} + {hlen}
+                                         % {V2_LEN_SPREAD})) AS u(p)
+                )
+            )
+            GROUP BY doc_id
+        ) b
+        JOIN (
+            SELECT doc_id, string_agg({tok_case}, ' ' ORDER BY p) AS title
+            FROM (
+                SELECT doc_id, p,
+                       md5(doc_id::VARCHAR || ':'
+                           || (1000000 + p)::VARCHAR) AS h
+                FROM (
+                    SELECT d.doc_id, u.p
+                    FROM documents d,
+                         UNNEST(range(0, {V2_TITLE_MIN_TOKENS} + {htl}
+                                         % {V2_TITLE_SPREAD})) AS u(p)
+                )
+            )
+            GROUP BY doc_id
+        ) t USING (doc_id)
+    )"""
+
+
 def documents_v2_sql(cte_name: str = "docs2") -> str:
     """The DuckDB twin as a WITH-clause fragment producing
     (doc_id, text) under ``cte_name`` — byte-identical text to
