@@ -98,6 +98,9 @@ HEADLINE = [
     "doc_bm25_topk_v2",
     "inverted_index_postings_v2",
     "doc_hybrid_rrf_topk_v2",
+    # round-8 LATE addition (after R8_ANCHOR was recorded) — no prior
+    # anchor; it joins the anchor set in r9 (the r6-late-additions
+    # precedent)
     "doc_bm25f_topk",
 ]
 
