@@ -482,6 +482,18 @@ def test_hybrid_rrf_v2_same_plan_guarantees_plus_stop_prune(spark):
     ), "stop-prune filter not found in the physical plan"
 
 
+def test_bm25f_plan_is_posting_bounded(spark):
+    # the multi-field scorer must keep the single-field plan shape:
+    # no cartesian, broadcast stats side, map-side rank-limit on the
+    # per-query top-k window — field weighting is a per-row integer
+    # column, never an extra join or corpus re-scan
+    df = _SPECS["doc_bm25f_topk"].run(spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_bucketed_index_bm25_reads_only_query_term_buckets(spark, tmp_path):
     # the term-bucketing payoff: the scorer's postings FileScan must
     # list ONLY the buckets containing the query's terms — file-level

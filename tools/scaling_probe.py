@@ -143,6 +143,12 @@ def probes(docs, events, emb, fixed_batch):
     from worker_spark.operators import text as T
     from worker_spark.sources.synth_corpus import documents_v2_from
 
+    # v2 corpus materialized HERE, outside any timed thunk, matching
+    # the pre-checkpointed docs/events/emb inputs policy: the bm25_v2
+    # row must measure the posting-bounded QUERY, not the (deliberately
+    # linear) corpus-generation map stage (review finding)
+    docs_v2 = documents_v2_from(docs.select("doc_id"))
+
     # streaming HLL/CMS micro-batch core: the windowed register/cell
     # aggregation the availableNow jobs run per batch (the streaming
     # wrapper itself is engine-provided)
@@ -356,9 +362,7 @@ def probes(docs, events, emb, fixed_batch):
             # degenerate case; VERDICT r6/r7 fixture-realism item)
             "bm25_v2_topk",
             lambda: R.bm25_topk(
-                documents_v2_from(docs.select("doc_id")),
-                ["t3 t40 t500", "s1 t12 t2500"],
-                k=10,
+                docs_v2, ["t3 t40 t500", "s1 t12 t2500"], k=10
             ).count(),
         ),
     ]

@@ -187,7 +187,7 @@ def bm25_term_score(k1: float = BM25_K1, b: float = BM25_B) -> Column:
 
 
 def _bm25_scores(
-    docs: DataFrame,
+    docs: DataFrame | None,
     qterms: DataFrame,
     query_col: str,
     exclude_self: bool = False,
@@ -196,6 +196,7 @@ def _bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     prune_high_df: bool = False,
+    weighted_base: DataFrame | None = None,
 ) -> DataFrame:
     """The shared BM25 scoring core: given a (query_col, term) frame,
     return (query_col, doc_id, bm25) summed per (query, doc). One
@@ -213,13 +214,26 @@ def _bm25_scores(
     signal. Exact in integers (2*df < N, no ratio arithmetic), so the
     oracle replays it verbatim. Changes scores only by the pruned
     terms' (bounded, uniform-ish) contribution; OFF by default — the
-    v1-corpus queries keep their pinned semantics."""
-    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    ).filter(F.length("term") > 0)
-    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    v1-corpus queries keep their pinned semantics.
+
+    ``weighted_base`` (BM25F path) supplies a pre-built (doc_id, term,
+    w) per-occurrence frame instead of tokenizing ``docs``: tf and dl
+    become the integer-weighted sums, everything downstream — df,
+    stats, joins, the ONE term-score expression, pruning — is shared
+    verbatim, so the multi-field scorer can never drift from the
+    single-field one (review finding: no second copy of this chain).
+    The single-field path is the w=1 special case of the same sums."""
+    if weighted_base is None:
+        weighted_base = docs.filter(
+            F.length(F.trim(F.col(text_col))) > 0
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+            F.lit(1).cast("long").alias("w"),
+        ).filter(F.length("term") > 0)
+    base = weighted_base
+    tf = base.groupBy("doc_id", "term").agg(F.sum("w").alias("tf"))
+    dl = base.groupBy("doc_id").agg(F.sum("w").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
@@ -269,12 +283,12 @@ def bm25f_topk(
 
     Determinism: field weights are integers, so tf~ and dl~ stay exact
     integers and the engine-exactness argument of bm25_topk carries
-    over unchanged. Scale shape: one tokenize+explode per field (union,
-    map-only), then the identical vocabulary-bounded aggregates and
-    per-term posting joins as bm25_topk."""
+    over unchanged — the scorer IS _bm25_scores over a weighted base
+    (no second copy of the chain; review finding). Scale shape: one
+    tokenize+explode per field (union, map-only), then the identical
+    vocabulary-bounded aggregates and per-term posting joins as
+    bm25_topk."""
     from functools import reduce
-
-    from pyspark.sql import Window
 
     if field_weights is None:
         field_weights = {"title": 3, "text": 1}
@@ -290,12 +304,6 @@ def bm25f_topk(
         for fld, w in field_weights.items()
     ]
     base = reduce(lambda a, b_: a.unionByName(b_), parts)
-    tf = base.groupBy("doc_id", "term").agg(F.sum("w").alias("tf"))
-    dl = base.groupBy("doc_id").agg(F.sum("w").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = spark.createDataFrame(
         [
             (q, t)
@@ -304,25 +312,29 @@ def bm25f_topk(
         ],
         "query string, term string",
     )
-    scored = (
-        qterms.join(dfreq, "term")
-        .join(tf, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+    agg = _bm25_scores(
+        None, qterms, "query", k1=k1, b=b, weighted_base=base
+    ).withColumnRenamed("bm25", "bm25f")
+    return _topk_by_query(agg, "query", "bm25f", k)
+
+
+def _topk_by_query(
+    agg: DataFrame, query_col: str, score_col: str, k: int
+) -> DataFrame:
+    """The shared rank-limited top-k tail (desc score, asc doc_id
+    tie-break, typed output) — one definition for the BM25 family."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc("doc_id")
     )
-    agg = (
-        scored.select("query", "doc_id", bm25_term_score(k1, b).alias("ts"))
-        .groupBy("query", "doc_id")
-        .agg(F.sum("ts").alias("bm25f"))
-    )
-    w_ = Window.partitionBy("query").orderBy(F.desc("bm25f"), F.asc("doc_id"))
     return (
-        agg.withColumn("rnk", F.row_number().over(w_))
+        agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
-            "query",
+            query_col,
             "doc_id",
-            F.col("bm25f").cast("double").alias("bm25f"),
+            F.col(score_col).cast("double").alias(score_col),
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
@@ -357,8 +369,6 @@ def bm25_topk(
     joins the tiny (query, term, df) table onto postings by term —
     per-term posting traffic only, never a corpus broadcast. Top-k per
     query is a rank-limited window (map-side WindowGroupLimit)."""
-    from pyspark.sql import Window
-
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [
@@ -371,19 +381,7 @@ def bm25_topk(
     agg = _bm25_scores(
         docs, qterms, "query", k1=k1, b=b, id_col=id_col, text_col=text_col
     )
-    w = Window.partitionBy("query").orderBy(
-        F.desc("bm25"), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query",
-            "doc_id",
-            F.col("bm25").cast("double").alias("bm25"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    return _topk_by_query(agg, "query", "bm25", k)
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack'09)

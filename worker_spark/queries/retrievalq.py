@@ -121,30 +121,37 @@ def _bm25_sql_core(
     query_col: str,
     self_filter: str,
     docs_table: str = "documents",
+    base_cte: str | None = None,
+    score_alias: str = "bm25",
 ) -> str:
     """The shared BM25 CTE chain (base/tf/dl/stats/dfreq/scored/agg) —
-    ONE SQL definition of the formula for both the literal-query and
-    more-like-this oracles, mirroring operators/retrieval._bm25_scores
-    (review finding: four drifting copies -> two shared cores), over
-    either the raw documents table or a prepended corpus CTE
-    (documents_v2). Every constant is CAST AS DOUBLE: a bare 2.2 parses
-    as a DuckDB DECIMAL and e.g. tf*2.2 would take a DECIMAL-exact path
+    ONE SQL definition of the formula for the literal-query,
+    more-like-this AND multi-field (BM25F) oracles, mirroring
+    operators/retrieval._bm25_scores (review finding: four drifting
+    copies -> two shared cores), over either the raw documents table, a
+    prepended corpus CTE (documents_v2), or a caller-supplied weighted
+    ``base_cte`` producing (doc_id, term, w) — tf/dl are SUM(w), the
+    single-field default being the w=1 special case, exactly like the
+    Spark core. Every constant is CAST AS DOUBLE: a bare 2.2 parses as
+    a DuckDB DECIMAL and e.g. tf*2.2 would take a DECIMAL-exact path
     that differs from Spark's double product by an ulp (the formula
     itself lives in _bm25_term_score_sql — one SQL definition)."""
-    return f"""base AS (
-        SELECT doc_id, term FROM (
+    if base_cte is None:
+        base_cte = f"""base AS (
+        SELECT doc_id, term, CAST(1 AS BIGINT) AS w FROM (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\\s+'))
                        AS term
             FROM {docs_table} WHERE length(trim(text)) > 0
         ) WHERE length(term) > 0
-    ),
+    )"""
+    return f"""{base_cte},
     tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
         FROM base GROUP BY 1, 2
     ),
     dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl
         FROM base GROUP BY 1
     ),
     stats AS (
@@ -158,7 +165,7 @@ def _bm25_sql_core(
     {qterms_cte},
     lex_scores AS (
         SELECT q.{query_col}, t.doc_id,
-               sum({_bm25_term_score_sql()}) AS bm25
+               sum({_bm25_term_score_sql()}) AS {score_alias}
         FROM qterms q
         JOIN dfreq f USING (term)
         JOIN tf t USING (term)
@@ -173,11 +180,16 @@ def _bm25_oracle(
     queries: tuple[str, ...] = _BM25_QUERIES,
     docs_table: str = "documents",
     prelude: str = "",
+    base_cte: str | None = None,
+    score_alias: str = "bm25",
 ) -> str:
     qvals = ",\n            ".join(
         f"('{q}', '{t}')"
         for q in queries
-        for t in dict.fromkeys(q.split())
+        # lowercase the VALUES term exactly as the Spark side lowercases
+        # the query string — a case-sensitivity divergence is impossible
+        # by construction, not by convention (review finding)
+        for t in dict.fromkeys(q.lower().split())
     )
     core = _bm25_sql_core(
         f"""qterms(query, term) AS (
@@ -187,14 +199,17 @@ def _bm25_oracle(
         "query",
         "",
         docs_table=docs_table,
+        base_cte=base_cte,
+        score_alias=score_alias,
     )
     return f"""
     WITH {prelude}{core}
-    SELECT query, doc_id, CAST(bm25 AS DOUBLE) AS bm25,
+    SELECT query, doc_id, CAST({score_alias} AS DOUBLE) AS {score_alias},
            CAST(rnk AS INTEGER) AS rnk
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query
-                                     ORDER BY bm25 DESC, doc_id) AS rnk
+                                     ORDER BY {score_alias} DESC, doc_id)
+                      AS rnk
         FROM lex_scores
     ) WHERE rnk <= 10
     """
@@ -440,63 +455,27 @@ _BM25F_WEIGHTS = {"title": 3, "text": 1}
 
 
 def _bm25f_oracle() -> str:
+    """BM25F = the SAME _bm25_oracle chain over a weighted multi-field
+    base CTE (no second copy of the chain; review finding)."""
     from worker_spark.sources.synth_corpus import documents_v2_titled_sql
 
-    qvals = ",\n            ".join(
-        f"('{q}', '{t}')"
-        for q in _BM25_V2_QUERIES
-        for t in dict.fromkeys(q.split())
-    )
     field_parts = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, unnest(string_split_regex(lower(trim({fld})),"
         f" '\\s+')) AS term, CAST({w} AS BIGINT) AS w"
         f" FROM docs2f WHERE length(trim({fld})) > 0"
         for fld, w in _BM25F_WEIGHTS.items()
     )
-    return f"""
-    WITH {documents_v2_titled_sql("docs2f")},
-    base AS (
+    base_cte = f"""base AS (
         SELECT doc_id, term, w FROM (
             {field_parts}
         ) WHERE length(term) > 0
-    ),
-    tf AS (
-        SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
-        FROM base GROUP BY 1, 2
-    ),
-    dl AS (
-        SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl FROM base GROUP BY 1
-    ),
-    stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS dl_sum
-        FROM dl
-    ),
-    dfreq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ),
-    qterms(query, term) AS (
-        VALUES
-            {qvals}
-    ),
-    lex_scores AS (
-        SELECT q.query, t.doc_id,
-               sum({_bm25_term_score_sql()}) AS bm25f
-        FROM qterms q
-        JOIN dfreq f USING (term)
-        JOIN tf t USING (term)
-        JOIN dl d USING (doc_id)
-        CROSS JOIN stats s
-        GROUP BY 1, 2
+    )"""
+    return _bm25_oracle(
+        queries=_BM25_V2_QUERIES,
+        prelude=documents_v2_titled_sql("docs2f") + ",\n    ",
+        base_cte=base_cte,
+        score_alias="bm25f",
     )
-    SELECT query, doc_id, CAST(bm25f AS DOUBLE) AS bm25f,
-           CAST(rnk AS INTEGER) AS rnk
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY query
-                                     ORDER BY bm25f DESC, doc_id) AS rnk
-        FROM lex_scores
-    ) WHERE rnk <= 10
-    """
 
 
 @register(

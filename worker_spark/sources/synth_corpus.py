@@ -65,6 +65,32 @@ def _token_expr(doc_id: Column, pos: Column) -> Column:
     ).otherwise(F.concat(F.lit("t"), rank.cast("string")))
 
 
+def _stream_text_expr(
+    len_salt: str, min_tokens: int, spread: int, pos_offset: int = 0
+) -> Column:
+    """The ONE token-stream generator expression (over a ``doc_id``
+    column in scope): body and title are the same stream with different
+    length parameters and a shifted position namespace — a single
+    definition so the corpora can never fork (review finding)."""
+    hlen = _hx(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(len_salt))
+        ),
+        1,
+    )
+    n = (F.lit(min_tokens) + (hlen % spread)).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda p: _token_expr(
+                F.col("doc_id"),
+                p if pos_offset == 0 else p + F.lit(pos_offset),
+            ),
+        ),
+        " ",
+    )
+
+
 def documents_v2_from(
     doc_ids: DataFrame, materialize: bool = True
 ) -> DataFrame:
@@ -86,15 +112,8 @@ def documents_v2_from(
     docs = doc_ids.select("doc_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    hlen = _hx(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
-    )
-    n = (F.lit(V2_MIN_TOKENS) + (hlen % V2_LEN_SPREAD)).cast("int")
-    toks = F.transform(
-        F.sequence(F.lit(0), n - F.lit(1)),
-        lambda p: _token_expr(F.col("doc_id"), p),
-    )
-    out = docs.select("doc_id", F.array_join(toks, " ").alias("text"))
+    body = _stream_text_expr(":len", V2_MIN_TOKENS, V2_LEN_SPREAD)
+    out = docs.select("doc_id", body.alias("text"))
     return out.localCheckpoint(eager=True) if materialize else out
 
 
@@ -128,33 +147,9 @@ def documents_v2_titled(
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    hlen = _hx(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
-    )
-    n = (F.lit(V2_MIN_TOKENS) + (hlen % V2_LEN_SPREAD)).cast("int")
-    body = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(1)),
-            lambda p: _token_expr(F.col("doc_id"), p),
-        ),
-        " ",
-    )
-    htl = _hx(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tlen"))), 1
-    )
-    nt = (F.lit(V2_TITLE_MIN_TOKENS) + (htl % V2_TITLE_SPREAD)).cast("int")
-    title = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nt - F.lit(1)),
-            lambda p: _token_expr(
-                F.col("doc_id"),
-                # the ':t:' salt via a shifted position namespace keeps
-                # one token expression: title pos p hashes as
-                # md5(doc_id ':' (1000000+p))
-                p + F.lit(1_000_000),
-            ),
-        ),
-        " ",
+    body = _stream_text_expr(":len", V2_MIN_TOKENS, V2_LEN_SPREAD)
+    title = _stream_text_expr(
+        ":tlen", V2_TITLE_MIN_TOKENS, V2_TITLE_SPREAD, pos_offset=1_000_000
     )
     out = docs.select(
         "doc_id", title.alias("title"), body.alias("text")
@@ -162,47 +157,42 @@ def documents_v2_titled(
     return out.localCheckpoint(eager=True) if materialize else out
 
 
-def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
-    """DuckDB twin of documents_v2_titled: (doc_id, title, text)."""
+def _stream_sql(
+    out_col: str,
+    len_salt: str,
+    min_tokens: int,
+    spread: int,
+    pos_offset: int = 0,
+) -> str:
+    """DuckDB twin of _stream_text_expr: a parenthesized subquery
+    producing (doc_id, ``out_col``) — the ONE SQL definition both the
+    body and title corpus fragments compose."""
     hx = "('0x' || substr({h}, {lo}, 8))::BIGINT"
-    hlen = hx.format(h="md5(d.doc_id::VARCHAR || ':len')", lo=1)
-    htl = hx.format(h="md5(d.doc_id::VARCHAR || ':tlen')", lo=1)
+    hlen = hx.format(h=f"md5(d.doc_id::VARCHAR || '{len_salt}')", lo=1)
+    pos = (
+        "p::VARCHAR"
+        if pos_offset == 0
+        else f"({pos_offset} + p)::VARCHAR"
+    )
     tok_case = f"""CASE WHEN {hx.format(h="h", lo=1)} % {V2_STOP_GATE} = 0
                         THEN 's' || ({hx.format(h="h", lo=25)} % {V2_STOPWORDS})
                         ELSE 't' || (1 + {hx.format(h="h", lo=17)}
                                      % (1 + {hx.format(h="h", lo=9)} % {V2_VOCAB}))
                    END"""
-    return f"""{cte_name} AS (
-        SELECT b.doc_id, t.title, b.text
+    return f"""(
+        SELECT doc_id,
+               string_agg({tok_case}, ' ' ORDER BY p) AS {out_col}
         FROM (
-            SELECT doc_id, string_agg({tok_case}, ' ' ORDER BY p) AS text
+            SELECT doc_id, p,
+                   md5(doc_id::VARCHAR || ':' || {pos}) AS h
             FROM (
-                SELECT doc_id, p,
-                       md5(doc_id::VARCHAR || ':' || p::VARCHAR) AS h
-                FROM (
-                    SELECT d.doc_id, u.p
-                    FROM documents d,
-                         UNNEST(range(0, {V2_MIN_TOKENS} + {hlen}
-                                         % {V2_LEN_SPREAD})) AS u(p)
-                )
+                SELECT d.doc_id, u.p
+                FROM documents d,
+                     UNNEST(range(0, {min_tokens} + {hlen} % {spread}))
+                         AS u(p)
             )
-            GROUP BY doc_id
-        ) b
-        JOIN (
-            SELECT doc_id, string_agg({tok_case}, ' ' ORDER BY p) AS title
-            FROM (
-                SELECT doc_id, p,
-                       md5(doc_id::VARCHAR || ':'
-                           || (1000000 + p)::VARCHAR) AS h
-                FROM (
-                    SELECT d.doc_id, u.p
-                    FROM documents d,
-                         UNNEST(range(0, {V2_TITLE_MIN_TOKENS} + {htl}
-                                         % {V2_TITLE_SPREAD})) AS u(p)
-                )
-            )
-            GROUP BY doc_id
-        ) t USING (doc_id)
+        )
+        GROUP BY doc_id
     )"""
 
 
@@ -211,25 +201,26 @@ def documents_v2_sql(cte_name: str = "docs2") -> str:
     (doc_id, text) under ``cte_name`` — byte-identical text to
     documents_v2 (md5 of identical strings, identical integer folds,
     string_agg ordered by position == the transform's order)."""
-    hx = "('0x' || substr({h}, {lo}, 8))::BIGINT"
-    hlen = hx.format(h="md5(d.doc_id::VARCHAR || ':len')", lo=1)
-    tok_h = "md5(doc_id::VARCHAR || ':' || p::VARCHAR)"
+    return (
+        f"{cte_name} AS "
+        + _stream_sql("text", ":len", V2_MIN_TOKENS, V2_LEN_SPREAD)
+    )
+
+
+def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
+    """DuckDB twin of documents_v2_titled: (doc_id, title, text) —
+    composes the same two _stream_sql fragments the Spark builder
+    composes from _stream_text_expr."""
+    body = _stream_sql("text", ":len", V2_MIN_TOKENS, V2_LEN_SPREAD)
+    title = _stream_sql(
+        "title",
+        ":tlen",
+        V2_TITLE_MIN_TOKENS,
+        V2_TITLE_SPREAD,
+        pos_offset=1_000_000,
+    )
     return f"""{cte_name} AS (
-        SELECT doc_id,
-               string_agg(
-                   CASE WHEN {hx.format(h="h", lo=1)} % {V2_STOP_GATE} = 0
-                        THEN 's' || ({hx.format(h="h", lo=25)} % {V2_STOPWORDS})
-                        ELSE 't' || (1 + {hx.format(h="h", lo=17)}
-                                     % (1 + {hx.format(h="h", lo=9)} % {V2_VOCAB}))
-                   END, ' ' ORDER BY p) AS text
-        FROM (
-            SELECT doc_id, p, {tok_h} AS h
-            FROM (
-                SELECT d.doc_id, u.p
-                FROM documents d,
-                     UNNEST(range(0, {V2_MIN_TOKENS} + {hlen} % {V2_LEN_SPREAD}))
-                         AS u(p)
-            )
-        )
-        GROUP BY doc_id
+        SELECT b.doc_id, t.title, b.text
+        FROM {body} b
+        JOIN {title} t USING (doc_id)
     )"""
