@@ -236,6 +236,49 @@ def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert idx.store.read(idx.DOCLEN, DOCLEN_SCHEMA).count() == 239
 
 
+def test_multifield_index_converges_to_bm25f(spark, tmp_path):
+    """Multi-field (BM25F) maintenance: streaming weighted-field batches
+    through the bucketed index must converge EXACTLY to the batch
+    bm25f_topk build — the incremental twin of the multi-field search
+    index the reference bulk-builds (title x3, body x1), and a
+    composition pin across this round's two features (weighted base +
+    bucketed state). Also pins the S8 replace semantics across BOTH
+    fields."""
+    from worker_spark.operators.retrieval import bm25f_topk
+    from worker_spark.sources.synth_corpus import documents_v2_titled
+
+    FIELDS = {"title": 3, "text": 1}
+    QUERIES_F = ["t3 t40 t500", "s1 t12 t2500"]
+    docs = documents_v2_titled(spark, SF_ORACLE)
+    idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))
+    for residue in range(3):
+        idx.apply_batch(
+            docs.filter(F.col("doc_id") % 3 == residue), fields=FIELDS
+        )
+    got = idx.bm25_topk(QUERIES_F, k=10).withColumnRenamed("bm25", "s")
+    want = bm25f_topk(
+        docs, QUERIES_F, field_weights=FIELDS, k=10
+    ).withColumnRenamed("bm25f", "s")
+    assert _rows(got) == _rows(want)
+
+    # an update replaces postings across BOTH fields (weighted)
+    victim = 7
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(victim, "zztitle", "zzbody zzbody")],
+            "doc_id long, title string, text string",
+        ),
+        fields=FIELDS,
+    )
+    after = {
+        r["term"]: r["tf"]
+        for r in idx.postings().filter(F.col("doc_id") == victim).collect()
+    }
+    assert after == {"zztitle": 3, "zzbody": 2}
+    dl = idx.doclen().filter(F.col("doc_id") == victim).collect()
+    assert dl[0]["dl"] == 5  # 1 title token x3 + 2 body tokens x1
+
+
 def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
     """The bucketed-state sizing rule, asserted (VERDICT r7 item 5):
     with n_buckets scaled to hold bucket bytes constant, a FIXED batch's

@@ -51,7 +51,13 @@ strands the document's old rows in buckets the replay no longer visits.
 Query-time scoring reuses the SAME rounding scheme as
 operators/retrieval._bm25_scores via the shared ``bm25_term_score``
 expression, so the incremental index and the batch scorer can never
-disagree on a score (one-definition policy).
+disagree on a score (one-definition policy). Multi-field (BM25F)
+maintenance is the weighted generalization of the same state: pass
+``fields`` (column -> integer weight) and tf/dl become weighted sums —
+the read side is unchanged because the BM25 formula only sees longs,
+and the streamed state provably equals the batch ``bm25f_topk`` build
+(tests). That is the incremental twin of the reference's MULTI-FIELD
+search index (searchable-attribute priorities, src/meili.rs:273-433).
 
 Determinism pin (tests/test_incremental_retrieval.py): after streaming N
 batches with availableNow, postings == the batch ``inverted_postings``
@@ -107,22 +113,39 @@ class IncrementalRetrievalIndex:
     # --- maintenance ----------------------------------------------------
 
     def _batch_delta(
-        self, docs: DataFrame, id_col: str, text_col: str
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        fields: dict[str, int] | None = None,
     ) -> tuple[DataFrame, DataFrame]:
-        base = (
-            docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        """Per-batch (term, doc_id, tf) and (doc_id, dl) deltas.
+        ``fields`` maps field column -> integer weight for multi-field
+        (BM25F) maintenance: tf/dl become the weighted sums, exactly
+        like operators/retrieval.bm25f_topk's base, so the maintained
+        index scores BM25F through the unchanged bm25_topk read side
+        (weighted tf/dl are just longs to the formula). Default is the
+        single-field {text_col: 1} special case — identical rows to the
+        historical behavior."""
+        if fields is None:
+            fields = {text_col: 1}
+        parts = [
+            docs.filter(F.length(F.trim(F.col(fld))) > 0)
             .select(
                 F.col(id_col).cast("long").alias("doc_id"),
-                F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+                F.explode(tokens(F.lower(F.col(fld)))).alias("term"),
+                F.lit(int(w)).cast("long").alias("w"),
             )
             .filter(F.length("term") > 0)
-        )
+            for fld, w in fields.items()
+        ]
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
         tf = base.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
+            F.sum("w").cast("long").alias("tf")
         )
-        dl = base.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("dl")
-        )
+        dl = base.groupBy("doc_id").agg(F.sum("w").cast("long").alias("dl"))
         return tf, dl
 
     def apply_batch(
@@ -131,6 +154,7 @@ class IncrementalRetrievalIndex:
         batch_id: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        fields: dict[str, int] | None = None,
     ) -> None:
         """The foreachBatch body: delete-then-insert the batch documents'
         posting rows (S8 link-replace semantics — an UPDATED document
@@ -138,9 +162,12 @@ class IncrementalRetrievalIndex:
         identical rows, so replays are no-ops) and upsert doclen. A
         batch document with now-empty text ends with zero postings and
         no doclen row, i.e. a delete. Only the buckets named by the
-        batch's manifest are read or rewritten (module docstring)."""
+        batch's manifest are read or rewritten (module docstring).
+        ``fields`` enables multi-field (BM25F) maintenance — see
+        _batch_delta; an index must be maintained with ONE consistent
+        field map, the caller's contract."""
         store = self.store
-        tf, dl = self._batch_delta(docs, id_col, text_col)
+        tf, dl = self._batch_delta(docs, id_col, text_col, fields)
         batch_ids = docs.select(
             F.col(id_col).cast("long").alias("doc_id")
         ).distinct()
@@ -296,11 +323,14 @@ def index_maintenance_stream(
     schema: T.StructType | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = 1,
+    fields: dict[str, int] | None = None,
 ) -> StreamingQuery:
     """Wire a document directory as the change feed: each new parquet
     file under ``docs_dir`` is a batch of added/updated documents, and
     each micro-batch is MERGEd into the index by apply_batch (the outbox
-    pipeline's foreachBatch shape, streaming/pipeline.run_stage)."""
+    pipeline's foreachBatch shape, streaming/pipeline.run_stage).
+    ``fields`` (column -> integer weight) streams a MULTI-FIELD index —
+    the schema must then carry those columns."""
     if schema is None:
         schema = T.StructType(
             [
@@ -316,7 +346,9 @@ def index_maintenance_stream(
         stream.writeStream.outputMode("update")
         .option("checkpointLocation", os.path.join(checkpoint_dir, "idx"))
         .foreachBatch(
-            lambda batch, bid: index.apply_batch(batch, batch_id=bid)
+            lambda batch, bid: index.apply_batch(
+                batch, batch_id=bid, fields=fields
+            )
         )
     )
     if available_now:
