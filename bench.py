@@ -431,8 +431,14 @@ R8_ANCHOR: dict[str, float] = {
 # Calibration reading from the SAME run that produced each anchor's
 # timings (VERDICT r7 item 4): an adjusted cross-round ratio divides the
 # raw ratio by (this run's calibration / the anchor run's calibration),
-# normalizing out host load — the r7 verdict had to do this by hand
-# (r7 calibration 0.391 vs r6 0.174 made a flat round read as 1.104x).
+# normalizing out host load — the r7 verdict had to do this by hand.
+# Which r6 reading is pinned here: 0.207 is from the ANCHOR-RECORDING
+# run (the second of two back-to-back serialized runs at round-6 close,
+# tools/record_anchor.py — the run whose per-query timings ARE
+# R6_ANCHOR); the driver's own BENCH_r06.json run read 0.174, but its
+# timings are not the anchor, so its calibration must not be the
+# divisor — anchor timings and anchor calibration have to come from one
+# run or the adjustment itself injects cross-run host skew (~19% here).
 # Anchors recorded before the probe existed (r1/r2/r4/r5) have no
 # calibration and get raw ratios only. Adjusted > ADJ_REGRESSION_FLAG
 # is the mechanical "real regression" gate.

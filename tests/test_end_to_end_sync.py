@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from worker_spark import fixtures as FX
@@ -36,8 +37,19 @@ UPSTREAM = {
 }
 
 
-def test_full_sync_lifecycle(spark, tmp_path):
-    store = ParquetStateStore(spark, str(tmp_path / "state"))
+@pytest.mark.parametrize("store_kind", ["flat", "bucketed"])
+def test_full_sync_lifecycle(spark, tmp_path, store_kind):
+    """The lifecycle must run IDENTICALLY on both state stores — the flat
+    whole-directory-swap ParquetStateStore and the scale-safe
+    BucketedParquetStateStore (touched-bucket MERGEs). The bucketed run
+    is the store migration the r8 roadmap called for: same call sites,
+    keys declared at first write."""
+    if store_kind == "flat":
+        store = ParquetStateStore(spark, str(tmp_path / "state"))
+    else:
+        from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+        store = BucketedParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
 
     # seed: article no:2 already stored at revision 1; upstream has moved it
     # to revision 2; no:1 and bm:3 are new upstream; no:9 was deleted upstream
@@ -54,8 +66,9 @@ def test_full_sync_lifecycle(spark, tmp_path):
             ],
             schema=arts_schema,
         ),
+        keys=["dictionary", "id"],
     )
-    store.write("outbox", spark.createDataFrame([], schema=JOB_OUTBOX))
+    store.write("outbox", spark.createDataFrame([], schema=JOB_OUTBOX), keys=["id"])
     store.write("article_bibliography", spark.createDataFrame([], schema=ARTICLE_BIBLIOGRAPHY))
     store.write("article_place", spark.createDataFrame([], schema=ARTICLE_PLACE))
 

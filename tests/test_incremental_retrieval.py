@@ -398,6 +398,64 @@ def test_bucketed_store_upsert_and_recovery(spark, tmp_path):
     shutil.rmtree(root)
 
 
+def test_bucketed_store_rejects_legacy_flat_layout(spark, tmp_path):
+    """A table dir holding parquet files directly (the ParquetStateStore
+    flat layout, no bucket subdirs) must FAIL a bucketed read, not be
+    silently treated as empty — a restarted streaming state root would
+    otherwise reset the index with no way to replay (ADVICE r8)."""
+    from pyspark.sql import types as T
+
+    from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+    from worker_spark.plans.state import ParquetStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "legacy")
+    flat = ParquetStateStore(spark, root)
+    flat.write("t", spark.createDataFrame([(1, "a")], schema))
+
+    store = BucketedParquetStateStore(spark, root, n_buckets=4)
+    with pytest.raises(RuntimeError, match="legacy flat"):
+        store.read("t", schema)
+
+
+def test_recovery_stage_sweep_is_age_gated(spark, tmp_path, monkeypatch):
+    """Recovery sweeps only OLD orphan .stage-* dirs: a young one (an
+    in-flight peer write, if the single-writer assumption were ever
+    violated) survives; past the age gate it is reclaimed (ADVICE r8)."""
+    from pyspark.sql import types as T
+
+    from worker_spark.plans import bucketed_state as bs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "bs2")
+    store = bs.BucketedParquetStateStore(spark, root, n_buckets=4)
+    store.upsert("t", spark.createDataFrame([(1, "a")], schema), ["k"], schema)
+    tdir = os.path.join(root, "t")
+    stage = os.path.join(tdir, ".stage-feedface")
+    os.makedirs(stage)
+    anchor = os.path.getmtime(stage)
+
+    monkeypatch.setattr(bs, "_now", lambda: anchor + 1.0)
+    store.read("t", schema).count()
+    assert os.path.isdir(stage)  # young: survives the sweep
+
+    monkeypatch.setattr(
+        bs, "_now", lambda: anchor + bs._STAGE_SWEEP_AGE_S + 1.0
+    )
+    store.read("t", schema).count()
+    assert not os.path.exists(stage)  # old orphan: reclaimed
+
+
 @pytest.mark.parametrize("min_df", [1, 3])
 def test_posting_lists_min_df_matches_batch(spark, tmp_path, min_df):
     docs = _docs(spark).limit(250).localCheckpoint(eager=True)

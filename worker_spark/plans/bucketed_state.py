@@ -56,8 +56,10 @@ not with an in-flight swap of the bucket they read.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -68,6 +70,14 @@ from worker_spark.plans.state import _merge_latest
 
 DEFAULT_N_BUCKETS = 16
 _META = "_n_buckets"
+_KEYS_META = "_bucket_keys"  # per-table: the pinned bucket-key columns
+_SCHEMA_META = "_schema"  # per-table: schema JSON (schema-less reads,
+# and the ONLY schema witness while every bucket is an empty dir)
+# Orphan .stage-* dirs younger than this survive recovery's sweep (see
+# _recover) — far above any plausible staging-write duration, far below
+# "disk fills up with orphans".
+_STAGE_SWEEP_AGE_S = 3600.0
+_now = time.time  # indirection so tests can pin the clock
 
 
 def tree_bytes(root: str) -> dict[str, tuple[int, float]]:
@@ -140,17 +150,80 @@ class BucketedParquetStateStore:
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _pinned_keys(self, table: str) -> list[str] | None:
+        p = os.path.join(self._table_dir(table), _KEYS_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return [ln for ln in f.read().splitlines() if ln]
+
+    def _pin_keys(self, table: str, keys: list[str]) -> list[str]:
+        """Pin the table's bucket-key columns on first write; every later
+        write/upsert must bucket on the SAME columns or its touched-set
+        arithmetic silently diverges from where the rows actually live
+        (an updated row would land in a different bucket than the row it
+        replaces). Mismatch is therefore a loud error, not a re-bucket."""
+        pinned = self._pinned_keys(table)
+        if pinned is None:
+            tdir = self._table_dir(table)
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, _KEYS_META), "w") as f:
+                f.write("\n".join(keys))
+            return keys
+        if pinned != keys:
+            raise ValueError(
+                f"{table}: bucket keys {keys} do not match the pinned "
+                f"layout {pinned}; rows were bucketed by the pinned keys "
+                "— rebuild the table into a fresh root to change them"
+            )
+        return keys
+
+    def _store_schema(self, table: str, schema: T.StructType) -> None:
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, _SCHEMA_META), "w") as f:
+            f.write(schema.json())
+
+    def _stored_schema(self, table: str) -> T.StructType | None:
+        p = os.path.join(self._table_dir(table), _SCHEMA_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return T.StructType.fromJson(json.load(f))
+
     @staticmethod
     def _bucket_name(b: int) -> str:
         return f"b{b:05d}"
 
     def _recover(self, table: str) -> None:
         """Heal torn per-bucket swaps (the ParquetStateStore._recover
-        logic applied per bucket) and sweep orphaned staging dirs."""
+        logic applied per bucket) and sweep orphaned staging dirs.
+
+        Refuses a LEGACY FLAT LAYOUT: a table dir holding parquet data
+        files directly (the ParquetStateStore layout — no bNNNNN bucket
+        subdirs) must not be silently read as an empty bucketed table; a
+        pre-existing state root restarted after the layout change would
+        otherwise reset to empty, and a streaming checkpoint prevents
+        replaying old batches to rebuild it. Migrate explicitly: read
+        the old root with ParquetStateStore and upsert into a fresh
+        bucketed root."""
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return
         names = os.listdir(tdir)
+        flat = [
+            n
+            for n in names
+            if os.path.isfile(os.path.join(tdir, n))
+            and (n.endswith(".parquet") or n.startswith("part-"))
+        ]
+        if flat:
+            raise RuntimeError(
+                f"{tdir}: found data files outside bucket subdirectories "
+                f"(e.g. {sorted(flat)[:3]}) — this looks like a legacy "
+                "flat ParquetStateStore table, which this store would "
+                "silently ignore; migrate it into a bucketed root first"
+            )
         bases = {n.split(".")[0] for n in names if n.startswith("b")}
         for base in bases:
             olds = sorted(n for n in names if n.startswith(f"{base}.old-"))
@@ -171,7 +244,20 @@ class BucketedParquetStateStore:
                     shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
         for n in names:
             if n.startswith(".stage-"):
-                shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+                # Orphan-stage sweep, age-gated as cheap insurance: the
+                # single-writer assumption (module docstring) makes any
+                # stage dir seen here an orphan by definition, but if an
+                # operator ever violates it, deleting a peer's IN-FLIGHT
+                # stage mid-write is the one failure recovery itself
+                # could cause. A crash-orphaned stage is, by contrast,
+                # necessarily old — so only sweep past the age gate.
+                p = os.path.join(tdir, n)
+                try:
+                    age = _now() - os.path.getmtime(p)
+                except OSError:
+                    continue  # vanished between listdir and stat
+                if age >= _STAGE_SWEEP_AGE_S:
+                    shutil.rmtree(p, ignore_errors=True)
 
     def bucket_paths(
         self, table: str, buckets: list[int] | None = None
@@ -189,17 +275,32 @@ class BucketedParquetStateStore:
 
     # --- read -------------------------------------------------------------
 
+    def exists(self, table: str) -> bool:
+        self._recover(table)
+        tdir = self._table_dir(table)
+        return os.path.exists(os.path.join(tdir, _SCHEMA_META)) or bool(
+            self.bucket_paths(table)
+        )
+
     def read(
         self,
         table: str,
-        schema: T.StructType,
+        schema: T.StructType | None = None,
         buckets: list[int] | None = None,
     ) -> DataFrame:
         self._recover(table)
+        if schema is None:
+            schema = self._stored_schema(table)
         paths = self.bucket_paths(table, buckets)
         if not paths:
+            if schema is None:
+                # genuinely never created (no schema witness either)
+                raise FileNotFoundError(self._table_dir(table))
             return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     # --- write ------------------------------------------------------------
 
@@ -216,6 +317,7 @@ class BucketedParquetStateStore:
         directories are never renamed or rewritten."""
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
+        self._store_schema(table, merged.schema)
         stage = os.path.join(tdir, f".stage-{uuid.uuid4().hex[:8]}")
         (
             merged.withColumn("_b", self.bucket_of(*bucket_cols))
@@ -264,6 +366,34 @@ class BucketedParquetStateStore:
                 shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        keys: list[str] | None = None,
+    ) -> None:
+        """Full-table replace (ParquetStateStore.write parity — the
+        seeding / snapshot path; O(state) by definition, so the
+        touched-bucket economics don't apply). ``keys`` declares the
+        bucket-key columns; on the first write of a table they are
+        pinned (default: all columns — fine for tables only ever
+        replaced whole, but a table that will later be ``upsert``-ed
+        must declare its MERGE keys here so updated rows land in the
+        bucket of the rows they replace)."""
+        keys = self._pin_keys(table, keys or self._pinned_keys(table) or list(df.columns))
+        self._store_schema(table, df.schema)
+        # a replace must also EMPTY every currently-populated bucket the
+        # new frame does not reach
+        existing = [
+            b
+            for b in range(self.n_buckets)
+            if os.path.isdir(os.path.join(self._table_dir(table), self._bucket_name(b)))
+        ]
+        touched = sorted(set(existing) | set(self.touched_buckets(df, *keys)))
+        if not touched:
+            return
+        self._write_buckets(table, df, keys, touched)
+
     def delete_then_insert(
         self,
         table: str,
@@ -289,6 +419,7 @@ class BucketedParquetStateStore:
         over instead of paying a second read — it MUST be exactly
         read(table, schema, buckets=touched) and still lazy over the
         pre-swap files."""
+        self._pin_keys(table, [bucket_col])
         delete_on = delete_on or bucket_col
         if touched is None:
             if delete_on != bucket_col:
@@ -315,15 +446,16 @@ class BucketedParquetStateStore:
         table: str,
         updates: DataFrame,
         keys: list[str],
-        schema: T.StructType,
+        schema: T.StructType | None = None,
     ) -> None:
         """S7 MERGE scoped to buckets (rows bucket on the full key
         tuple): matched -> replace, not matched -> insert. Touched
         buckets = buckets of the update keys only."""
+        self._pin_keys(table, keys)
         touched = self.touched_buckets(updates, *keys)
         if not touched:
             return
-        existing = self.read(table, schema, buckets=touched)
+        existing = self.read(table, schema or updates.schema, buckets=touched)
         updates = updates.select(*existing.columns)
         merged = _merge_latest(existing, updates, keys)
         self._write_buckets(table, merged, keys, touched)

@@ -84,9 +84,14 @@ class ParquetStateStore:
             reader = reader.schema(schema)
         return reader.parquet(path)
 
-    def write(self, table: str, df: DataFrame) -> None:
+    def write(self, table: str, df: DataFrame, keys: list[str] | None = None) -> None:
         """Atomic replace: write to a temp dir, swap directories. The swap
-        window between the two renames is healed by _recover()."""
+        window between the two renames is healed by _recover().
+
+        ``keys`` is accepted (and ignored) for call-shape parity with
+        BucketedParquetStateStore.write, where it declares the bucket-key
+        columns — so a pipeline can swap stores without touching call
+        sites."""
         self._recover(table)
         final = self._path(table)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
