@@ -57,7 +57,8 @@ HEADLINE = [
     "bpe_train_merges",
     "dedup_edit_distance",
     "token_bigram_collocations",
-    "inverted_index_postings",
+    # inverted_index_postings retired r9 (degenerate v1 corpus row;
+    # inverted_index_postings_v2 is the canonical postings bench row)
     "similarity_opq_kmeans_topk",
     # round-4 additions (no prior anchor; they join the anchor set in r4)
     "search_documents_flat",
@@ -85,16 +86,16 @@ HEADLINE = [
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
     "similarity_ivfpq_residual_topk",
-    "doc_bm25_topk",
-    "doc_hybrid_rrf_topk",
+    # doc_bm25_topk / doc_hybrid_rrf_topk retired r9 (v1 corpus rows;
+    # the _v2 rows below are the canonical retrieval bench rows)
     "similarity_ivfpq_refined_topk",
     # round-6 late additions (streamed incremental index + windowed
     # top-k serving topology) — no prior anchor; they join in r7
     "streaming_index_bm25",
     "streaming_topk_window",
     # round-8 additions (documents_v2 realism twins — the re-anchored
-    # retrieval bench rows; v1 siblings stay one round for hash
-    # stability) — no prior anchor; they join the anchor set in r8
+    # retrieval bench rows; v1 siblings retired in r9) — they join the
+    # anchor set in r8
     "doc_bm25_topk_v2",
     "inverted_index_postings_v2",
     "doc_hybrid_rrf_topk_v2",

@@ -442,27 +442,6 @@ def test_binary_topk_coarse_scan_carries_codes_not_vectors(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
-def test_hybrid_rrf_semantic_arm_is_hamming_shortlist(spark):
-    # VERDICT r5 item 2: the fused query must not inherit an O(nq*N)
-    # exact float scan. The only corpus-wide semantic stage allowed is
-    # the integer Hamming coarse scan over sign codes — its per-query
-    # shortlist sort must carry no embedding payload (float vectors join
-    # back only for the nq x shortlist survivors), and Spark's rank-limit
-    # pushdown must combine the shortlist map-side.
-    df = _SPECS["doc_hybrid_rrf_topk"].run(spark, SF_ORACLE)
-    plan = _physical(df)
-    assert "CartesianProduct" not in plan
-    sort_lines = [
-        ln for ln in plan.splitlines() if "Sort [" in ln and "hamming" in ln
-    ]
-    assert sort_lines, (
-        "hamming shortlist sort not found — semantic arm is not the "
-        "binary coarse scan"
-    )
-    assert all("embedding" not in ln for ln in sort_lines)
-    assert "WindowGroupLimit" in plan and "Partial" in plan
-
-
 def test_hybrid_rrf_v2_same_plan_guarantees_plus_stop_prune(spark):
     # the documents_v2 twin must keep every v1 plan guarantee (no
     # cartesian, hamming shortlist sort carries no embedding payload,

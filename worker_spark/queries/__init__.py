@@ -68,8 +68,6 @@ _DRIVER_WINDOW = [
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "doc_bm25f_topk",
-    "doc_bm25_topk",
-    "doc_hybrid_rrf_topk",
     # (b) The FULL 36-entry r4-stale backlog (VERDICT item 1: last
     # driver green is round 4, three rounds stale after the r7 no-op
     # round; nothing outranks it this time).
@@ -161,7 +159,6 @@ _DRIVER_WINDOW = [
     "event_range_join",
     "hll_distinct_users",
     "inline_ref_parse",
-    "inverted_index_postings",
     "outbox_dedup_append",
     "pack_utilization",
     "place_crawl_closure",

@@ -60,42 +60,6 @@ def q_token_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bigram_collocations(docs)
 
 
-@register(
-    "inverted_index_postings",
-    f"""
-    WITH tf AS (
-        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
-                       AS term
-            FROM documents WHERE length(trim(text)) > 0
-        )
-        WHERE length(term) > 0
-        GROUP BY term, doc_id
-    )
-    SELECT term,
-           CAST(count(*) AS BIGINT) AS df,
-           CAST(sum(tf) AS BIGINT) AS cf,
-           string_agg(doc_id || ':' || tf, ','
-                      ORDER BY doc_id || ':' || tf) AS postings
-    FROM tf
-    GROUP BY term
-    HAVING count(*) >= {R.POSTINGS_MIN_DF}
-    """,
-    doc=f"Inverted-index posting lists (search-index build surface, S9): "
-    f"terms with df >= {R.POSTINGS_MIN_DF}, doc_id:tf postings in "
-    "deterministic sorted order, document + collection frequency. Two "
-    "vocabulary-bounded shuffles.",
-)
-def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return R.inverted_postings(docs)
-
-
-_BM25_QUERIES = ("hash join", "table scan fast", "stream window batch")
-
-
 def _bm25_term_score_sql(tf: str = "t.tf", df: str = "f.df", dl: str = "d.dl") -> str:
     """The ONE SQL twin of operators/retrieval.bm25_term_score — shared
     by the single-field core below and the BM25F oracle, so the formula
@@ -177,7 +141,7 @@ def _bm25_sql_core(
 
 
 def _bm25_oracle(
-    queries: tuple[str, ...] = _BM25_QUERIES,
+    queries: tuple[str, ...],
     docs_table: str = "documents",
     prelude: str = "",
     base_cte: str | None = None,
@@ -213,24 +177,6 @@ def _bm25_oracle(
         FROM lex_scores
     ) WHERE rnk <= 10
     """
-
-
-@register(
-    "doc_bm25_topk",
-    _bm25_oracle(),
-    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for three literal "
-    "queries: the default lexical ranking of production search engines, "
-    "over the same postings the inverted-index surface builds. Exact "
-    "integer tf/df/dl/N, one bare avgdl division, per-TERM scores "
-    "rounded 6dp and summed as DECIMAL so a last-ulp ln() difference "
-    "cannot reorder ranks. Per-term posting traffic only; top-k is a "
-    "rank-limited window.",
-)
-def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from worker_spark.operators.retrieval import bm25_topk
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_topk(docs, list(_BM25_QUERIES), k=10)
 
 
 def _hybrid_rrf_oracle(
@@ -323,39 +269,15 @@ def _hybrid_rrf_oracle(
     """
 
 
-@register(
-    "doc_hybrid_rrf_topk",
-    _hybrid_rrf_oracle(),
-    doc="Hybrid more-like-this retrieval with reciprocal rank fusion "
-    "(Cormack'09, the calibration-free way production search combines "
-    "lexical and vector rankers): per query DOCUMENT, BM25 over its own "
-    "token set and an ANN vector arm each contribute their top-20, "
-    "fused by sum of 1/(60+rank). The vector arm is the SCALE-SAFE "
-    "default (VERDICT r5 item 2): binary sign codes + integer Hamming "
-    "coarse scan shortlist 300 candidates per query, exact cosine "
-    "reranks only the shortlist — no O(nq*N) float scan anywhere; the "
-    "brute-cosine variant survives as hybrid_rrf_topk(semantic='brute') "
-    "for eval (fused-recall row in ANN_EVAL.md). Ranks are integers and "
-    "each contribution is one exact division, so the fused order is "
-    "engine-deterministic with no rounding at all. The "
-    "in_lexical/in_semantic flags show which source surfaced each hit.",
-)
-def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from worker_spark.operators.retrieval import hybrid_rrf_topk
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    return hybrid_rrf_topk(docs, emb)
-
-
 # --------------------------------------------------------------------------
-# documents_v2 twins (VERDICT r7 item 3 — fixture realism): the SAME
+# documents_v2 retrieval rows (VERDICT r7 item 3 — fixture realism): the
 # operators over the Zipf-ish derived corpus (sources/synth_corpus.py),
 # where df spans ~4 orders of magnitude instead of df ~ N for all 31
-# v1 terms. The v1 queries stay registered unchanged for one round
-# (hash stability); these twins are the re-anchored bench rows.
+# v1 terms. The v1 siblings (doc_bm25_topk / inverted_index_postings /
+# doc_hybrid_rrf_topk over the raw documents table) were kept one round
+# for hash stability and RETIRED in r9 — the _v2 rows are the canonical
+# registered + benched retrieval surface; the operators themselves are
+# corpus-agnostic and still take any (doc_id, text) frame.
 # --------------------------------------------------------------------------
 
 # terms picked across the df spread (head stopword, common, mid, tail)

@@ -742,6 +742,13 @@ def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+# the literal query strings this row scores over the streamed v1
+# documents corpus (previously retrievalq._BM25_QUERIES; the batch v1
+# BM25 row was retired in r9, so the constant lives with its one
+# remaining consumer)
+_INDEX_QUERIES = ("hash join", "table scan fast", "stream window batch")
+
+
 def _index_bm25_oracle() -> str:
     # The post-stream state is EXACTLY the batch-built index (the
     # convergence contract pinned by tests/test_incremental_retrieval),
@@ -752,7 +759,7 @@ def _index_bm25_oracle() -> str:
     # no knowledge of the intermediate versions.
     from worker_spark.queries.retrievalq import _bm25_oracle
 
-    return _bm25_oracle()
+    return _bm25_oracle(queries=_INDEX_QUERIES)
 
 
 @register(
@@ -775,7 +782,6 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time
 
-    from worker_spark.queries.retrievalq import _BM25_QUERIES
     from worker_spark.streaming.retrieval_index import (
         IncrementalRetrievalIndex,
         index_maintenance_stream,
@@ -819,7 +825,7 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(
                 "streaming_index_bm25: availableNow drain exceeded 300s"
             )
-        return idx.bm25_topk(list(_BM25_QUERIES), k=10).localCheckpoint(
+        return idx.bm25_topk(list(_INDEX_QUERIES), k=10).localCheckpoint(
             eager=True
         )
     finally:
