@@ -103,6 +103,12 @@ HEADLINE = [
     # anchor; it joins the anchor set in r9 (the r6-late-additions
     # precedent)
     "doc_bm25f_topk",
+    # round-9 additions (A-ES weighted reservoir, cluster-balanced
+    # selection, bigram novelty) — no prior anchor; they join in r9
+    "doc_weighted_reservoir",
+    "embedding_cluster_balance",
+    "doc_ngram_novelty",
+    "doc_tfidf_topk_v2",
 ]
 
 

@@ -530,3 +530,36 @@ def test_incremental_index_scores_from_state_not_corpus(spark, tmp_path):
     assert plan.count("BroadcastExchange") >= 1
     # rank-limit pushdown on the top-k window
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    # A-ES compiles to the mergeable distributed TopK (per-partition
+    # local k, driver merge) — never a global sort or a window; the key
+    # is pure row-local expression work (no join, no shuffle before the
+    # TakeOrdered)
+    plan = _physical(_SPECS["doc_weighted_reservoir"].run(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_cluster_balance_is_broadcast_plus_one_cell_shuffle(spark):
+    # centroids ride a broadcast (never a shuffle join for K ~ sqrt(N)
+    # rows) and the only wide stage is the per-cell rank window; no
+    # pairwise/cartesian stage anywhere
+    plan = _physical(_SPECS["embedding_cluster_balance"].run(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exactly two wide stages: the per-vector argmax (vec id) and the
+    # per-cell rank — K centroids never ride a shuffle
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ngram_novelty_has_no_pairwise_stage(spark):
+    # the df signal is a count-only window over the shingle key — the
+    # (doc, shingle) stream shuffles, but no shingle-to-shingle join
+    # (the jaccard family's quadratic hazard) can appear
+    plan = _physical(_SPECS["doc_ngram_novelty"].run(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan  # per-doc agg map-side combines

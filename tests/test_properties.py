@@ -371,3 +371,52 @@ def test_select_batch_properties(candidates, batch):
         replay_used.update((left, right, left + right))
         replay.append((left, right, n))
     assert out == replay
+
+
+def test_weighted_reservoir_is_ppswor_shaped(spark):
+    """A-ES semantics: with equal weights the sample is the top-k by
+    hash (uniform ppswor degenerates to uniform); an overwhelming
+    weight is always sampled; the sample is deterministic under
+    repartitioning."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.sampling import weighted_reservoir_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i % 5)) for i in range(200)],
+        schema="doc_id: bigint, text: string",
+    )
+    # equal weights: rank ln(u)/1 = ln(u) -> top-k by md5-prefix desc
+    flat = weighted_reservoir_sample(
+        docs, k=20, weight_col=F.lit(1).cast("long")
+    )
+    got = [r["doc_id"] for r in flat.collect()]
+    h = (
+        docs.select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+        .orderBy(F.desc("h"), F.asc("doc_id"))
+        .limit(20)
+    )
+    assert got == [r["doc_id"] for r in h.collect()]
+
+    # a dominant weight always enters the sample
+    heavy = weighted_reservoir_sample(
+        docs,
+        k=5,
+        weight_col=F.when(F.col("doc_id") == 7, F.lit(10**12))
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+    assert 7 in {r["doc_id"] for r in heavy.collect()}
+
+    # layout-independent
+    again = weighted_reservoir_sample(
+        docs.repartition(17), k=20, weight_col=F.lit(1).cast("long")
+    )
+    assert [r["doc_id"] for r in again.collect()] == got

@@ -40,3 +40,49 @@ def test_select_top_k_deterministic_under_repartition(spark):
         picks.append([r["doc_id"] for r in select_top_k(w, k=15).collect()])
     assert picks[0] == picks[1] == picks[2]
     assert len(picks[0]) == 15
+
+
+def test_cluster_balanced_sample_caps_head_cells(spark):
+    """Head cells downsample to exactly cap; tail cells survive whole;
+    the kept set is deterministic under repartitioning."""
+    import math
+
+    from worker_spark.operators.selection import cluster_balanced_sample
+
+    # two well-separated directions; ids divisible by 10 are medoids.
+    # 60 vectors near +e1 (head cluster), 5 near +e2 (tail cluster).
+    def vec(axis, i, n=8):
+        v = [0.0] * n
+        v[axis] = 1.0
+        v[(axis + 1) % n] = 0.001 * (i % 7)  # tiny jitter, same argmax
+        return v
+
+    rows = [(i, vec(0, i)) for i in range(0, 60)] + [
+        (100 + i, vec(4, i)) for i in range(5)
+    ]
+    # make both clusters contain a medoid id (multiples of 10): 0..50
+    # serve the head, 100 serves the tail
+    emb = spark.createDataFrame(
+        rows, schema="vec_id: bigint, embedding: array<double>"
+    )
+    out = cluster_balanced_sample(emb, centroid_every=10, cap=8)
+    rows_out = out.collect()
+    by_cell = {}
+    for r in rows_out:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, members in by_cell.items():
+        n = len(members)
+        kept = sum(1 for m in members if m["kept"])
+        assert all(m["cell_n"] == n for m in members)
+        assert kept == min(n, 8), (cell, n, kept)
+    # every vector appears exactly once
+    assert sorted(r["vec_id"] for r in rows_out) == sorted(
+        i for i, _ in rows
+    )
+    # deterministic under layout
+    again = cluster_balanced_sample(
+        emb.repartition(13), centroid_every=10, cap=8
+    )
+    assert sorted(
+        (r["vec_id"], r["kept"]) for r in again.collect()
+    ) == sorted((r["vec_id"], r["kept"]) for r in rows_out)

@@ -129,3 +129,40 @@ def test_curation_reject_reason_priority(spark):
             assert r["reject_reason"] == "kept"
     reasons = {r["reject_reason"] for r in rows}
     assert "kept" in reasons and len(reasons) >= 4  # real decision spread
+
+
+def test_ngram_novelty_counts_exactly(spark):
+    """Hand-checkable bigram novelty: shared bigrams score 0, unique
+    ones 1; docs shorter than n are absent."""
+    from worker_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),      # bigrams: "a b", "b c"
+            (2, "a b d"),      # bigrams: "a b", "b d"
+            (3, "x"),          # too short: absent
+            (4, "p q"),        # bigram "p q": unique
+        ],
+        schema="doc_id: bigint, text: string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, n=2).collect()}
+    assert set(got) == {1, 2, 4}
+    # doc 1: "a b" shared (df=2), "b c" unique -> 1/2
+    assert got[1]["n_shingles"] == 2 and got[1]["n_novel"] == 1
+    assert abs(got[1]["novelty"] - 0.5) < 1e-9
+    assert got[2]["n_novel"] == 1
+    assert got[4]["n_shingles"] == 1 and got[4]["novelty"] == 1.0
+
+
+def test_ngram_novelty_repeated_shingle_in_one_doc_counts_once(spark):
+    """Distinct-per-doc contract: a shingle repeated inside ONE doc
+    still has df=1 and stays novel."""
+    from worker_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")],  # bigrams: "a b" (x2, distinct once), "b a"
+        schema="doc_id: bigint, text: string",
+    )
+    (r,) = ngram_novelty(docs, n=2).collect()
+    assert r["n_shingles"] == 2 and r["n_novel"] == 2
+    assert r["novelty"] == 1.0

@@ -365,6 +365,33 @@ def probes(docs, events, emb, fixed_batch):
                 docs_v2, ["t3 t40 t500", "s1 t12 t2500"], k=10
             ).count(),
         ),
+        (
+            # r9: bigram novelty over the same derived v2 corpus — the
+            # (doc, shingle) stream shuffles once for the count-only df
+            # window; expected ~linear in corpus bytes, no pairwise term
+            "ngram_novelty_v2",
+            lambda: T.ngram_novelty(docs_v2).agg(
+                F.sum("n_novel")
+            ).count(),
+        ),
+        (
+            # r9: cluster-balanced selection — N x K broadcast argmax +
+            # one cell shuffle; K grows with the corpus at the pinned
+            # stride so the expected shape is ~N*K = N^2/stride (the
+            # registered query pins stride 100; auto stride restores
+            # O(N^1.5) at scale, same knob family as IVF)
+            "cluster_balance",
+            lambda: SEL.cluster_balanced_sample(
+                emb, centroid_every=100
+            ).agg(F.sum(F.col("kept").cast("long"))).count(),
+        ),
+        (
+            # r9: A-ES weighted reservoir — map-only key + distributed
+            # TakeOrdered; the flat-line baseline the heavier rows are
+            # judged against
+            "weighted_reservoir",
+            lambda: SA.weighted_reservoir_sample(docs, k=50).count(),
+        ),
     ]
 
 

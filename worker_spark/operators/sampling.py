@@ -314,6 +314,78 @@ def weighted_priority_sample(
     )
 
 
+# A-ES weighted reservoir constants: u = (h+1)/2^32 with h the 32-bit
+# md5 prefix, so ln(u) = ln(h+1) - 32*ln(2). Both terms are quantized to
+# integer MICROS (the LM_MICRO trick) so the A-ES key is ONE division of
+# exact integers — bit-identical across engines. round(32*ln(2)*1e6):
+AES_LN_2POW32_MICROS = 22_180_710
+AES_MICRO = 1_000_000
+
+
+def weighted_reservoir_sample(
+    docs: DataFrame,
+    k: int = WEIGHTED_SAMPLE_K,
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement via the EXPONENTIAL-rank
+    reservoir (A-ES, Efraimidis & Spirakis, IPL 2006): each item draws
+    u ~ U(0,1] and ranks by u^(1/w); the k largest ranks are an exact
+    ppswor sample. The classic streaming formulation keeps a k-item
+    heap; here the rank is a pure per-row expression and the top-k is
+    Spark's mergeable distributed TakeOrdered — the same sample, no
+    sequential pass (each partition keeps a local k, the reducer keeps
+    the global k), so it holds at any corpus size.
+
+    Engine-exactness (the integer reformulation of the pow-rank):
+    ranking by u^(1/w) is order-equivalent to ranking by ln(u)/w. With
+    u = (h+1)/2^32 for the exact 32-bit md5-prefix integer h, ln(u) =
+    ln(h+1) - 32*ln(2); both terms are quantized to integer MICROS
+    (text.LM_MICRO precedent), making the key ONE double division of
+    exact integers — bit-identical in Spark and DuckDB, no pow() and no
+    raw libm value ever compared. The micro-quantization discretizes
+    the exponential at 1e-6 nats — far below any sampling-relevant
+    scale — and ties (same quantized key) break on the id.
+
+    Complements weighted_priority_sample (Duffield'07): priority
+    sampling optimizes subset-sum ESTIMATION variance, A-ES draws the
+    exact sequential-ppswor distribution — the pair gives both
+    standard weighted-sampling semantics behind one call shape.
+
+    Output: (doc_id, weight, aes_key_micros) for the k sampled items,
+    aes_key_micros = the integer-micros numerator ln(u)*1e6 (exact);
+    the ranking divides it by the integer weight.
+    """
+    w = (
+        weight_col
+        if weight_col is not None
+        else F.length(F.col("text")).cast("long")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ln_u_micros = (
+        F.round(F.log(h.cast("double") + F.lit(1.0)) * F.lit(AES_MICRO))
+        .cast("long")
+        - F.lit(AES_LN_2POW32_MICROS)
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        ln_u_micros.alias("aes_key_micros"),
+        # ln(u)/w: negative numerator over positive weight — larger
+        # (closer to zero) wins, exactly u^(1/w) descending
+        (
+            ln_u_micros.cast("double") / w.cast("double")
+        ).alias("_r"),
+    )
+    return (
+        scored.orderBy(F.desc("_r"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "weight", "aes_key_micros")
+    )
+
+
 INTERLEAVE_TOP_N = 200
 
 

@@ -127,3 +127,53 @@ def select_top_k(
     TakeOrderedAndProject — per-partition local top-k merged on the
     driver, never a global sort."""
     return weights.orderBy(F.desc("logw"), F.asc("doc_id")).limit(k)
+
+
+CLUSTER_BALANCE_CAP = 40
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroid_every: int = 100,
+    cap: int = CLUSTER_BALANCE_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced selection over an embedding column: assign every
+    vector to its max-cosine medoid cell (the IVF coarse quantizer —
+    similarity.ivf_assign, deterministic every-``centroid_every``-th-id
+    seeding), then keep at most ``cap`` items per cell by md5-hash rank.
+    Flattening the cluster-size distribution is the standard curation
+    counterweight to topic-frequency bias in web corpora (the
+    cluster-balancing step of SemDeDup-era pipelines / DataComp
+    baselines, Abbas et al. 2023 — public method): head clusters are
+    downsampled to the cap, tail clusters survive whole.
+
+    Scale shape (100 TB): cell assignment is one broadcast of K
+    centroids + a per-vector argmax (auto K ~ sqrt(N) via
+    similarity.auto_centroid_stride keeps it O(N^1.5) — the registered
+    query pins the stride for hash-stable replay); the balance pass is
+    ONE shuffle on cell_id with a rank window — no pairwise stage at
+    all, cheaper than any dedup in the family. The md5 rank makes the
+    kept set reproducible across runs and cluster layouts.
+
+    Output: (vec_id, cell_id, cell_n, kept) for every vector — callers
+    filter kept for the balanced corpus, or aggregate for the
+    before/after histogram.
+    """
+    from pyspark.sql import Window
+
+    from worker_spark.operators.similarity import ivf_assign
+
+    cents = vectors.filter(F.col(id_col) % centroid_every == 0)
+    cells = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    cell_w = Window.partitionBy("cell_id")
+    rank_w = cell_w.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return cells.select(
+        id_col,
+        "cell_id",
+        F.count(F.lit(1)).over(cell_w).alias("cell_n"),
+        (F.row_number().over(rank_w) <= cap).alias("kept"),
+    )

@@ -545,3 +545,60 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+NOVELTY_N = 2
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = NOVELTY_N, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that occur in no other document (df == 1).
+    A cheap memorization/boilerplate signal used when curating training
+    mixes — boilerplate-heavy documents score near 0 (every shingle is
+    shared), genuinely novel text near 1 — complementing the
+    fingerprint/substring dedup family (those find the duplicates; this
+    scores how derivative the SURVIVORS are).
+
+    Scale shape (100 TB): shingles are distinct-per-doc (dedup.
+    word_shingles — bounded by token count), and the document frequency
+    is a count-only window over the shingle key: ONE shuffle of the
+    (doc, shingle) stream, no shingle-to-shingle join anywhere, then a
+    map-side-combinable per-doc agg. Unlike the jaccard family there is
+    no pairwise stage, so no df cap is needed — a stop-shingle's high
+    df only marks its rows non-novel.
+
+    Output: (doc_id, n_shingles, n_novel, novelty 6dp); documents with
+    fewer than n tokens yield no shingles and are absent (same contract
+    as the dedup shingle family). Default n=2: on the Zipf-ish
+    documents_v2 corpus bigrams give the discriminative spread
+    (unigram novelty ~0.04, trigram ~1.0 — nearly every trigram is
+    globally unique, both degenerate); at larger corpus sizes df==1
+    thins and the signal sharpens, as a novelty score should.
+    """
+    from pyspark.sql import Window
+
+    from worker_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    flagged = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

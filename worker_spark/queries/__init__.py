@@ -51,80 +51,64 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-8 rotation (VERDICT r7 items 1 + 2 + 3). ----
-    # (a) Every query transitively CHANGED or NEW this round, verified
-    # mechanically by tools/query_hashes.py against the round-7 close
-    # commit: streaming_index_bm25's state moved onto the hash-bucketed
-    # store (touched-buckets-only MERGEs, VERDICT item 2); the three
-    # documents_v2 twins are NEW (Zipf-ish derived corpus, VERDICT
-    # item 3 — the v1 siblings stay registered unchanged for one
-    # round); doc_bm25_topk and doc_hybrid_rrf_topk changed
-    # transitively because the shared _bm25_sql_core/_bm25_scores
-    # gained the docs-source and max-score-pruning parameters (their
-    # SQL output and Spark semantics are bit-identical — defaults — but
-    # the rotation policy counts source, not output).
+    # ---- Round-9 rotation. ----
+    # (a) Every query transitively CHANGED or NEW this round (verified
+    # by tools/query_hashes.py against the round-8 close): three NEW
+    # rows (A-ES weighted reservoir, cluster-balanced selection, bigram
+    # novelty); streaming_index_bm25 (bucketed-state API hardening +
+    # the index query constant moved in from the retired v1 BM25 row);
+    # doc_bm25_topk_v2 / doc_bm25f_topk (shared _bm25_oracle signature
+    # change after the v1 retirement — SQL output identical);
+    # dedup_best_of_cluster (transitive through the text/selection
+    # modules). The v1 retrieval trio was retired outright (see
+    # retrievalq.py) — removed from the registry, not rotated.
+    "doc_weighted_reservoir",
+    "embedding_cluster_balance",
+    "doc_ngram_novelty",
+    "doc_tfidf_topk_v2",
     "streaming_index_bm25",
     "doc_bm25_topk_v2",
-    "doc_hybrid_rrf_topk_v2",
-    "inverted_index_postings_v2",
     "doc_bm25f_topk",
-    # (b) The FULL 36-entry r4-stale backlog (VERDICT item 1: last
-    # driver green is round 4, three rounds stale after the r7 no-op
-    # round; nothing outranks it this time).
-    "bloom_incremental_dedup",
-    "contrastive_hard_negatives",
-    "crawl_frontier_schedule",
-    "streaming_cms_window_users",
-    "doc_mixture_interleave",
-    "doc_mixture_weights",
-    "token_cms_heavy_hitters",
-    "sync_outbox_tick",
-    "outbox_dashboard",
-    "doc_weighted_sample",
-    "token_bigram_collocations",
-    "doc_substring_dup_spans",
-    "doc_substring_dedup_report",
-    "doc_substring_dedup_cut",
-    "search_documents_flat",
-    "article_search_documents",
-    "doc_build_scale",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_incremental",
-    "doc_token_stats",
-    "doc_quality_filter",
-    "doc_lang_id",
-    "doc_fingerprint_dupes",
-    "doc_repetition_scores",
-    "doc_tfidf_topk",
-    "benchmark_contamination",
-    "pii_redaction",
     "dedup_best_of_cluster",
-    "inline_ref_codes",
-    "article_analysis",
-    "multimodal_features",
-    "doc_sequence_pack",
-    "top_revenue_orders",
-    # (c) Oldest r5-green entries fill the window to exactly 50
-    # (event_audience_overlap yielded its fill slot to the NEW
-    # doc_bm25f_topk — new queries outrank fills, the r6 precedent).
-    "event_quantile_sketch",
-    "kmv_distinct_users",
-    "doc_lm_score",
-    "doc_dsir_selection",
-    "doc_curation_decision",
-    "event_value_percentiles",
-    "doc_length_quantiles",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r7-green block (the round-6/7 window, minus the three re-entering
-    # above; driver row r7, unchanged since — the transitive-hash guard
-    # would move any of these back above the boundary if a refactor
-    # touched them). These lead the round-9 rotation together with the
-    # r5-green remainder below, whichever class is then older.
+    # (b) The FULL 35-entry oldest class: last driver green round 4/5
+    # (no driver row since — the r8 window was consumed by the r4-stale
+    # backlog and the v2 twins).
+    "event_audience_overlap",
+    "lang_shingle_overlap",
+    "join_skew_profile",
+    "doc_rag_chunks",
+    "events_zorder_layout",
+    "event_funnel_conversion",
+    "event_retention_cohorts",
+    "event_rate_anomalies",
+    "similarity_multiprobe_lsh",
+    "similarity_margin_probe_lsh",
+    "event_sessions",
+    "order_rollup",
+    "cheapest_supplier_per_part",
+    "pricing_summary",
+    "status_counts",
+    "key_roundtrip",
+    "orders_per_customer_list",
+    "event_journey",
+    "dedup_minhash_lsh",
+    "positional_list_parse",
+    "recent_event_stats",
+    "code_first_id_wins",
+    "name_fallback_resolution",
+    "active_entity_keys",
+    "sync_diff_classify",
+    "top3_orders_per_segment",
+    "revenue_by_nation",
+    "orders_with_returns",
+    "customers_without_orders",
+    "customer_any_return",
+    "outbox_drain_cap",
+    "global_cursors",
+    "doc_quota_sample",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    # (c) Oldest r7-green entries fill the window to exactly 50.
     "similarity_binary_topk",
     "dedup_embedding_blocked",
     "similarity_graph_ann",
@@ -132,6 +116,12 @@ _DRIVER_WINDOW = [
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_refined_topk",
     "similarity_ivf_ann",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r7-green remainder (driver row r7, unchanged since) — these lead
+    # the round-10 rotation. streaming_topk_window yielded its fill
+    # slot to the NEW doc_tfidf_topk_v2 (new queries outrank fills).
     "streaming_topk_window",
     "similarity_pq_adc_topk",
     "similarity_pq_refined_topk",
@@ -171,42 +161,51 @@ _DRIVER_WINDOW = [
     "bloom_membership_audit",
     "semdedup_prune",
     "streaming_hll_window_users",
-    # r5-green remainder (driver row r5, unchanged)
-    "event_audience_overlap",
-    "lang_shingle_overlap",
-    "join_skew_profile",
-    "doc_rag_chunks",
-    "events_zorder_layout",
-    "event_funnel_conversion",
-    "event_retention_cohorts",
-    "event_rate_anomalies",
-    "similarity_multiprobe_lsh",
-    "similarity_margin_probe_lsh",
-    "event_sessions",
-    "order_rollup",
-    "cheapest_supplier_per_part",
-    "pricing_summary",
-    "status_counts",
-    "key_roundtrip",
-    "orders_per_customer_list",
-    "event_journey",
-    "dedup_minhash_lsh",
-    "positional_list_parse",
-    "recent_event_stats",
-    "code_first_id_wins",
-    "name_fallback_resolution",
-    "active_entity_keys",
-    "sync_diff_classify",
-    "top3_orders_per_segment",
-    "revenue_by_nation",
-    "orders_with_returns",
-    "customers_without_orders",
-    "customer_any_return",
-    "outbox_drain_cap",
-    "global_cursors",
-    "doc_quota_sample",
-    "bpe_train_merges",
-    "bpe_encode_stats",
+    # r8-green block (driver row r8, unchanged since)
+    "doc_hybrid_rrf_topk_v2",
+    "inverted_index_postings_v2",
+    "bloom_incremental_dedup",
+    "contrastive_hard_negatives",
+    "crawl_frontier_schedule",
+    "streaming_cms_window_users",
+    "doc_mixture_interleave",
+    "doc_mixture_weights",
+    "token_cms_heavy_hitters",
+    "sync_outbox_tick",
+    "outbox_dashboard",
+    "doc_weighted_sample",
+    "token_bigram_collocations",
+    "doc_substring_dup_spans",
+    "doc_substring_dedup_report",
+    "doc_substring_dedup_cut",
+    "search_documents_flat",
+    "article_search_documents",
+    "doc_build_scale",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    "doc_token_stats",
+    "doc_quality_filter",
+    "doc_lang_id",
+    "doc_fingerprint_dupes",
+    "doc_repetition_scores",
+    "doc_tfidf_topk",
+    "benchmark_contamination",
+    "pii_redaction",
+    "inline_ref_codes",
+    "article_analysis",
+    "multimodal_features",
+    "doc_sequence_pack",
+    "top_revenue_orders",
+    "event_quantile_sketch",
+    "kmv_distinct_users",
+    "doc_lm_score",
+    "doc_dsir_selection",
+    "doc_curation_decision",
+    "event_value_percentiles",
+    "doc_length_quantiles",
 ]
 
 

@@ -200,6 +200,36 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_reservoir",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS weight,
+               CAST(round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) + 1.0) * {S.AES_MICRO}) AS BIGINT)
+                   - {S.AES_LN_2POW32_MICROS} AS aes_key_micros
+        FROM documents
+    )
+    SELECT doc_id, weight, aes_key_micros
+    FROM scored
+    ORDER BY CAST(aes_key_micros AS DOUBLE) / CAST(weight AS DOUBLE) DESC,
+             doc_id ASC
+    LIMIT {S.WEIGHTED_SAMPLE_K}
+    """,
+    doc=f"Weighted reservoir sampling (A-ES, Efraimidis-Spirakis'06): "
+    f"rank by u^(1/w) — reformulated as ln(u)/w with ln(u) quantized to "
+    "integer micros from the exact md5-prefix integer, so the key is one "
+    "exact-integer division (no pow, engine-exact). The ppswor sibling "
+    f"of doc_weighted_sample's priority sampler; top-{S.WEIGHTED_SAMPLE_K} "
+    "via mergeable distributed TakeOrdered, never a heap pass or global "
+    "sort.",
+)
+def q_doc_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.weighted_reservoir_sample(docs)
+
+
+@register(
     "doc_mixture_interleave",
     f"""
     WITH per AS (

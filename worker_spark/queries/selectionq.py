@@ -90,3 +90,52 @@ def q_doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.select_top_k(
         S.importance_weights(docs, F.col("lang") == _TARGET_LANG)
     )
+
+
+def _cluster_balance_oracle() -> str:
+    # the cells CTE replays similarity.ivf_assign exactly as
+    # similarity_ivf_ann's oracle does (same rounding, same tie-break)
+    from worker_spark.operators.selection import CLUSTER_BALANCE_CAP
+    from worker_spark.queries.simq import _cos_expr
+
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_expr('e', 'c')} DESC NULLS LAST,
+                            c.cent_id) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+    ),
+    cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM assign_scored WHERE rn = 1
+    )
+    SELECT vec_id, cell_id,
+           CAST(count(*) OVER (PARTITION BY cell_id) AS BIGINT) AS cell_n,
+           row_number() OVER (PARTITION BY cell_id
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               <= {CLUSTER_BALANCE_CAP} AS kept
+    FROM cells
+    """
+
+
+@register(
+    "embedding_cluster_balance",
+    _cluster_balance_oracle(),
+    doc="Cluster-balanced selection (the cluster-balancing step of "
+    "SemDeDup-era curation pipelines, Abbas et al. 2023): IVF medoid "
+    "cells (every 100th id, max-cosine assignment — the exact "
+    "similarity_ivf_ann quantizer), then at most "
+    "CLUSTER_BALANCE_CAP items kept per cell by md5 rank. Flattens "
+    "topic-frequency bias: head clusters downsample to the cap, tail "
+    "clusters survive whole. One broadcast + one cell_id shuffle — "
+    "no pairwise stage; reproducible across runs and layouts.",
+)
+def q_embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return S.cluster_balanced_sample(emb, centroid_every=100)

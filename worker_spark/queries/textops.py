@@ -636,3 +636,96 @@ def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (reason == "kept").alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def _ngram_novelty_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return f"""
+    WITH {documents_v2_sql("docs2")},
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM docs2
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               t[i] || ' ' || t[i+1] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    flagged AS (
+        SELECT id, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM flagged
+    GROUP BY id
+    """
+
+
+@register(
+    "doc_ngram_novelty",
+    _ngram_novelty_oracle(),
+    doc="Per-document word-BIGRAM novelty over documents_v2: the "
+    "fraction of a doc's distinct shingles with corpus df == 1 — a "
+    "memorization/boilerplate curation signal (boilerplate scores ~0, "
+    "novel text ~1; bigrams are the discriminative width here — see "
+    "operators/text.ngram_novelty). One count-only window over the shingle key (a "
+    "single shuffle, no pairwise stage, no df cap needed), then a "
+    "map-combinable per-doc agg. Runs on the Zipf-ish v2 corpus: the "
+    "31-term v1 table has zero df==1 shingles, which would make the "
+    "signal degenerate.",
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return T.ngram_novelty(documents_v2(spark, sf_dir))
+
+
+def _tfidf_v2_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return f"""
+    WITH {documents_v2_sql("docs2")},
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM docs2 WHERE length(trim(text)) > 0
+    ),
+    toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks_f GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM docs2),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+@register(
+    "doc_tfidf_topk_v2",
+    _tfidf_v2_oracle(),
+    doc="Per-document top-3 characteristic terms by tf-idf over "
+    "documents_v2: on the Zipf-ish vocabulary idf actually spreads "
+    "(the 31-term v1 corpus had df ~ N for every term, making every "
+    "idf ~0 and the ranking near-degenerate). Same formula/rounding/"
+    "tie-break as doc_tfidf_topk via operators/text.tfidf_topk.",
+)
+def q_doc_tfidf_topk_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.operators.text import tfidf_topk
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return tfidf_topk(documents_v2(spark, sf_dir), k=3)
