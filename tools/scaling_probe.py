@@ -370,9 +370,11 @@ def probes(docs, events, emb, fixed_batch):
             # (doc, shingle) stream shuffles once for the count-only df
             # window; expected ~linear in corpus bytes, no pairwise term
             "ngram_novelty_v2",
+            # collect(), not count(): the row count of a global agg is
+            # provably 1, so a count() lets the engine skip the work
             lambda: T.ngram_novelty(docs_v2).agg(
                 F.sum("n_novel")
-            ).count(),
+            ).collect(),
         ),
         (
             # r9: cluster-balanced selection — N x K broadcast argmax +
@@ -383,7 +385,7 @@ def probes(docs, events, emb, fixed_batch):
             "cluster_balance",
             lambda: SEL.cluster_balanced_sample(
                 emb, centroid_every=100
-            ).agg(F.sum(F.col("kept").cast("long"))).count(),
+            ).agg(F.sum(F.col("kept").cast("long"))).collect(),
         ),
         (
             # r9: A-ES weighted reservoir — map-only key + distributed
@@ -507,7 +509,7 @@ def state_probe() -> None:
 
             full = ParquetStateStore(spark, os.path.join(work, "full"))
             full.write("postings", idx.postings())
-            batch_tf, _dl = idx._batch_delta(batch, "doc_id", "text")
+            batch_tf = idx._batch_delta(batch, "doc_id", "text")
             snap = tree_bytes(os.path.join(work, "full"))
             t0 = time.perf_counter()
             full.upsert(

@@ -118,15 +118,21 @@ class IncrementalRetrievalIndex:
         id_col: str,
         text_col: str,
         fields: dict[str, int] | None = None,
-    ) -> tuple[DataFrame, DataFrame]:
-        """Per-batch (term, doc_id, tf) and (doc_id, dl) deltas.
-        ``fields`` maps field column -> integer weight for multi-field
-        (BM25F) maintenance: tf/dl become the weighted sums, exactly
-        like operators/retrieval.bm25f_topk's base, so the maintained
-        index scores BM25F through the unchanged bm25_topk read side
+    ) -> DataFrame:
+        """Per-batch (term, doc_id, tf) delta. ``fields`` maps field
+        column -> integer weight for multi-field (BM25F) maintenance:
+        tf becomes the weighted sum, exactly like
+        operators/retrieval.bm25f_topk's base, so the maintained index
+        scores BM25F through the unchanged bm25_topk read side
         (weighted tf/dl are just longs to the formula). Default is the
         single-field {text_col: 1} special case — identical rows to the
-        historical behavior."""
+        historical behavior.
+
+        dl is NOT computed here: dl = sum(w) over a doc's tokens ==
+        sum(tf) over its terms, so apply_batch derives it from the
+        CHECKPOINTED tf — one tokenize+explode pass per batch instead
+        of two (the tokenization is the dominant map cost of the delta
+        stage at scale)."""
         if fields is None:
             fields = {text_col: 1}
         parts = [
@@ -142,11 +148,9 @@ class IncrementalRetrievalIndex:
         base = parts[0]
         for p in parts[1:]:
             base = base.unionByName(p)
-        tf = base.groupBy("term", "doc_id").agg(
+        return base.groupBy("term", "doc_id").agg(
             F.sum("w").cast("long").alias("tf")
         )
-        dl = base.groupBy("doc_id").agg(F.sum("w").cast("long").alias("dl"))
-        return tf, dl
 
     def apply_batch(
         self,
@@ -167,17 +171,21 @@ class IncrementalRetrievalIndex:
         _batch_delta; an index must be maintained with ONE consistent
         field map, the caller's contract."""
         store = self.store
-        tf, dl = self._batch_delta(docs, id_col, text_col, fields)
+        tf = self._batch_delta(docs, id_col, text_col, fields)
         batch_ids = docs.select(
             F.col(id_col).cast("long").alias("doc_id")
         ).distinct()
         # localCheckpoint: the bucket swaps invalidate lazy frames derived
         # from pre-swap files (BucketedParquetStateStore caution), and
-        # tf/dl must also not re-read the streaming batch after the
+        # tf must also not re-read the streaming batch after the
         # foreachBatch call returns
         tf = tf.localCheckpoint(eager=True)
-        dl = dl.localCheckpoint(eager=True)
         batch_ids = batch_ids.localCheckpoint(eager=True)
+        # dl = sum(tf) per doc — derived from the CHECKPOINTED tf, so the
+        # batch is tokenized exactly once (was twice: a separate dl agg
+        # over a second explode of the raw text); stays lazy, the doclen
+        # staging job below is its only consumer
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
 
         # touched postings buckets = old manifest (pruned doclen read by
         # the batch docs' own buckets) UNION the new terms' buckets
