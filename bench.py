@@ -449,7 +449,79 @@ R8_ANCHOR: dict[str, float] = {
 # Anchors recorded before the probe existed (r1/r2/r4/r5) have no
 # calibration and get raw ratios only. Adjusted > ADJ_REGRESSION_FLAG
 # is the mechanical "real regression" gate.
-ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207, "r8": 0.210}
+# Round-9 anchor: recorded by tools/record_anchor.py from the SECOND of
+# two back-to-back serialized sf0.1 runs at round-9 close. First anchor
+# to cover the r9 additions (A-ES reservoir, cluster balance, bigram
+# novelty, tfidf v2) and the first after the v1 retrieval-row
+# retirement.
+R9_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.492,
+    "top_revenue_orders": 1.173,
+    "revenue_by_nation": 0.894,
+    "orders_with_returns": 0.538,
+    "customer_any_return": 0.516,
+    "sync_diff_classify": 0.691,
+    "event_journey": 0.236,
+    "outbox_drain_cap": 0.326,
+    "doc_token_stats": 0.21,
+    "dedup_minhash_lsh": 3.148,
+    "dedup_simhash": 3.022,
+    "similarity_cosine_topk": 1.067,
+    "similarity_lsh_ann": 2.124,
+    "dedup_embedding_blocked": 2.2,
+    "multimodal_features": 0.343,
+    "event_value_percentiles": 0.215,
+    "reverse_invalidation": 0.554,
+    "doc_build_scale": 2.064,
+    "dedup_cluster_components": 5.062,
+    "doc_sequence_pack": 0.52,
+    "doc_stratified_sample": 0.189,
+    "similarity_quantized_topk": 0.526,
+    "benchmark_contamination": 2.963,
+    "similarity_pq_refined_topk": 4.439,
+    "similarity_pq_kmeans_topk": 5.406,
+    "doc_cdc_chunks": 1.824,
+    "dedup_translit_shingles": 5.382,
+    "doc_substring_dedup_report": 0.537,
+    "hll_distinct_users": 0.368,
+    "token_cms_heavy_hitters": 1.874,
+    "bpe_train_merges": 1.797,
+    "dedup_edit_distance": 1.835,
+    "token_bigram_collocations": 0.735,
+    "similarity_opq_kmeans_topk": 6.229,
+    "search_documents_flat": 1.248,
+    "bloom_membership_audit": 0.389,
+    "doc_dsir_selection": 2.234,
+    "semdedup_prune": 0.869,
+    "doc_curation_decision": 2.228,
+    "event_quantile_sketch": 1.084,
+    "similarity_graph_ann": 7.372,
+    "event_audience_overlap": 0.699,
+    "lang_shingle_overlap": 1.814,
+    "join_skew_profile": 0.681,
+    "doc_rag_chunks": 0.235,
+    "events_zorder_layout": 0.707,
+    "similarity_binary_topk": 2.685,
+    "event_funnel_conversion": 0.6,
+    "event_retention_cohorts": 0.352,
+    "event_rate_anomalies": 0.342,
+    "similarity_multiprobe_lsh": 1.986,
+    "similarity_margin_probe_lsh": 2.608,
+    "similarity_ivfpq_residual_topk": 5.202,
+    "similarity_ivfpq_refined_topk": 5.18,
+    "streaming_index_bm25": 7.18,
+    "streaming_topk_window": 2.751,
+    "doc_bm25_topk_v2": 2.713,
+    "inverted_index_postings_v2": 1.112,
+    "doc_hybrid_rrf_topk_v2": 5.848,
+    "doc_bm25f_topk": 3.564,
+    "doc_weighted_reservoir": 0.19,
+    "embedding_cluster_balance": 0.774,
+    "doc_ngram_novelty": 0.767,
+    "doc_tfidf_topk_v2": 1.855,
+}
+
+ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207, "r8": 0.210, "r9": 0.242}
 ADJ_REGRESSION_FLAG = 1.3
 
 
@@ -534,6 +606,7 @@ def main() -> None:
             ("r5", R5_ANCHOR),
             ("r6", R6_ANCHOR),
             ("r8", R8_ANCHOR),
+            ("r9", R9_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
@@ -573,6 +646,7 @@ def main() -> None:
             "total_vs_r6",
             "total_vs_r6_adjusted",
             "total_vs_r8_adjusted",
+            "total_vs_r9_adjusted",
         ):
             if k in full:
                 out[k] = full[k]

@@ -464,3 +464,32 @@ def test_posting_lists_min_df_matches_batch(spark, tmp_path, min_df):
     assert _rows(idx.posting_lists(min_df=min_df)) == _rows(
         inverted_postings(docs, min_df=min_df)
     )
+
+
+def test_bucketed_store_pins_bucket_keys(spark, tmp_path):
+    """Bucket keys pin at first write; a later upsert bucketing on
+    DIFFERENT columns must fail loudly (its touched-set arithmetic
+    would diverge from where rows actually live), and an upsert with
+    the pinned keys succeeds."""
+    from pyspark.sql import types as T
+
+    from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "pin")
+    store = BucketedParquetStateStore(spark, root, n_buckets=4)
+    store.write("t", spark.createDataFrame([(1, "a")], schema), keys=["k"])
+    with pytest.raises(ValueError, match="pinned"):
+        store.upsert(
+            "t", spark.createDataFrame([(2, "b")], schema), ["v"], schema
+        )
+    store.upsert(
+        "t", spark.createDataFrame([(2, "b")], schema), ["k"], schema
+    )
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}  # schema from meta
+    assert got == {1: "a", 2: "b"}
