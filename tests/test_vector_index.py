@@ -1,0 +1,171 @@
+"""Incremental IVF vector index (streaming/vector_index.py): the
+streamed, batch-at-a-time index must converge EXACTLY to the batch IVF
+build against the pinned centroid set — assignments and ANN results are
+deterministic (6dp cosine rounding, id tie-breaks), so equality is
+exact. Plus the MERGE semantics: replays are no-ops, updated vectors
+MOVE between cells via the manifest, empty embeddings delete; and the
+bucket economics: a small batch rewrites only its touched buckets, a
+query reads only its probed cells' bucket files."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from tests.test_incremental_retrieval import _bucket_snapshot, _changed
+from worker_spark.operators.similarity import ivf_ann_neighbors, ivf_assign
+from worker_spark.sources import load_table
+from worker_spark.streaming.vector_index import IncrementalVectorIndex
+
+
+def _emb(spark):
+    return load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_ivf_converges_to_batch_build(spark, tmp_path):
+    emb = _emb(spark).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    for residue in range(3):
+        idx.apply_batch(emb.filter(F.col("vec_id") % 3 == residue))
+    got = _rows(idx.cells().select("vec_id", "cell_id"))
+    want = _rows(ivf_assign(emb, cents))
+    assert got == want
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    assert _rows(idx.ann_topk(queries, nprobe=2, top_k=5)) == _rows(
+        ivf_ann_neighbors(queries, emb, centroid_every=100, nprobe=2, top_k=5)
+    )
+
+
+def test_update_moves_vector_between_cells_and_replays_are_noops(
+    spark, tmp_path
+):
+    """The manifest path: an updated vector's old cell row lives in a
+    bucket absent from the new assignment's bucket set; it must still be
+    deleted. Then a replay of the same batch changes nothing."""
+    emb = _emb(spark).limit(300).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    idx.apply_batch(emb)
+    before = {r["vec_id"]: r["cell_id"] for r in idx.cells().collect()}
+
+    victim = 7
+    assert victim in before
+    flipped = emb.filter(F.col("vec_id") == victim).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(-x as float))").alias(
+            "embedding"
+        ),
+    ).localCheckpoint(eager=True)
+    idx.apply_batch(flipped)
+    after = {r["vec_id"]: r["cell_id"] for r in idx.cells().collect()}
+    assert set(after) == set(before)  # still one row per vector
+    assert after[victim] != before[victim]  # negation flips the argmax
+    untouched = {k: v for k, v in before.items() if k != victim}
+    assert {k: v for k, v in after.items() if k != victim} == untouched
+
+    # replay: identical batch -> identical state
+    snap = _bucket_snapshot(os.path.join(str(tmp_path / "v"), "cells"))
+    idx.apply_batch(flipped)
+    assert {r["vec_id"]: r["cell_id"] for r in idx.cells().collect()} == after
+
+    # delete: empty embedding removes the vector and its manifest row
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(victim, [])], "vec_id long, embedding array<float>"
+        )
+    )
+    assert victim not in {r["vec_id"] for r in idx.cells().collect()}
+    from worker_spark.streaming.vector_index import VECMAP_SCHEMA
+
+    vm = idx.store.read("vecmap", VECMAP_SCHEMA)
+    assert vm.filter(F.col("vec_id") == victim).count() == 0
+
+
+def test_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    emb = _emb(spark).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    root = str(tmp_path / "v")
+    idx = IncrementalVectorIndex(spark, root, centroids=cents)
+    idx.apply_batch(emb)
+    c_dir = os.path.join(root, "cells")
+    m_dir = os.path.join(root, "vecmap")
+    c_before, m_before = _bucket_snapshot(c_dir), _bucket_snapshot(m_dir)
+
+    victim = 13
+    upd = emb.filter(F.col("vec_id") == victim).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(-x as float))").alias(
+            "embedding"
+        ),
+    )
+    old_cell = (
+        idx.cells().filter(F.col("vec_id") == victim).collect()[0]["cell_id"]
+    )
+    idx.apply_batch(upd)
+    new_cell = (
+        idx.cells().filter(F.col("vec_id") == victim).collect()[0]["cell_id"]
+    )
+    cells_changed = _changed(c_before, _bucket_snapshot(c_dir))
+    map_changed = _changed(m_before, _bucket_snapshot(m_dir))
+    exp_cells = {
+        f"b{b:05d}"
+        for b in idx.store.touched_buckets(
+            spark.createDataFrame(
+                [(old_cell,), (new_cell,)], "cell_id long"
+            ),
+            "cell_id",
+        )
+    }
+    exp_map = {
+        f"b{b:05d}"
+        for b in idx.store.touched_buckets(
+            spark.createDataFrame([(victim,)], "vec_id long"), "vec_id"
+        )
+    }
+    assert cells_changed == exp_cells
+    assert map_changed == exp_map
+
+
+def test_ann_reads_only_probed_cell_buckets(spark, tmp_path):
+    """The cell-bucketing payoff: the ANN scorer's cells FileScan lists
+    ONLY the buckets containing the probed cells — file-level pruning a
+    reader gets for free from the layout (the postings-by-term assertion
+    applied to vectors)."""
+    emb = _emb(spark).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    idx.apply_batch(emb)
+    queries = emb.filter(F.col("vec_id") == 20)
+    df = idx.ann_topk(queries, nprobe=2, top_k=5)
+    scanned = {
+        m.group(1)
+        for f in df.inputFiles()
+        if (m := re.search(r"cells/(b\d{5})/", f))
+    }
+    assert scanned  # the cells table is being read at all
+    assert len(scanned) <= 2  # nprobe=2 cells -> at most 2 buckets
+    assert len(_bucket_snapshot(os.path.join(str(tmp_path / "v"), "cells"))) > 2
+
+
+def test_centroids_pin_per_root(spark, tmp_path):
+    emb = _emb(spark).limit(100).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 20 == 0)
+    root = str(tmp_path / "v")
+    IncrementalVectorIndex(spark, root, centroids=cents)
+    # a later session reopens without re-supplying centroids
+    again = IncrementalVectorIndex(spark, root)
+    assert again.centroids().count() == cents.count()
+    # re-pinning is refused: assignment only converges against ONE set
+    with pytest.raises(ValueError, match="pinned"):
+        IncrementalVectorIndex(spark, root, centroids=emb.limit(3))

@@ -66,6 +66,7 @@ _DRIVER_WINDOW = [
     "embedding_cluster_balance",
     "doc_ngram_novelty",
     "doc_tfidf_topk_v2",
+    "streaming_ivf_ann",
     "streaming_index_bm25",
     "doc_bm25_topk_v2",
     "doc_bm25f_topk",
@@ -114,15 +115,18 @@ _DRIVER_WINDOW = [
     "similarity_graph_ann",
     "graph_nn_descent_stats",
     "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_refined_topk",
     "similarity_ivf_ann",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r7-green remainder (driver row r7, unchanged since) — these lead
-    # the round-10 rotation. streaming_topk_window yielded its fill
-    # slot to the NEW doc_tfidf_topk_v2 (new queries outrank fills).
+    # the round-10 rotation. streaming_topk_window and
+    # similarity_ivfpq_refined_topk yielded their fill slots to the NEW
+    # doc_tfidf_topk_v2 and streaming_ivf_ann (new queries outrank
+    # fills; similarity_ivf_ann keeps its fill slot because the oracle
+    # refactor transitively changed it).
     "streaming_topk_window",
+    "similarity_ivfpq_refined_topk",
     "similarity_pq_adc_topk",
     "similarity_pq_refined_topk",
     "similarity_quantized_topk",

@@ -137,9 +137,13 @@ def _cos_expr(a: str, b: str) -> str:
     )
 
 
-@register(
-    "similarity_ivf_ann",
-    f"""
+def _ivf_ann_oracle() -> str:
+    """The IVF-ANN replay (medoid centroids vec_id % 100, nprobe=2,
+    exact cosine top-5 in probed cells) — shared by the batch
+    similarity_ivf_ann row and the streaming_ivf_ann row: the
+    incrementally-maintained index provably converges to this exact
+    batch build (streaming/vector_index.py), so ONE oracle serves both."""
+    return f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 100 = 0
     ),
@@ -178,7 +182,12 @@ def _cos_expr(a: str, b: str) -> str:
     )
     SELECT q_id, c_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "similarity_ivf_ann",
+    _ivf_ann_oracle(),
     doc="IVF approximate nearest neighbors: deterministic medoid centroids "
     "(vec_id % 100), cell assignment by max cosine, nprobe=2 probed cells "
     "per query, exact cosine top-5 inside the probed cells. Candidate "

@@ -832,3 +832,91 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_ivf_oracle() -> str:
+    # The post-stream index state is EXACTLY the batch IVF build against
+    # the pinned centroid set (streaming/vector_index.py convergence
+    # contract, pinned by tests/test_vector_index.py), so the batch
+    # IVF-ANN oracle serves unchanged — the same one-oracle-for-both
+    # argument as streaming_index_bm25. The stale-then-corrected update
+    # batch in the feed converges to the canonical embeddings, so the
+    # oracle needs no knowledge of the intermediate versions.
+    from worker_spark.queries.simq import _ivf_ann_oracle
+
+    return _ivf_ann_oracle()
+
+
+@register(
+    "streaming_ivf_ann",
+    _streaming_ivf_oracle(),
+    doc="Incrementally-maintained IVF vector index driven end-to-end "
+    "through Structured Streaming: embedding batches arrive as files "
+    "(maxFilesPerTrigger=1, availableNow), a foreachBatch MERGE keeps "
+    "the cell lists + per-vector manifest current on hash-bucketed "
+    "parquet state — including an UPDATE batch whose corrected vectors "
+    "REPLACE stale (negated) drafts, moving them between cells via the "
+    "manifest — and ANN queries are served from the MAINTAINED state, "
+    "reading only the probed cells' bucket files. Hash-checked against "
+    "the batch IVF oracle: the streamed index must converge to the "
+    "batch build exactly. The vector-search twin of "
+    "streaming_index_bm25.",
+)
+def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    from worker_spark.streaming.vector_index import (
+        IncrementalVectorIndex,
+        vector_maintenance_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # Three-file feed with a mid-stream update: batch 0 carries the even
+    # vectors but a stale NEGATED draft for vec_id%10==0 (same cell
+    # geometry flipped — a genuinely different assignment); batch 1 the
+    # odd vectors; batch 2 the corrected canonical rows for the drafted
+    # ids. Final state == the canonical corpus iff the manifest-driven
+    # delete-then-insert moves vectors between cells correctly.
+    stale = F.col("vec_id") % 10 == 0
+    negated = F.expr("transform(embedding, x -> cast(-x as float))")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.when(stale, negated).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    b2 = emb.filter(stale)
+    feed = tempfile.mkdtemp(prefix="vidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="vidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="vidx_state_")
+    try:
+        now = time.time()
+        for i, batch in enumerate((b0, b1, b2)):
+            part_dir = os.path.join(feed, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        idx = IncrementalVectorIndex(
+            spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
+        )
+        q = vector_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_ivf_ann: availableNow drain exceeded 300s"
+            )
+        queries = emb.filter(F.col("vec_id") % 20 == 0)
+        return idx.ann_topk(queries, nprobe=2, top_k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
