@@ -75,7 +75,6 @@ def test_update_moves_vector_between_cells_and_replays_are_noops(
     assert {k: v for k, v in after.items() if k != victim} == untouched
 
     # replay: identical batch -> identical state
-    snap = _bucket_snapshot(os.path.join(str(tmp_path / "v"), "cells"))
     idx.apply_batch(flipped)
     assert {r["vec_id"]: r["cell_id"] for r in idx.cells().collect()} == after
 
@@ -169,3 +168,58 @@ def test_centroids_pin_per_root(spark, tmp_path):
     # re-pinning is refused: assignment only converges against ONE set
     with pytest.raises(ValueError, match="pinned"):
         IncrementalVectorIndex(spark, root, centroids=emb.limit(3))
+
+
+def test_ann_serving_plan_shape(spark, tmp_path):
+    """Serving plan: centroids ride a broadcast (never a shuffle join
+    for the K-row probe table), no cartesian product over data rows,
+    and the final top-k is a rank-limited window with the map-side
+    combine Spark 4 provides."""
+    emb = _emb(spark).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    idx.apply_batch(emb)
+    df = idx.ann_topk(emb.filter(F.col("vec_id") % 20 == 0))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_vector_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume symmetry with the inverted index: a second
+    availableNow stream over the same checkpoint processes only files
+    landed after the first drain, and the maintained index still equals
+    the batch build exactly."""
+    import glob
+    import shutil
+
+    from worker_spark.streaming.vector_index import (
+        vector_maintenance_stream,
+    )
+
+    emb = _emb(spark).limit(240).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def land(batch, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(feed, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    land(emb.filter(F.col("vec_id") % 2 == 0), "b0")
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    ckpt = str(tmp_path / "ckpt")
+    q = vector_maintenance_stream(spark, feed, idx, ckpt)
+    assert q.awaitTermination(120)
+
+    land(emb.filter(F.col("vec_id") % 2 == 1), "b1")
+    q2 = vector_maintenance_stream(spark, feed, idx, ckpt)
+    assert q2.awaitTermination(120)
+    assert _rows(idx.cells().select("vec_id", "cell_id")) == _rows(
+        ivf_assign(emb, cents)
+    )
