@@ -109,10 +109,12 @@ HEADLINE = [
     "embedding_cluster_balance",
     "doc_ngram_novelty",
     "doc_tfidf_topk_v2",
-    # round-9 LATE addition (after R9_ANCHOR was recorded): the
-    # incrementally-maintained IVF vector index — no prior anchor; it
-    # joins the anchor set in r10 (the r6/r8 late-addition precedent)
+    # round-9 LATE additions (after R9_ANCHOR was recorded): the
+    # incrementally-maintained IVF vector index and SimHash dedup
+    # index — no prior anchor; they join the anchor set in r10 (the
+    # r6/r8 late-addition precedent)
     "streaming_ivf_ann",
+    "streaming_dedup_index",
 ]
 
 

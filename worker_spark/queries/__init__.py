@@ -67,6 +67,7 @@ _DRIVER_WINDOW = [
     "doc_ngram_novelty",
     "doc_tfidf_topk_v2",
     "streaming_ivf_ann",
+    "streaming_dedup_index",
     "streaming_index_bm25",
     "doc_bm25_topk_v2",
     "doc_bm25f_topk",
@@ -114,19 +115,20 @@ _DRIVER_WINDOW = [
     "dedup_embedding_blocked",
     "similarity_graph_ann",
     "graph_nn_descent_stats",
-    "similarity_ivfpq_residual_topk",
     "similarity_ivf_ann",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r7-green remainder (driver row r7, unchanged since) — these lead
-    # the round-10 rotation. streaming_topk_window and
-    # similarity_ivfpq_refined_topk yielded their fill slots to the NEW
-    # doc_tfidf_topk_v2 and streaming_ivf_ann (new queries outrank
+    # the round-10 rotation. streaming_topk_window,
+    # similarity_ivfpq_refined_topk and similarity_ivfpq_residual_topk
+    # yielded their fill slots to the NEW doc_tfidf_topk_v2,
+    # streaming_ivf_ann and streaming_dedup_index (new queries outrank
     # fills; similarity_ivf_ann keeps its fill slot because the oracle
     # refactor transitively changed it).
     "streaming_topk_window",
     "similarity_ivfpq_refined_topk",
+    "similarity_ivfpq_residual_topk",
     "similarity_pq_adc_topk",
     "similarity_pq_refined_topk",
     "similarity_quantized_topk",

@@ -920,3 +920,89 @@ def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_dedup_oracle() -> str:
+    # The post-stream banded state is EXACTLY the batch build over the
+    # historical corpus (streaming/dedup_index.py convergence contract,
+    # pinned by tests/test_dedup_index.py), so screening the new batch
+    # against the maintained index equals simhash_incremental_pairs over
+    # the union corpus — the batch incremental-dedup oracle serves
+    # unchanged (the one-oracle-for-both argument, third instance).
+    from worker_spark.queries.dedupq import _simhash_incremental_oracle
+
+    return _simhash_incremental_oracle()
+
+
+@register(
+    "streaming_dedup_index",
+    _streaming_dedup_oracle(),
+    doc="Incrementally-maintained SimHash dedup index driven end-to-end "
+    "through Structured Streaming: historical document batches arrive "
+    "as files (maxFilesPerTrigger=1, availableNow), a foreachBatch "
+    "MERGE keeps the banded fingerprint state current on hash-bucketed "
+    "parquet — including an UPDATE batch whose corrected text REPLACES "
+    "stale drafts, moving their band rows to new band keys via the "
+    "fingerprint manifest — and the NEW ingest batch is screened "
+    "against the MAINTAINED index, reading only its own band keys' "
+    "bucket files with the corpus never re-fingerprinted. Hash-checked "
+    "against the batch incremental-dedup oracle. Completes the "
+    "streaming-index trio (inverted index, IVF vector index, dedup "
+    "fingerprint index).",
+)
+def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    from worker_spark.streaming.dedup_index import (
+        IncrementalDedupIndex,
+        dedup_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+    # Three-file feed over the HISTORICAL side with a mid-stream update:
+    # batch 0 carries the even docs but a stale 40-char draft for
+    # doc_id%7==0 (a different fingerprint, hence different band keys);
+    # batch 1 the odd docs; batch 2 the corrected full rows. Final state
+    # == the canonical historical corpus iff the manifest-driven
+    # delete-then-insert moves band rows between band keys correctly.
+    stale = F.col("doc_id") % 7 == 0
+    b0 = hist.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = hist.filter(F.col("doc_id") % 2 == 1)
+    b2 = hist.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="didx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="didx_ckpt_")
+    state = tempfile.mkdtemp(prefix="didx_state_")
+    try:
+        now = time.time()
+        for i, batch in enumerate((b0, b1, b2)):
+            part_dir = os.path.join(feed, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        idx = IncrementalDedupIndex(spark, state)
+        q = dedup_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_index: availableNow drain exceeded 300s"
+            )
+        new = docs.filter(F.col("doc_id") % 10 >= 8)
+        return idx.screen_batch(new, max_hamming=3).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
