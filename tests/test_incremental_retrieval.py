@@ -537,3 +537,71 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert _rows(idx.bm25_topk(QUERIES, k=5)) == _rows(
         bm25_topk(docs, QUERIES, k=5)
     )
+
+
+def test_write_heals_torn_swap_before_replacing(spark, tmp_path):
+    """Review finding: a full replace must run recovery FIRST — a bucket
+    displaced to .old-* by a prior crash is invisible to the existing-
+    bucket scan, and recovery after the replace would RESURRECT rows the
+    replace deleted."""
+    from pyspark.sql import types as T
+
+    from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "heal")
+    store = BucketedParquetStateStore(spark, root, n_buckets=4)
+    store.write("t", spark.createDataFrame([(i, "old") for i in range(16)], schema), keys=["k"])
+    tdir = os.path.join(root, "t")
+    victim = sorted(n for n in os.listdir(tdir) if n.startswith("b") and "." not in n)[0]
+    # simulate a crash between the two swap renames
+    os.rename(os.path.join(tdir, victim), os.path.join(tdir, f"{victim}.old-dead"))
+
+    # replace with a frame that reaches ONE bucket only
+    store.write("t", spark.createDataFrame([(1, "new")], schema))
+    got = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    assert got == {(1, "new")}  # no resurrected pre-replace rows
+
+
+def test_failed_first_write_leaves_no_existence_witness(spark, tmp_path):
+    """Review finding: meta (schema/keys) becomes the existence witness
+    only AFTER a successful commit — a first write that aborts pre-swap
+    must leave exists() False, or a consumer like the vector index's
+    centroid pinning would serve an empty table forever."""
+    from pyspark.sql import types as T
+
+    from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    root = str(tmp_path / "wit")
+    store = BucketedParquetStateStore(spark, root, n_buckets=4)
+    one = spark.createDataFrame([(1, "a")], schema)
+    # drive a pre-swap abort through the stray-bucket guard: declare a
+    # touched set that misses the row's actual bucket
+    (actual,) = store.touched_buckets(one, "k")
+    wrong = [(actual + 1) % store.n_buckets]
+    with pytest.raises(ValueError, match="touched"):
+        store.delete_then_insert(
+            "t",
+            delete_keys=one.select("k"),
+            inserts=one,
+            schema=schema,
+            bucket_col="k",
+            touched=wrong,
+        )
+    assert not store.exists("t")
+    with pytest.raises(FileNotFoundError):
+        store.read("t")  # no schema witness either
+    # and a successful write NOW creates the witness
+    store.write("t", one, keys=["k"])
+    assert store.exists("t")

@@ -80,6 +80,14 @@ _STAGE_SWEEP_AGE_S = 3600.0
 _now = time.time  # indirection so tests can pin the clock
 
 
+def _atomic_write(path: str, content: str) -> None:
+    """tmp+rename so a crash can never leave a truncated meta file."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.rename(tmp, path)
+
+
 def tree_bytes(root: str) -> dict[str, tuple[int, float]]:
     """file path -> (size, mtime): the ONE 'bytes rewritten' witness —
     shared by the state scaling probe (tools/scaling_probe.py --state)
@@ -128,8 +136,7 @@ class BucketedParquetStateStore:
             # the stored layout wins: rows were bucketed with it
             n_buckets = pinned
         else:
-            with open(meta, "w") as f:
-                f.write(str(n_buckets))
+            _atomic_write(meta, str(n_buckets))
         self.n_buckets = n_buckets
 
     # --- bucket arithmetic ------------------------------------------------
@@ -157,18 +164,21 @@ class BucketedParquetStateStore:
         with open(p) as f:
             return [ln for ln in f.read().splitlines() if ln]
 
-    def _pin_keys(self, table: str, keys: list[str]) -> list[str]:
-        """Pin the table's bucket-key columns on first write; every later
-        write/upsert must bucket on the SAME columns or its touched-set
-        arithmetic silently diverges from where the rows actually live
-        (an updated row would land in a different bucket than the row it
-        replaces). Mismatch is therefore a loud error, not a re-bucket."""
+    def _validate_keys(self, table: str, keys: list[str]) -> list[str]:
+        """Check the table's bucket-key columns against the pinned
+        layout WITHOUT persisting anything: every write/upsert must
+        bucket on the SAME columns or its touched-set arithmetic
+        silently diverges from where the rows actually live (an updated
+        row would land in a different bucket than the row it replaces).
+        Mismatch is a loud error, not a re-bucket. Persistence happens
+        only AFTER a successful commit (_persist_meta from
+        _write_buckets / the empty-replace path) — a failed FIRST write
+        must not leave a meta witness that makes exists() report an
+        empty-but-created table (review finding: a poisoned witness
+        blocked vector-index centroid re-pinning while serving an empty
+        index)."""
         pinned = self._pinned_keys(table)
         if pinned is None:
-            tdir = self._table_dir(table)
-            os.makedirs(tdir, exist_ok=True)
-            with open(os.path.join(tdir, _KEYS_META), "w") as f:
-                f.write("\n".join(keys))
             return keys
         if pinned != keys:
             raise ValueError(
@@ -178,11 +188,17 @@ class BucketedParquetStateStore:
             )
         return keys
 
-    def _store_schema(self, table: str, schema: T.StructType) -> None:
+    def _persist_meta(
+        self, table: str, keys: list[str], schema: T.StructType
+    ) -> None:
+        """Atomically (tmp+rename, the same discipline as every bucket
+        swap — a torn meta file would poison later touched-set
+        arithmetic or schema-less reads) record the bucket keys and
+        schema AFTER a successful commit."""
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
-        with open(os.path.join(tdir, _SCHEMA_META), "w") as f:
-            f.write(schema.json())
+        _atomic_write(os.path.join(tdir, _KEYS_META), "\n".join(keys))
+        _atomic_write(os.path.join(tdir, _SCHEMA_META), schema.json())
 
     def _stored_schema(self, table: str) -> T.StructType | None:
         p = os.path.join(self._table_dir(table), _SCHEMA_META)
@@ -317,7 +333,6 @@ class BucketedParquetStateStore:
         directories are never renamed or rewritten."""
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
-        self._store_schema(table, merged.schema)
         stage = os.path.join(tdir, f".stage-{uuid.uuid4().hex[:8]}")
         (
             merged.withColumn("_b", self.bucket_of(*bucket_cols))
@@ -365,6 +380,9 @@ class BucketedParquetStateStore:
             if os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+        # meta becomes the existence/schema witness only now that the
+        # data committed (review finding)
+        self._persist_meta(table, bucket_cols, merged.schema)
 
     def write(
         self,
@@ -380,8 +398,14 @@ class BucketedParquetStateStore:
         replaced whole, but a table that will later be ``upsert``-ed
         must declare its MERGE keys here so updated rows land in the
         bucket of the rows they replace)."""
-        keys = self._pin_keys(table, keys or self._pinned_keys(table) or list(df.columns))
-        self._store_schema(table, df.schema)
+        # heal torn swaps FIRST: a bucket displaced to .old-* by a prior
+        # crash is invisible to the isdir() scan below, and recovery
+        # would resurrect it AFTER this replace deleted it (review
+        # finding)
+        self._recover(table)
+        keys = self._validate_keys(
+            table, keys or self._pinned_keys(table) or list(df.columns)
+        )
         # a replace must also EMPTY every currently-populated bucket the
         # new frame does not reach
         existing = [
@@ -391,6 +415,10 @@ class BucketedParquetStateStore:
         ]
         touched = sorted(set(existing) | set(self.touched_buckets(df, *keys)))
         if not touched:
+            # an EMPTY first replace commits nothing but the witness —
+            # there is no data job to fail, so persisting here is safe
+            # and makes the empty table readable/exists()-able
+            self._persist_meta(table, keys, df.schema)
             return
         self._write_buckets(table, df, keys, touched)
 
@@ -419,7 +447,7 @@ class BucketedParquetStateStore:
         over instead of paying a second read — it MUST be exactly
         read(table, schema, buckets=touched) and still lazy over the
         pre-swap files."""
-        self._pin_keys(table, [bucket_col])
+        self._validate_keys(table, [bucket_col])
         delete_on = delete_on or bucket_col
         if touched is None:
             if delete_on != bucket_col:
@@ -451,7 +479,7 @@ class BucketedParquetStateStore:
         """S7 MERGE scoped to buckets (rows bucket on the full key
         tuple): matched -> replace, not matched -> insert. Touched
         buckets = buckets of the update keys only."""
-        self._pin_keys(table, keys)
+        self._validate_keys(table, keys)
         touched = self.touched_buckets(updates, *keys)
         if not touched:
             return

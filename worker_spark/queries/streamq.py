@@ -742,6 +742,27 @@ def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _stage_feed(batches, feed_dir: str) -> None:
+    """Land each batch as ONE parquet file with pinned mtime spacing so
+    the file source's modification-time ordering is unambiguous — the
+    feed-staging idiom shared by all three incremental-index rows
+    (review finding: three verbatim copies)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for i, batch in enumerate(batches):
+        part_dir = os.path.join(feed_dir, f"_stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(feed_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+
+
 # the literal query strings this row scores over the streamed v1
 # documents corpus (previously retrievalq._BM25_QUERIES; the batch v1
 # BM25 row was retired in r9, so the constant lives with its one
@@ -777,10 +798,8 @@ def _index_bm25_oracle() -> str:
     "update path replaced every stale posting.",
 )
 def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
-    import time
 
     from worker_spark.streaming.retrieval_index import (
         IncrementalRetrievalIndex,
@@ -806,18 +825,7 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="idx_ckpt_")
     state = tempfile.mkdtemp(prefix="idx_state_")
     try:
-        now = time.time()
-        for i, batch in enumerate((b0, b1, b2)):
-            part_dir = os.path.join(feed, f"_stage{i}")
-            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
-            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(feed, f"b{i}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            # the file source orders micro-batches by modification time;
-            # pin an unambiguous 60s spacing so the update batch always
-            # lands AFTER its stale draft
-            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        _stage_feed((b0, b1, b2), feed)
         idx = IncrementalRetrievalIndex(spark, state)
         q = index_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -863,10 +871,8 @@ def _streaming_ivf_oracle() -> str:
     "streaming_index_bm25.",
 )
 def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
-    import time
 
     from worker_spark.streaming.vector_index import (
         IncrementalVectorIndex,
@@ -894,15 +900,7 @@ def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="vidx_ckpt_")
     state = tempfile.mkdtemp(prefix="vidx_state_")
     try:
-        now = time.time()
-        for i, batch in enumerate((b0, b1, b2)):
-            part_dir = os.path.join(feed, f"_stage{i}")
-            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
-            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(feed, f"b{i}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        _stage_feed((b0, b1, b2), feed)
         idx = IncrementalVectorIndex(
             spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
         )
@@ -951,10 +949,8 @@ def _streaming_dedup_oracle() -> str:
     "fingerprint index).",
 )
 def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
-    import time
 
     from worker_spark.streaming.dedup_index import (
         IncrementalDedupIndex,
@@ -982,15 +978,7 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="didx_ckpt_")
     state = tempfile.mkdtemp(prefix="didx_state_")
     try:
-        now = time.time()
-        for i, batch in enumerate((b0, b1, b2)):
-            part_dir = os.path.join(feed, f"_stage{i}")
-            batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
-            (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(feed, f"b{i}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
+        _stage_feed((b0, b1, b2), feed)
         idx = IncrementalDedupIndex(spark, state)
         q = dedup_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):

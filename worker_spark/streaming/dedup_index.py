@@ -243,6 +243,8 @@ def dedup_maintenance_stream(
 ) -> StreamingQuery:
     """Wire a document directory as the change feed — the same
     foreachBatch shape as the other two incremental indexes."""
+    from worker_spark.streaming.feed import file_feed_stream
+
     if schema is None:
         schema = T.StructType(
             [
@@ -250,15 +252,13 @@ def dedup_maintenance_stream(
                 T.StructField("text", T.StringType(), True),
             ]
         )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-    writer = (
-        stream.writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "didx"))
-        .foreachBatch(lambda batch, bid: index.apply_batch(batch, batch_id=bid))
+    return file_feed_stream(
+        spark,
+        docs_dir,
+        lambda batch, bid: index.apply_batch(batch, batch_id=bid),
+        checkpoint_dir,
+        schema,
+        "didx",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -339,6 +339,8 @@ def index_maintenance_stream(
     pipeline's foreachBatch shape, streaming/pipeline.run_stage).
     ``fields`` (column -> integer weight) streams a MULTI-FIELD index —
     the schema must then carry those columns."""
+    from worker_spark.streaming.feed import file_feed_stream
+
     if schema is None:
         schema = T.StructType(
             [
@@ -346,19 +348,13 @@ def index_maintenance_stream(
                 T.StructField("text", T.StringType(), True),
             ]
         )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-    writer = (
-        stream.writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "idx"))
-        .foreachBatch(
-            lambda batch, bid: index.apply_batch(
-                batch, batch_id=bid, fields=fields
-            )
-        )
+    return file_feed_stream(
+        spark,
+        docs_dir,
+        lambda batch, bid: index.apply_batch(batch, batch_id=bid, fields=fields),
+        checkpoint_dir,
+        schema,
+        "idx",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -238,6 +238,11 @@ class IncrementalVectorIndex:
             q_scored.withColumn("_rn", F.row_number().over(wp))
             .filter(F.col("_rn") <= nprobe)
             .select("q_id", F.col("cent_id").alias("cell_id"))
+            # materialize once: touched_buckets collects over this plan
+            # and the candidate join consumes it again — without the
+            # checkpoint the q x K probe scoring runs twice (review
+            # finding; screen_batch set the pattern)
+            .localCheckpoint(eager=True)
         )
         probed_buckets = store.touched_buckets(probes, "cell_id")
         cand = (
@@ -287,6 +292,8 @@ def vector_maintenance_stream(
     under ``vectors_dir`` is a batch of added/updated/deleted vectors,
     MERGEd into the index by apply_batch (the same foreachBatch shape
     as index_maintenance_stream)."""
+    from worker_spark.streaming.feed import file_feed_stream
+
     if schema is None:
         schema = T.StructType(
             [
@@ -296,15 +303,13 @@ def vector_maintenance_stream(
                 ),
             ]
         )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(vectors_dir)
-    writer = (
-        stream.writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "vidx"))
-        .foreachBatch(lambda batch, bid: index.apply_batch(batch, batch_id=bid))
+    return file_feed_stream(
+        spark,
+        vectors_dir,
+        lambda batch, bid: index.apply_batch(batch, batch_id=bid),
+        checkpoint_dir,
+        schema,
+        "vidx",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
