@@ -223,3 +223,71 @@ def test_vector_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert _rows(idx.cells().select("vec_id", "cell_id")) == _rows(
         ivf_assign(emb, cents)
     )
+
+
+def test_adc_serving_matches_batch_pq_and_prunes_embedding_bytes(
+    spark, tmp_path
+):
+    """IVFADC from maintained state, three pins: (a) probing EVERY cell
+    reproduces the established similarity.pq_adc_topk EXACTLY (same
+    codebook rows, same decimal scoring — the new serving path scores
+    like the oracle-checked batch operator); (b) an incrementally-built
+    index (batches + an update) serves the same ADC results as a
+    single-batch build (code maintenance merges correctly); (c) the
+    candidate scan reads (vec_id, cell_id, code) ONLY — the embedding
+    column is pruned, which is the compressed-candidate IO claim."""
+    from worker_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark).limit(400).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cbvecs = emb.filter(F.col("vec_id") % 40 == 0)
+    n_cents = cents.count()
+
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "a"), centroids=cents, codebook_vectors=cbvecs
+    )
+    for residue in range(3):
+        idx.apply_batch(emb.filter(F.col("vec_id") % 3 == residue))
+    # an update batch re-encodes: flip one vector, then restore it, so
+    # the final state is the canonical corpus reached THROUGH updates
+    victim = 9
+    idx.apply_batch(
+        emb.filter(F.col("vec_id") == victim).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(-x as float))").alias(
+                "embedding"
+            ),
+        )
+    )
+    idx.apply_batch(emb.filter(F.col("vec_id") == victim))
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    # (a) probe all cells == the batch PQ/ADC operator on the same rows
+    got = _rows(idx.adc_topk(queries, nprobe=n_cents, top_k=5))
+    want = _rows(
+        pq_adc_topk(
+            emb, k=5, codebook_stride=40, query_stride=100
+        )
+    )
+    assert got == want
+
+    # (b) incremental build == single-batch build
+    one = IncrementalVectorIndex(
+        spark, str(tmp_path / "b"), centroids=cents, codebook_vectors=cbvecs
+    )
+    one.apply_batch(emb)
+    assert _rows(one.adc_topk(queries, nprobe=2, top_k=5)) == _rows(
+        idx.adc_topk(queries, nprobe=2, top_k=5)
+    )
+
+    # (c) the candidate scan's ReadSchema has code but NOT embedding
+    df = idx.adc_topk(queries, nprobe=2, top_k=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cell_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "code" in ln and "cell_id" in ln
+    ]
+    assert cell_scans and all("embedding" not in ln for ln in cell_scans)

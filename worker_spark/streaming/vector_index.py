@@ -41,6 +41,16 @@ the full index; a query reads ~nprobe/K of the corpus AND only the
 probed cells' bucket FILES (inputFiles-level pruning, plan-asserted in
 tests). Deletes: a batch row with an empty embedding removes the vector
 (its old cell row and manifest row are deleted, nothing re-inserted).
+
+ADC serving (adc_topk): when the index is created with pinned
+``codebook_vectors`` (the same offline-train/online-assign split as the
+centroids), apply_batch additionally maintains each vector's PQ code in
+the cells rows, and queries can be served by ASYMMETRIC DISTANCE over
+the stored codes — scoring identical to similarity.pq_adc_topk (pinned:
+probing every cell reproduces it bit-for-bit), with the candidate scan
+projecting (vec_id, cell_id, code) only, so parquet column pruning
+keeps the embedding bytes off the wire (the FAISS IVFADC memory story
+as an IO property of the columnar layout; plan-asserted).
 """
 
 from __future__ import annotations
@@ -52,7 +62,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from worker_spark.operators.similarity import _dot, _norm, ivf_assign
+from worker_spark.operators.similarity import (
+    PQ_M,
+    _dot,
+    _norm,
+    _pq_subspaces,
+    _sub_l2,
+    ivf_assign,
+)
 from worker_spark.plans.bucketed_state import BucketedParquetStateStore
 
 CELLS_SCHEMA = T.StructType(
@@ -60,6 +77,13 @@ CELLS_SCHEMA = T.StructType(
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("cell_id", T.LongType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        # PQ code (one codeword id per subspace) — populated when the
+        # index was created with pinned codebook vectors, null otherwise.
+        # adc_topk reads ONLY (vec_id, cell_id, code): parquet column
+        # pruning means compressed-candidate scoring never pays the
+        # embedding bytes (the FAISS IVFADC memory story, for free from
+        # the columnar layout)
+        T.StructField("code", T.ArrayType(T.LongType()), True),
     ]
 )
 VECMAP_SCHEMA = T.StructType(
@@ -84,12 +108,14 @@ class IncrementalVectorIndex:
     CELLS = "cells"
     VECMAP = "vecmap"
     CENTROIDS = "centroids"
+    CODEBOOK = "cbvecs"
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         centroids: DataFrame | None = None,
+        codebook_vectors: DataFrame | None = None,
         n_buckets: int = 16,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
@@ -98,32 +124,92 @@ class IncrementalVectorIndex:
         self.store = BucketedParquetStateStore(spark, root, n_buckets)
         self.id_col = id_col
         self.vec_col = vec_col
-        if self.store.exists(self.CENTROIDS):
-            if centroids is not None:
+        self._pin_table(
+            self.CENTROIDS,
+            centroids,
+            required=True,
+            what="centroid set (train offline / pick medoids, then pin here)",
+        )
+        # optional: pin PQ codebook source rows to maintain per-vector
+        # codes for ADC serving (adc_topk); same offline-train/online-
+        # assign split and the same one-pinned-set convergence argument
+        # as the centroids
+        self._pin_table(
+            self.CODEBOOK, codebook_vectors, required=False, what="codebook"
+        )
+
+    def _pin_table(
+        self, table: str, df: DataFrame | None, required: bool, what: str
+    ) -> None:
+        if self.store.exists(table):
+            if df is not None:
                 raise ValueError(
-                    f"{root}: centroids are already pinned for this index "
-                    "root — incremental assignment only converges against "
-                    "ONE centroid set; build a fresh root to retrain"
+                    f"{self.store.root}: {table} is already pinned for this "
+                    "index root — incremental assignment only converges "
+                    "against ONE pinned set; build a fresh root to retrain"
                 )
-        else:
-            if centroids is None:
+            return
+        if df is None:
+            if required:
                 raise ValueError(
-                    f"{root}: a new index needs its centroid set (train "
-                    "offline / pick medoids, then pin here)"
+                    f"{self.store.root}: a new index needs its {what}"
                 )
-            self.store.write(
-                self.CENTROIDS,
-                centroids.select(
-                    F.col(id_col).cast("long").alias("cent_id"),
-                    F.col(vec_col).alias("embedding"),
-                ),
-                keys=["cent_id"],
-            )
+            return
+        self.store.write(
+            table,
+            df.select(
+                F.col(self.id_col).cast("long").alias("cent_id"),
+                F.col(self.vec_col).alias("embedding"),
+            ),
+            keys=["cent_id"],
+        )
 
     # --- maintenance ----------------------------------------------------
 
     def centroids(self) -> DataFrame:
         return self.store.read(self.CENTROIDS, CENTROIDS_SCHEMA)
+
+    def has_codebook(self) -> bool:
+        return self.store.exists(self.CODEBOOK)
+
+    def codebook_vectors(self) -> DataFrame:
+        return self.store.read(self.CODEBOOK, CENTROIDS_SCHEMA)
+
+    def _encode(self, live: DataFrame) -> DataFrame:
+        """(vec_id, code): each vector's PQ code — per subspace, the id
+        of its nearest pinned codebook entry (argmin over the broadcast
+        codebook sub-distance table via a map-side-combining min_by, the
+        exact encoding of similarity.pq_adc_topk restricted to the batch
+        rows), packed into a subspace-ordered array."""
+        vsub = _pq_subspaces(live, "vid", "vec_id", "embedding")
+        csub = _pq_subspaces(
+            self.codebook_vectors(), "cent_id", "cent_id", "embedding"
+        )
+        sd = (
+            vsub.alias("vsub")
+            .join(F.broadcast(csub.alias("csub")), "s")
+            .select(
+                "vid",
+                "s",
+                "cent_id",
+                _sub_l2(F.col("vsub.v"), F.col("csub.v")).alias("d"),
+            )
+        )
+        per_sub = sd.groupBy("vid", "s").agg(
+            F.min_by("cent_id", F.struct("d", "cent_id")).alias("c")
+        )
+        return (
+            per_sub.groupBy(F.col("vid").alias("vec_id"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("s", "c"))
+                ).alias("_sc")
+            )
+            .select(
+                "vec_id",
+                F.transform(F.col("_sc"), lambda e: e["c"]).alias("code"),
+            )
+        )
 
     def apply_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
         """The foreachBatch body: delete-then-insert the batch vectors'
@@ -141,12 +227,16 @@ class IncrementalVectorIndex:
         cents = self.centroids().select(
             F.col("cent_id").alias("vec_id"), "embedding"
         )
-        assign = (
-            ivf_assign(live, cents)
-            .join(live, "vec_id")
-            .select("vec_id", "cell_id", "embedding")
-            .localCheckpoint(eager=True)
-        )
+        assign = ivf_assign(live, cents).join(live, "vec_id")
+        if self.has_codebook():
+            assign = assign.join(self._encode(live), "vec_id")
+        else:
+            assign = assign.withColumn(
+                "code", F.lit(None).cast(T.ArrayType(T.LongType()))
+            )
+        assign = assign.select(
+            "vec_id", "cell_id", "embedding", "code"
+        ).localCheckpoint(eager=True)
         batch_ids = (
             batch.select("vec_id").distinct().localCheckpoint(eager=True)
         )
@@ -195,30 +285,24 @@ class IncrementalVectorIndex:
     def cells(self, buckets: list[int] | None = None) -> DataFrame:
         return self.store.read(self.CELLS, CELLS_SCHEMA, buckets)
 
-    def ann_topk(
-        self,
-        queries: DataFrame,
-        nprobe: int = 2,
-        top_k: int = 5,
-    ) -> DataFrame:
-        """IVF ANN over the MAINTAINED state: probe each query's nprobe
-        nearest pinned centroids, read ONLY the probed cells' bucket
-        files, exact cosine inside them — bit-identical semantics to
-        similarity.ivf_ann_neighbors against the same centroid set
-        (same 6dp rounding, same tie-breaks), which is the equality the
-        registered streaming query's oracle relies on."""
+    def _query_side(self, queries: DataFrame) -> DataFrame:
+        return queries.select(
+            F.col(self.id_col).cast("long").alias("q_id"),
+            F.col(self.vec_col).alias("q_vec"),
+            _norm(F.col(self.vec_col)).alias("q_norm"),
+        )
+
+    def _probes(self, q: DataFrame, nprobe: int) -> DataFrame:
+        """(q_id, cell_id): each query's nprobe max-cosine pinned
+        centroids — ONE definition shared by the exact and the ADC
+        serving paths (same 6dp rounding / tie-breaks as
+        similarity.ivf_ann_neighbors)."""
         from pyspark.sql import Window
 
-        store = self.store
         c = self.centroids().select(
             "cent_id",
             F.col("embedding").alias("cent_vec"),
             _norm(F.col("embedding")).alias("cent_norm"),
-        )
-        q = queries.select(
-            F.col(self.id_col).cast("long").alias("q_id"),
-            F.col(self.vec_col).alias("q_vec"),
-            _norm(F.col(self.vec_col)).alias("q_norm"),
         )
         q_scored = q.crossJoin(F.broadcast(c)).select(
             "q_id",
@@ -234,7 +318,7 @@ class IncrementalVectorIndex:
         wp = Window.partitionBy("q_id").orderBy(
             F.desc_nulls_last("_sim"), F.asc("cent_id")
         )
-        probes = (
+        return (
             q_scored.withColumn("_rn", F.row_number().over(wp))
             .filter(F.col("_rn") <= nprobe)
             .select("q_id", F.col("cent_id").alias("cell_id"))
@@ -244,6 +328,24 @@ class IncrementalVectorIndex:
             # finding; screen_batch set the pattern)
             .localCheckpoint(eager=True)
         )
+
+    def ann_topk(
+        self,
+        queries: DataFrame,
+        nprobe: int = 2,
+        top_k: int = 5,
+    ) -> DataFrame:
+        """IVF ANN over the MAINTAINED state: probe each query's nprobe
+        nearest pinned centroids, read ONLY the probed cells' bucket
+        files, exact cosine inside them — bit-identical semantics to
+        similarity.ivf_ann_neighbors against the same centroid set
+        (same 6dp rounding, same tie-breaks), which is the equality the
+        registered streaming query's oracle relies on."""
+        from pyspark.sql import Window
+
+        store = self.store
+        q = self._query_side(queries)
+        probes = self._probes(q, nprobe)
         probed_buckets = store.touched_buckets(probes, "cell_id")
         cand = (
             self.cells(buckets=probed_buckets)
@@ -275,6 +377,88 @@ class IncrementalVectorIndex:
             .filter(F.col("rnk") <= top_k)
             .select(
                 "q_id", "c_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+            )
+        )
+
+    def adc_topk(
+        self,
+        queries: DataFrame,
+        nprobe: int = 2,
+        top_k: int = 5,
+    ) -> DataFrame:
+        """IVFADC serving from MAINTAINED state: the same cell probe as
+        ann_topk, but candidates are scored by ASYMMETRIC DISTANCE over
+        their STORED PQ codes — one broadcast of the query-to-codebook
+        sub-distance table, a (subspace, codeword) equi-join, a summed
+        decimal distance (exactly similarity.pq_adc_topk's scoring,
+        restricted to the probed cells). The candidate read projects
+        (vec_id, cell_id, code) ONLY, so parquet column pruning keeps
+        the embedding bytes off the wire — compressed-candidate scoring
+        is an IO property of the layout here, not a separate table.
+        Requires the index to have been created with pinned
+        codebook_vectors."""
+        from pyspark.sql import Window
+
+        if not self.has_codebook():
+            raise ValueError(
+                f"{self.store.root}: adc_topk needs codebook_vectors "
+                "pinned at index creation"
+            )
+        store = self.store
+        q = self._query_side(queries)
+        probes = self._probes(q, nprobe)
+        probed_buckets = store.touched_buckets(probes, "cell_id")
+        # query-to-codebook sub-distance lookup table (tiny: nq x M x K)
+        qsub = _pq_subspaces(
+            q.select(F.col("q_id").alias("vec_id"), F.col("q_vec").alias("embedding")),
+            "q_id",
+            "vec_id",
+            "embedding",
+        )
+        csub = _pq_subspaces(
+            self.codebook_vectors(), "cent_id", "cent_id", "embedding"
+        )
+        qd = (
+            qsub.alias("qsub")
+            .join(F.broadcast(csub.alias("csub")), "s")
+            .select(
+                "q_id",
+                "s",
+                "cent_id",
+                _sub_l2(F.col("qsub.v"), F.col("csub.v")).alias("d"),
+            )
+        )
+        cand_codes = (
+            self.cells(buckets=probed_buckets)
+            .select("vec_id", "cell_id", "code")  # embedding pruned away
+            .join(probes, "cell_id")
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("c_id"),
+                F.posexplode("code").alias("s", "codeword"),
+            )
+        )
+        adc = (
+            cand_codes.alias("cc")
+            .join(
+                F.broadcast(qd.alias("qd")),
+                (F.col("cc.q_id") == F.col("qd.q_id"))
+                & (F.col("cc.s") == F.col("qd.s"))
+                & (F.col("cc.codeword") == F.col("qd.cent_id")),
+            )
+            .groupBy(F.col("cc.q_id").alias("q_id"), "c_id")
+            .agg(F.sum("d").alias("adc"))
+        )
+        wk = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+        return (
+            adc.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= top_k)
+            .select(
+                "q_id",
+                "c_id",
+                F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+                F.col("rnk").cast("int").alias("rnk"),
             )
         )
 
