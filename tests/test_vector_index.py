@@ -291,3 +291,32 @@ def test_adc_serving_matches_batch_pq_and_prunes_embedding_bytes(
         if "FileScan" in ln and "code" in ln and "cell_id" in ln
     ]
     assert cell_scans and all("embedding" not in ln for ln in cell_scans)
+
+
+def test_adc_refined_serving_matches_batch_refine(spark, tmp_path):
+    """The full serving ladder (probe -> ADC shortlist -> exact L2
+    refine) from maintained state: probing every cell reproduces the
+    batch pq_adc_refined_topk exactly — same shortlist, same rounding,
+    same tie-breaks."""
+    from worker_spark.operators.similarity import pq_adc_refined_topk
+
+    emb = _emb(spark).limit(400).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cbvecs = emb.filter(F.col("vec_id") % 40 == 0)
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "r"), centroids=cents, codebook_vectors=cbvecs
+    )
+    for residue in range(2):
+        idx.apply_batch(emb.filter(F.col("vec_id") % 2 == residue))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = _rows(
+        idx.adc_refined_topk(
+            queries, nprobe=cents.count(), top_k=5, shortlist=40
+        )
+    )
+    want = _rows(
+        pq_adc_refined_topk(
+            emb, k=5, shortlist=40, codebook_stride=40, query_stride=100
+        )
+    )
+    assert got == want

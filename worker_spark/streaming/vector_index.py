@@ -399,14 +399,30 @@ class IncrementalVectorIndex:
         codebook_vectors."""
         from pyspark.sql import Window
 
+        q = self._query_side(queries)
+        probes = self._probes(q, nprobe)
+        adc = self._adc_scores(q, probes)
+        wk = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+        return (
+            adc.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= top_k)
+            .select(
+                "q_id",
+                "c_id",
+                F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+
+    def _adc_scores(self, q: DataFrame, probes: DataFrame) -> DataFrame:
+        """(q_id, c_id, adc): asymmetric distances of every probed-cell
+        candidate — the shared scoring of adc_topk and adc_refined_topk."""
         if not self.has_codebook():
             raise ValueError(
-                f"{self.store.root}: adc_topk needs codebook_vectors "
+                f"{self.store.root}: ADC serving needs codebook_vectors "
                 "pinned at index creation"
             )
         store = self.store
-        q = self._query_side(queries)
-        probes = self._probes(q, nprobe)
         probed_buckets = store.touched_buckets(probes, "cell_id")
         # query-to-codebook sub-distance lookup table (tiny: nq x M x K)
         qsub = _pq_subspaces(
@@ -439,7 +455,7 @@ class IncrementalVectorIndex:
                 F.posexplode("code").alias("s", "codeword"),
             )
         )
-        adc = (
+        return (
             cand_codes.alias("cc")
             .join(
                 F.broadcast(qd.alias("qd")),
@@ -450,14 +466,57 @@ class IncrementalVectorIndex:
             .groupBy(F.col("cc.q_id").alias("q_id"), "c_id")
             .agg(F.sum("d").alias("adc"))
         )
-        wk = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+
+    def adc_refined_topk(
+        self,
+        queries: DataFrame,
+        nprobe: int = 2,
+        top_k: int = 5,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """IVFADC + exact refine from MAINTAINED state — the standard
+        production serving ladder: coarse cell probe, ADC shortlist over
+        stored codes (embedding bytes pruned), then exact squared-L2
+        re-rank reading embeddings ONLY for the nq x shortlist
+        survivors (similarity._exact_l2_rerank's rounding/tie-breaks, so
+        probing every cell reproduces the batch pq_adc_refined_topk
+        exactly — test-pinned)."""
+        from pyspark.sql import Window
+
+        from worker_spark.operators.similarity import _l2_rounded
+
+        q = self._query_side(queries)
+        probes = self._probes(q, nprobe)
+        adc = self._adc_scores(q, probes)
+        wsl = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+        sl = (
+            adc.withColumn("_rn", F.row_number().over(wsl))
+            .filter(F.col("_rn") <= shortlist)
+            .select("q_id", "c_id")
+        )
+        cvecs = self.cells(
+            buckets=self.store.touched_buckets(probes, "cell_id")
+        ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        wk = Window.partitionBy("q_id").orderBy(
+            F.asc("l2_dist"), F.asc("c_id")
+        )
         return (
-            adc.withColumn("rnk", F.row_number().over(wk))
+            sl.join(
+                F.broadcast(q.select("q_id", F.col("q_vec").alias("qv"))),
+                "q_id",
+            )
+            .join(cvecs, "c_id")
+            .select(
+                "q_id",
+                "c_id",
+                _l2_rounded(F.col("qv"), F.col("cv")).alias("l2_dist"),
+            )
+            .withColumn("rnk", F.row_number().over(wk))
             .filter(F.col("rnk") <= top_k)
             .select(
                 "q_id",
                 "c_id",
-                F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+                "l2_dist",
                 F.col("rnk").cast("int").alias("rnk"),
             )
         )
