@@ -55,15 +55,12 @@ as an IO property of the columnar layout; plan-asserted).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from worker_spark.operators.similarity import (
-    PQ_M,
     _dot,
     _norm,
     _pq_subspaces,
