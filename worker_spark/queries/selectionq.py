@@ -98,10 +98,21 @@ def _cluster_balance_oracle() -> str:
     from worker_spark.operators.selection import CLUSTER_BALANCE_CAP
     from worker_spark.queries.simq import _cos_expr
 
+    # the stride CTE replays similarity.auto_centroid_stride(count):
+    # max(100, round(sqrt(N))) — a pure integer function of the corpus
+    # count, so the auto-strided operator stays hash-checkable (both
+    # engines take IEEE sqrt of the same integer; round() only differs
+    # at an exact .5 double, which sqrt of an integer cannot produce
+    # below N ~ 2^100)
     return f"""
-    WITH cents AS (
-        SELECT vec_id AS cent_id, embedding FROM embeddings
-        WHERE vec_id % 100 = 0
+    WITH stride AS (
+        SELECT greatest(100, CAST(round(sqrt(CAST(count(*) AS DOUBLE)))
+                                  AS BIGINT)) AS s
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings, stride
+        WHERE vec_id % stride.s = 0
     ),
     assign_scored AS (
         SELECT e.vec_id, c.cent_id,
@@ -127,15 +138,18 @@ def _cluster_balance_oracle() -> str:
     _cluster_balance_oracle(),
     doc="Cluster-balanced selection (the cluster-balancing step of "
     "SemDeDup-era curation pipelines, Abbas et al. 2023): IVF medoid "
-    "cells (every 100th id, max-cosine assignment — the exact "
-    "similarity_ivf_ann quantizer), then at most "
-    "CLUSTER_BALANCE_CAP items kept per cell by md5 rank. Flattens "
-    "topic-frequency bias: head clusters downsample to the cap, tail "
-    "clusters survive whole. One broadcast + one cell_id shuffle — "
-    "no pairwise stage; reproducible across runs and layouts.",
+    "cells (AUTO stride max(100, round(sqrt(N))) — K ~ sqrt(N), the "
+    "broadcast stays tiny and assignment is O(N^1.5); the oracle "
+    "re-derives the stride from count(*), so the row is hash-checkable "
+    "at any SF), max-cosine assignment — the exact similarity_ivf_ann "
+    "quantizer — then at most CLUSTER_BALANCE_CAP items kept per cell "
+    "by md5 rank. Flattens topic-frequency bias: head clusters "
+    "downsample to the cap, tail clusters survive whole. One broadcast "
+    "+ one cell_id shuffle — no pairwise stage; reproducible across "
+    "runs and layouts.",
 )
 def q_embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    return S.cluster_balanced_sample(emb, centroid_every=100)
+    return S.cluster_balanced_sample(emb, centroid_every="auto")
