@@ -420,3 +420,25 @@ def test_weighted_reservoir_is_ppswor_shaped(spark):
         docs.repartition(17), k=20, weight_col=F.lit(1).cast("long")
     )
     assert [r["doc_id"] for r in again.collect()] == got
+
+    # w <= 0 rows are filtered before ranking (A-ES's w > 0
+    # precondition; round-9 advice): a zero-length text must neither
+    # crash the ranking nor ever be sampled, and a negative weight must
+    # not invert the A-ES order
+    mixed = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "defg")],
+        schema="doc_id: bigint, text: string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in weighted_reservoir_sample(mixed, k=10).collect()
+    }
+    assert kept == {2, 3}
+    neg = weighted_reservoir_sample(
+        docs,
+        k=5,
+        weight_col=F.when(F.col("doc_id") == 7, F.lit(-5))
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+    assert 7 not in {r["doc_id"] for r in neg.collect()}

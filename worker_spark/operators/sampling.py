@@ -352,6 +352,14 @@ def weighted_reservoir_sample(
     exact sequential-ppswor distribution — the pair gives both
     standard weighted-sampling semantics behind one call shape.
 
+    A-ES is defined for w > 0 only; rows with weight <= 0 are FILTERED
+    before ranking (round-9 advice). A zero weight divides ln(u) by
+    zero — NULL in Spark but ±inf/NaN in a double-division oracle, a
+    latent engine divergence — and the ppswor limit of w -> 0 is zero
+    inclusion probability anyway, so the filter IS the semantics; a
+    negative weight has no defined rank at all and is dropped by the
+    same predicate rather than silently inverting the order.
+
     Output: (doc_id, weight, aes_key_micros) for the k sampled items,
     aes_key_micros = the integer-micros numerator ln(u)*1e6 (exact);
     the ranking divides it by the integer weight.
@@ -378,7 +386,7 @@ def weighted_reservoir_sample(
         (
             ln_u_micros.cast("double") / w.cast("double")
         ).alias("_r"),
-    )
+    ).filter(F.col("weight") > 0)
     return (
         scored.orderBy(F.desc("_r"), F.asc("doc_id"))
         .limit(k)

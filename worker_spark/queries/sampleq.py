@@ -209,6 +209,7 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   AS BIGINT) + 1.0) * {S.AES_MICRO}) AS BIGINT)
                    - {S.AES_LN_2POW32_MICROS} AS aes_key_micros
         FROM documents
+        WHERE length(text) > 0
     )
     SELECT doc_id, weight, aes_key_micros
     FROM scored
@@ -219,7 +220,10 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"Weighted reservoir sampling (A-ES, Efraimidis-Spirakis'06): "
     f"rank by u^(1/w) — reformulated as ln(u)/w with ln(u) quantized to "
     "integer micros from the exact md5-prefix integer, so the key is one "
-    "exact-integer division (no pow, engine-exact). The ppswor sibling "
+    "exact-integer division (no pow, engine-exact). Rows with weight <= 0 "
+    "are filtered on BOTH sides (A-ES's w > 0 precondition; a w == 0 "
+    "division is NULL in Spark but NaN/inf in double SQL — a latent "
+    "engine divergence). The ppswor sibling "
     f"of doc_weighted_sample's priority sampler; top-{S.WEIGHTED_SAMPLE_K} "
     "via mergeable distributed TakeOrdered, never a heap pass or global "
     "sort.",
