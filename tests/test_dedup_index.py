@@ -32,6 +32,33 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_duplicate_keys_in_one_batch_are_last_wins(spark, tmp_path):
+    """Round-9 advice (medium): two versions of one doc_id inside a
+    single batch must fingerprint ONLY the later-file version — not
+    silently merge both versions' shingles into a fingerprint that
+    matches neither."""
+    from tests.test_incremental_retrieval import _two_file_batch
+
+    stale = "the stale draft of this document body with old words"
+    fresh = "a completely rewritten corrected final document body"
+    batch = _two_file_batch(
+        spark,
+        tmp_path,
+        "doc_id long, text string",
+        [(1, stale)],
+        [(1, fresh)],
+    )
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "d"))
+    idx.apply_batch(batch)
+    want = _rows(
+        simhash(
+            spark.createDataFrame([(1, fresh)], "doc_id long, text string"),
+            id_col="doc_id",
+        ).select(F.col("id").cast("long").alias("doc_id"), "simhash")
+    )
+    assert _rows(idx.fps()) == want  # one fingerprint: the fresh text's
+
+
 def test_incremental_dedup_index_converges_and_screens_exactly(
     spark, tmp_path
 ):

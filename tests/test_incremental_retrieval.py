@@ -31,6 +31,53 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _two_file_batch(spark, tmp_path, schema, first_rows, second_rows):
+    """A single DataFrame backed by TWO parquet files with unambiguous
+    lexicographic order (b0 < b1) — the shape of one micro-batch whose
+    trigger merged two feed files (max_files_per_trigger=None), which
+    is where within-batch duplicate keys arise. feed.last_wins must
+    elect the b1 version."""
+    import glob
+    import shutil
+
+    feed = tmp_path / "dupfeed"
+    feed.mkdir()
+    for i, rows in enumerate((first_rows, second_rows)):
+        stage = str(tmp_path / f"_dupstage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, str(feed / f"b{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.schema(schema).parquet(str(feed))
+
+
+def test_duplicate_keys_in_one_batch_are_last_wins(spark, tmp_path):
+    """Round-9 advice (medium): a batch carrying two versions of one
+    doc_id must apply only the LAST (later-file) version — the
+    reference index sink's add_or_replace-by-id — not sum both
+    versions' term frequencies."""
+    batch = _two_file_batch(
+        spark,
+        tmp_path,
+        "doc_id long, text string",
+        [(1, "stale stale words"), (2, "other doc")],
+        [(1, "fresh words")],
+    )
+    idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))
+    idx.apply_batch(batch)
+    got = {(r[0], r[1]): r[2] for r in _rows(idx.postings())}
+    # only the corrected version's postings; nothing summed, no 'stale'
+    assert got == {
+        ("fresh", 1): 1,
+        ("words", 1): 1,
+        ("other", 2): 1,
+        ("doc", 2): 1,
+    }
+    assert _rows(idx.doclen().select("doc_id", "dl")) == [(1, 2), (2, 2)]
+
+
 def test_incremental_index_converges_to_batch_build(spark, tmp_path):
     docs = _docs(spark)
     idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))

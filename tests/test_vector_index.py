@@ -32,6 +32,43 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_duplicate_keys_in_one_batch_are_last_wins(spark, tmp_path):
+    """Round-9 advice (medium): two versions of one vec_id inside a
+    single batch must index ONLY the later-file version — exactly one
+    cells/vecmap row per key (the join back to the batch used to
+    re-expand to one row per duplicate, and ann_topk returned the same
+    candidate twice)."""
+    from tests.test_incremental_retrieval import _two_file_batch
+
+    emb = _emb(spark).limit(200).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    victim = emb.filter(F.col("vec_id") == 7).collect()[0]
+    flipped = [-x for x in victim["embedding"]]
+    batch = _two_file_batch(
+        spark,
+        tmp_path,
+        "vec_id long, embedding array<float>",
+        [(7, list(victim["embedding"]))],
+        [(7, flipped)],
+    )
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    idx.apply_batch(emb.filter(F.col("vec_id") != 7))
+    idx.apply_batch(batch)
+    mine = idx.cells().filter(F.col("vec_id") == 7).collect()
+    assert len(mine) == 1  # one row per key, not one per duplicate
+    want_cell = ivf_assign(
+        spark.createDataFrame(
+            [(7, flipped)], "vec_id long, embedding array<float>"
+        ),
+        cents,
+    ).collect()[0]["cell_id"]
+    assert mine[0]["cell_id"] == want_cell  # the LATER version's cell
+    # and serving returns no duplicate candidates
+    res = idx.ann_topk(emb.filter(F.col("vec_id") == 100), top_k=200)
+    pairs = [(r["q_id"], r["c_id"]) for r in res.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_incremental_ivf_converges_to_batch_build(spark, tmp_path):
     emb = _emb(spark).localCheckpoint(eager=True)
     cents = emb.filter(F.col("vec_id") % 100 == 0)

@@ -130,8 +130,17 @@ class IncrementalDedupIndex:
         band rows MOVE to new band keys; a replayed batch rewrites
         identical rows) and refresh the fingerprint manifest. Touched
         bands buckets = old-fingerprint band keys ∪ new-fingerprint band
-        keys — exact and bounded, both derived by column math."""
+        keys — exact and bounded, both derived by column math.
+
+        A batch carrying several versions of one doc_id (a trigger
+        merging a draft file and its correction) is reduced to one row
+        per key FIRST — last-wins (feed.last_wins); without it
+        ``simhash`` silently merged both versions' shingles into one
+        fingerprint that matches neither (round-9 advice)."""
+        from worker_spark.streaming.feed import last_wins
+
         store = self.store
+        docs = last_wins(docs, [id_col])
         new_fps = (
             simhash(docs, id_col=id_col, text_col=text_col)
             .select(F.col("id").cast("long").alias("doc_id"), "simhash")

@@ -9,8 +9,53 @@ import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+
+
+def last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One row per key tuple: LAST version wins — the reference index
+    sink's add_or_replace-by-id semantics (src/indexing.rs:61-115)
+    applied WITHIN a micro-batch. Without this, a trigger that merges a
+    draft file and its correction (max_files_per_trigger=None, or a
+    backlog drained in one availableNow batch) carries two versions of
+    one key, and every apply_batch body silently double-applies: the
+    vector index re-expands its per-key assignment into duplicate
+    cells/vecmap rows, the retrieval index sums both versions' tf, the
+    dedup index merges both versions' shingles (round-9 advice,
+    medium).
+
+    "Last" inside one Spark micro-batch: the file source exposes no
+    per-row arrival order, so version order is the lexicographic
+    source-file order (``input_file_name()`` — later feed files sort
+    after earlier ones under any sortable batch naming; the empty
+    string for non-file frames), tie-broken by a deterministic row
+    fingerprint so a REPLAYED batch always elects the same winner (the
+    idempotent-replay contract every index depends on). Within-FILE
+    duplicates of a key have no defined version order anywhere — the
+    fingerprint makes that choice stable rather than meaningful.
+
+    One map-side-combinable max_by agg on the key — no window, no
+    join; cost O(batch), hot keys collapse to one partial per task.
+    The order columns are materialized in a projection BELOW the agg:
+    input_file_name() is non-deterministic to Catalyst and may not
+    appear inside an aggregate function directly."""
+    cols = df.columns
+    tagged = df.select(
+        *cols,
+        F.input_file_name().alias("_src"),
+        F.md5(F.to_json(F.struct(*cols))).alias("_fp"),
+    )
+    return (
+        tagged.groupBy(*[F.col(k) for k in key_cols])
+        .agg(
+            F.max_by(
+                F.struct(*cols), F.struct(F.col("_src"), F.col("_fp"))
+            ).alias("_row")
+        )
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    )
 
 
 def file_feed_stream(

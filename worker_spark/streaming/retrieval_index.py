@@ -169,8 +169,17 @@ class IncrementalRetrievalIndex:
         batch's manifest are read or rewritten (module docstring).
         ``fields`` enables multi-field (BM25F) maintenance — see
         _batch_delta; an index must be maintained with ONE consistent
-        field map, the caller's contract."""
+        field map, the caller's contract.
+
+        A batch carrying several versions of one doc_id (a trigger
+        merging a draft file and its correction) is reduced to one row
+        per key FIRST — last-wins (feed.last_wins); without it
+        _batch_delta summed BOTH versions' term frequencies into one
+        posting row (round-9 advice)."""
+        from worker_spark.streaming.feed import last_wins
+
         store = self.store
+        docs = last_wins(docs, [id_col])
         tf = self._batch_delta(docs, id_col, text_col, fields)
         batch_ids = docs.select(
             F.col(id_col).cast("long").alias("doc_id")

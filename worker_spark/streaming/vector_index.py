@@ -213,12 +213,21 @@ class IncrementalVectorIndex:
         cell rows (an updated vector replaces its assignment, possibly
         in a different cell; a replayed batch rewrites identical rows —
         replays are no-ops) and refresh the manifest. An empty-embedding
-        row is a delete. Only the buckets named by the batch's manifest
-        are read or rewritten."""
+        row is a delete. A batch carrying several versions of one
+        vec_id (a trigger merging a draft file and its correction) is
+        reduced to one row per key FIRST — last-wins (feed.last_wins);
+        without it the cells join re-expanded to one row per duplicate
+        and ann_topk returned the same candidate twice. Only the
+        buckets named by the batch's manifest are read or rewritten."""
+        from worker_spark.streaming.feed import last_wins
+
         store = self.store
-        batch = vectors.select(
-            F.col(self.id_col).cast("long").alias("vec_id"),
-            F.col(self.vec_col).alias("embedding"),
+        batch = last_wins(
+            vectors.select(
+                F.col(self.id_col).cast("long").alias("vec_id"),
+                F.col(self.vec_col).alias("embedding"),
+            ),
+            ["vec_id"],
         )
         live = batch.filter(F.size("embedding") > 0)
         cents = self.centroids().select(
