@@ -207,6 +207,55 @@ def test_centroids_pin_per_root(spark, tmp_path):
         IncrementalVectorIndex(spark, root, centroids=emb.limit(3))
 
 
+def test_empty_pin_is_refused(spark, tmp_path):
+    """Round-9 advice: an EMPTY centroid (or codebook) frame must fail
+    the pin loudly — zero centroids assign nothing, so every later
+    apply_batch would silently drop all inserts while exists() reports
+    the index as created."""
+    emb = _emb(spark).limit(100).localCheckpoint(eager=True)
+    none = emb.filter(F.col("vec_id") < 0)  # empty, same schema
+    with pytest.raises(ValueError, match="EMPTY"):
+        IncrementalVectorIndex(spark, str(tmp_path / "v1"), centroids=none)
+    cents = emb.filter(F.col("vec_id") % 20 == 0)
+    with pytest.raises(ValueError, match="EMPTY"):
+        IncrementalVectorIndex(
+            spark,
+            str(tmp_path / "v2"),
+            centroids=cents,
+            codebook_vectors=none,
+        )
+    # neither failed pin may leave an existence witness behind
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v1"), centroids=cents)
+    assert idx.centroids().count() == cents.count()
+
+
+def test_torn_first_pin_is_detected_and_reseedable(spark, tmp_path):
+    """Round-9 advice: bucket dirs WITHOUT the post-commit _schema
+    witness are a TORN first pin (crash mid-swap; a write-once table
+    has no replay to heal it). Reopening without the frame must refuse
+    loudly — NOT serve the partial centroid set — and reopening with
+    the frame must wipe the partial data and re-pin."""
+    import os as _os
+
+    emb = _emb(spark).limit(100).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 20 == 0)
+    root = str(tmp_path / "v")
+    IncrementalVectorIndex(spark, root, centroids=cents)
+    cdir = _os.path.join(root, "centroids")
+    # simulate the crash between the last bucket swap and _persist_meta
+    _os.remove(_os.path.join(cdir, "_schema"))
+    _os.remove(_os.path.join(cdir, "_bucket_keys"))
+    with pytest.raises(ValueError, match="torn"):
+        IncrementalVectorIndex(spark, root)
+    # ...and the 'already pinned' refusal must NOT fire for a torn pin:
+    # supplying the frame reseeds instead
+    idx = IncrementalVectorIndex(spark, root, centroids=cents)
+    assert idx.centroids().count() == cents.count()
+    assert idx.store.has_schema_witness("centroids")
+    idx.apply_batch(emb)
+    assert idx.cells().count() == emb.count()
+
+
 def test_ann_serving_plan_shape(spark, tmp_path):
     """Serving plan: centroids ride a broadcast (never a shuffle join
     for the K-row probe table), no cartesian product over data rows,

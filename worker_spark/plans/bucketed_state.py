@@ -298,6 +298,24 @@ class BucketedParquetStateStore:
             self.bucket_paths(table)
         )
 
+    def has_schema_witness(self, table: str) -> bool:
+        """Whether the table's post-commit _schema witness landed. For a
+        MERGE-maintained table, bucket dirs WITHOUT the witness just
+        mean the first batch is mid-replay (the streaming checkpoint
+        re-applies it). For a WRITE-ONCE table with no replay path —
+        the vector index's pinned centroids/codebook — that state is a
+        torn first write: the caller must treat presence-without-
+        witness as partial data, not as a committed table."""
+        return os.path.exists(
+            os.path.join(self._table_dir(table), _SCHEMA_META)
+        )
+
+    def drop(self, table: str) -> None:
+        """Remove a table entirely (buckets, meta, staging). Used to
+        clear a torn write-once pin before reseeding; MERGE tables
+        never need this (replays heal them)."""
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)
+
     def read(
         self,
         table: str,

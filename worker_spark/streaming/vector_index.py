@@ -138,28 +138,52 @@ class IncrementalVectorIndex:
     def _pin_table(
         self, table: str, df: DataFrame | None, required: bool, what: str
     ) -> None:
+        """Pin a write-once table (centroids / codebook). Two loud-
+        failure guards (round-9 advice): a TORN first pin — bucket dirs
+        present but the post-commit schema witness absent, i.e. a crash
+        mid-swap left PARTIAL data with no replay path to heal it — is
+        wiped and re-pinned when the caller supplies the frame, and
+        refused with a reseed error when it does not (silently serving
+        partial centroids would diverge every assignment from the batch
+        oracle); and an EMPTY pinned frame is rejected up front —
+        zero centroids assign nothing and an empty codebook's encode
+        join drops every row, so every later apply_batch would silently
+        index nothing while exists() reports the index as created."""
         if self.store.exists(table):
-            if df is not None:
-                raise ValueError(
-                    f"{self.store.root}: {table} is already pinned for this "
-                    "index root — incremental assignment only converges "
-                    "against ONE pinned set; build a fresh root to retrain"
-                )
-            return
+            if not self.store.has_schema_witness(table):
+                if df is None:
+                    raise ValueError(
+                        f"{self.store.root}: {table} has bucket data but "
+                        "no post-commit schema witness — a torn first "
+                        f"pin; reopen the index with the {what} frame to "
+                        "reseed it"
+                    )
+                self.store.drop(table)  # partial data from a torn pin
+            else:
+                if df is not None:
+                    raise ValueError(
+                        f"{self.store.root}: {table} is already pinned for "
+                        "this index root — incremental assignment only "
+                        "converges against ONE pinned set; build a fresh "
+                        "root to retrain"
+                    )
+                return
         if df is None:
             if required:
                 raise ValueError(
                     f"{self.store.root}: a new index needs its {what}"
                 )
             return
-        self.store.write(
-            table,
-            df.select(
-                F.col(self.id_col).cast("long").alias("cent_id"),
-                F.col(self.vec_col).alias("embedding"),
-            ),
-            keys=["cent_id"],
+        pinned = df.select(
+            F.col(self.id_col).cast("long").alias("cent_id"),
+            F.col(self.vec_col).alias("embedding"),
         )
+        if pinned.isEmpty():
+            raise ValueError(
+                f"{self.store.root}: refusing to pin an EMPTY {what} — "
+                "the index would silently drop every insert"
+            )
+        self.store.write(table, pinned, keys=["cent_id"])
 
     # --- maintenance ----------------------------------------------------
 
