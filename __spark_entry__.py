@@ -41,7 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """The full oracle-paired inventory: every SURVEY.md §2 operator
+    with a natural single-SQL oracle, plus the LLM-data-pipeline
+    families (dedup, similarity/ANN, retrieval, text quality, sampling,
+    selection, sketches, chunking, streaming indexes) — ~136 entries,
+    ordered by the driver-window rotation policy (worker_spark/queries/
+    __init__.py)."""
     from worker_spark.queries import all_queries
 
     return {name: spec.run for name, spec in all_queries().items()}

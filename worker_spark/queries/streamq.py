@@ -994,3 +994,82 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_minhash_oracle() -> str:
+    # The post-stream banded state is EXACTLY the batch signature build
+    # over the canonical corpus (streaming/minhash_index.py convergence
+    # contract, pinned by tests/test_minhash_index.py), so the verified
+    # pairs served from the maintained state equal
+    # minhash_lsh_dedup_pairs over the same corpus — the batch MinHash
+    # oracle serves unchanged (the one-oracle-for-both argument, fourth
+    # instance). The stale-then-corrected update batch in the feed
+    # converges to the canonical text, so the oracle needs no knowledge
+    # of the intermediate versions.
+    from worker_spark.queries.dedupq import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@register(
+    "streaming_minhash_index",
+    _streaming_minhash_oracle(),
+    doc="Incrementally-maintained MinHash-LSH dedup index driven "
+    "end-to-end through Structured Streaming — streaming maintenance "
+    "for the PRIMARY corpus-scale dedup method (VERDICT r9 item 4): "
+    "document batches arrive as files (maxFilesPerTrigger=1, "
+    "availableNow), a foreachBatch MERGE keeps the banded signature "
+    "state current on hash-bucketed parquet — including an UPDATE "
+    "batch whose corrected text REPLACES stale drafts, moving their "
+    "band rows to new band keys via the stored-signature manifest — "
+    "and verified near-dup pairs are served from the MAINTAINED "
+    "state: candidates from one band-key equi-self-join (the corpus "
+    "is never re-shingled or re-signed), exact Jaccard re-shingling "
+    "ONLY candidate documents. Hash-checked against the batch "
+    "MinHash+LSH oracle. The banded-signature twin of "
+    "streaming_dedup_index.",
+)
+def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.minhash_index import (
+        IncrementalMinHashIndex,
+        minhash_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the even
+    # docs but a stale 40-char draft for doc_id%7==0 (different shingle
+    # set -> different signature -> different band keys); batch 1 the
+    # odd docs; batch 2 the corrected full rows. Final state == the
+    # canonical corpus iff the manifest-driven delete-then-insert moves
+    # band rows between band keys correctly, which the batch oracle
+    # checks.
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="midx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="midx_ckpt_")
+    state = tempfile.mkdtemp(prefix="midx_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalMinHashIndex(spark, state)
+        q = minhash_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_minhash_index: availableNow drain exceeded 300s"
+            )
+        return idx.dedup_pairs(docs, threshold=0.5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
