@@ -326,26 +326,29 @@ def test_multifield_index_converges_to_bm25f(spark, tmp_path):
     assert dl[0]["dl"] == 5  # 1 title token x3 + 2 body tokens x1
 
 
-def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
-    """The bucketed-state sizing rule, asserted (VERDICT r7 item 5):
-    with n_buckets scaled to hold bucket bytes constant, a FIXED batch's
-    rewritten bytes stay ~flat while state grows 8x — the structural
-    bound behind the wall-clock rows in NOTES (tools/scaling_probe.py
-    --state measures the same thing at sf volumes, plus the full-store
-    linear contrast). Bytes, not wall time: deterministic on a noisy
-    host. Uses the ONE shared witness (bucketed_state.tree_bytes) so
-    this bound and the probe's NOTES rows measure the same thing."""
+@pytest.mark.parametrize(
+    "kind", ["retrieval", "dedup_simhash", "minhash_lsh", "vector_ivf"]
+)
+def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
+    """The bucketed-state sizing rule, asserted for the WHOLE index
+    family (VERDICT r7 item 5; extended per r9 item 5 — measure, don't
+    argue): with n_buckets scaled to hold bucket bytes constant, a
+    FIXED batch's rewritten bytes stay ~flat while state grows 8x — the
+    structural bound behind the wall-clock rows in NOTES
+    (tools/scaling_probe.py --state measures the same thing at sf
+    volumes, plus the full-store linear contrast). Bytes, not wall
+    time: deterministic on a noisy host. Uses the ONE shared witness
+    (bucketed_state.tree_bytes) so this bound and the probe's NOTES
+    rows measure the same thing."""
     from pyspark.sql import functions as F
 
     from worker_spark.plans.bucketed_state import rewritten_bytes, tree_bytes
+    from worker_spark.streaming.dedup_index import IncrementalDedupIndex
+    from worker_spark.streaming.minhash_index import IncrementalMinHashIndex
+    from worker_spark.streaming.vector_index import IncrementalVectorIndex
 
-    batch = spark.createDataFrame(
-        [(10**9 + i, f"qq{i}a qq{i}b qq{i}c") for i in range(5)],
-        "doc_id long, text string",
-    )
-    rewritten = {}
-    for tag, n, nb in (("small", 2_000, 16), ("big", 16_000, 128)):
-        corpus = spark.range(n).select(
+    def doc_corpus(n):
+        return spark.range(n).select(
             F.col("id").alias("doc_id"),
             F.concat_ws(
                 " ",
@@ -354,9 +357,61 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path):
                 F.concat(F.lit("w"), F.col("id"), F.lit("z")),
             ).alias("text"),
         )
-        root = str(tmp_path / tag)
-        idx = IncrementalRetrievalIndex(spark, root, n_buckets=nb)
-        idx.apply_batch(corpus)
+
+    def vec_corpus(n, id0=0):
+        return spark.range(n).select(
+            (F.col("id") + F.lit(id0)).alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (k + 3) % 97).cast("double") / 97.0)
+                    .cast("float")
+                    for k in range(8)
+                ]
+            ).alias("embedding"),
+        )
+
+    doc_batch = spark.createDataFrame(
+        [(10**9 + i, f"qq{i}a qq{i}b qq{i}c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    vec_batch = vec_corpus(5, id0=10**9).localCheckpoint(eager=True)
+    makers = {
+        "retrieval": (
+            lambda root, nb: IncrementalRetrievalIndex(
+                spark, root, n_buckets=nb
+            ),
+            doc_corpus,
+            doc_batch,
+        ),
+        "dedup_simhash": (
+            lambda root, nb: IncrementalDedupIndex(spark, root, n_buckets=nb),
+            doc_corpus,
+            doc_batch,
+        ),
+        "minhash_lsh": (
+            lambda root, nb: IncrementalMinHashIndex(
+                spark, root, n_buckets=nb
+            ),
+            doc_corpus,
+            doc_batch,
+        ),
+        "vector_ivf": (
+            lambda root, nb: IncrementalVectorIndex(
+                spark,
+                root,
+                centroids=vec_corpus(32, id0=9 * 10**8),
+                n_buckets=nb,
+            ),
+            vec_corpus,
+            vec_batch,
+        ),
+    }
+    make_idx, corpus_fn, batch = makers[kind]
+    rewritten = {}
+    for tag, n, nb in (("small", 2_000, 16), ("big", 16_000, 128)):
+        root = str(tmp_path / f"{kind}-{tag}")
+        idx = make_idx(root, nb)
+        idx.apply_batch(corpus_fn(n))
         before = tree_bytes(root)
         idx.apply_batch(batch)
         rewritten[tag] = rewritten_bytes(before, tree_bytes(root))

@@ -456,11 +456,12 @@ def main() -> None:
 
 
 def state_probe() -> None:
-    """VERDICT r7 item 5: per-batch maintenance cost as STATE grows
-    (1x/4x/10x state rows, constant arrival batch) — the write-
-    amplification axis the corpus-volume probe above cannot see.
+    """VERDICT r7 item 5 (extended to the full index family, VERDICT r9
+    item 5): per-batch maintenance cost as STATE grows (1x/4x/10x state
+    rows, constant arrival batch) — the write-amplification axis the
+    corpus-volume probe above cannot see.
 
-    Two regimes per factor:
+    Two regimes per factor for the retrieval index:
     * bucketed — IncrementalRetrievalIndex on BucketedParquetStateStore
       with n_buckets scaled to hold BUCKET BYTES constant (the sizing
       rule in plans/bucketed_state.py): per-batch wall and rewritten
@@ -469,6 +470,11 @@ def state_probe() -> None:
       posting rows into the same-size postings table: rewritten bytes
       ARE the state (the pre-r8 behavior the verdict graded weak),
       growing linearly.
+
+    The dedup (SimHash), minhash (LSH) and vector (IVF) indexes share
+    the same store and delete-then-insert shape; their rows MEASURE
+    that claim instead of arguing it (r9 verdict: "measure, don't
+    argue").
 
     Synthetic unique-term docs keep the term side honest (the sf
     corpus's 31-token vocabulary would alias every batch onto every
@@ -554,6 +560,94 @@ def state_probe() -> None:
             f"| {factor}x ({n} docs) | {tb:.2f}s | {mb:.2f} | "
             f"{tf_:.2f}s | {mf:.2f} |"
         )
+
+    # --- the rest of the index family on the same store ---------------
+    from worker_spark.streaming.dedup_index import IncrementalDedupIndex
+    from worker_spark.streaming.minhash_index import IncrementalMinHashIndex
+    from worker_spark.streaming.vector_index import IncrementalVectorIndex
+
+    def _doc_corpus(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), F.col("id"), F.lit(s))
+                    for s in "xyzpq"
+                ],
+            ).alias("text"),
+        ).localCheckpoint()
+
+    def _vec_corpus(n: int, id0: int = 0):
+        return spark.range(n).select(
+            (F.col("id") + F.lit(id0)).alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (k + 3) % 97).cast("double") / 97.0)
+                    .cast("float")
+                    for k in range(8)
+                ]
+            ).alias("embedding"),
+        ).localCheckpoint()
+
+    doc_batch = spark.createDataFrame(
+        [(900_000_000 + i, f"qq{i}x qq{i}y qq{i}z qq{i}p qq{i}q")
+         for i in range(20)],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    vec_batch = _vec_corpus(20, id0=900_000_000)
+
+    kinds = {
+        "dedup_simhash": lambda work, nb: (
+            IncrementalDedupIndex(spark, work, n_buckets=nb),
+            _doc_corpus,
+            doc_batch,
+        ),
+        "minhash_lsh": lambda work, nb: (
+            IncrementalMinHashIndex(spark, work, n_buckets=nb),
+            _doc_corpus,
+            doc_batch,
+        ),
+        "vector_ivf": lambda work, nb: (
+            IncrementalVectorIndex(
+                spark,
+                work,
+                centroids=_vec_corpus(64, id0=800_000_000),
+                n_buckets=nb,
+            ),
+            _vec_corpus,
+            vec_batch,
+        ),
+    }
+    fam_rows = []
+    for kind, make in kinds.items():
+        for factor in FACTORS:
+            n = n0 * factor
+            work = tempfile.mkdtemp(prefix=f"stateprobe-{kind}-{factor}-")
+            try:
+                idx, corpus_fn, batch_df = make(
+                    os.path.join(work, "idx"), 64 * factor
+                )
+                idx.apply_batch(corpus_fn(n))  # seed state (not timed)
+                snap = tree_bytes(os.path.join(work, "idx"))
+                t0 = time.perf_counter()
+                idx.apply_batch(batch_df)
+                t_apply = time.perf_counter() - t0
+                mb = rewritten_bytes(
+                    snap, tree_bytes(os.path.join(work, "idx"))
+                ) / 1e6
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            fam_rows.append((kind, factor, n, t_apply, mb))
+            line.setdefault(kind, {})[f"f{factor}"] = {
+                "state_rows": n,
+                "apply_s": round(t_apply, 3),
+                "mb_rewritten": round(mb, 3),
+            }
+    print("| index | state | apply | MB rewritten |")
+    print("|---|---|---|---|")
+    for kind, factor, n, ta, mb in fam_rows:
+        print(f"| {kind} | {factor}x ({n}) | {ta:.2f}s | {mb:.2f} |")
     spark.stop()
     print(json.dumps(line))
 
