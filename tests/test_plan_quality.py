@@ -225,8 +225,11 @@ def test_contamination_caps_shingles_with_anti_join(spark):
 
 def test_char_entropy_is_map_only(spark):
     # run-length HOF over the sorted char array: one narrow projection,
-    # no explode and no shuffle — pre-agg rows used to equal corpus chars
-    df = _SPECS["doc_char_entropy"].run(spark, SF_ORACLE)
+    # no explode and no shuffle over the GENERATED corpus — pre-agg rows
+    # used to equal corpus chars (the v2 corpus derives via one
+    # repartition + localCheckpoint inside documents_v2; the entropy
+    # stage itself adds no Exchange and no Generate on top of it)
+    df = _SPECS["doc_char_entropy_v2"].run(spark, SF_ORACLE)
     plan = _physical(df)
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode

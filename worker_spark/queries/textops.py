@@ -398,13 +398,15 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_char_entropy",
-    """
-    WITH chars AS (
+def _char_entropy_v2_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return f"""
+    WITH {documents_v2_sql("docs2")},
+    chars AS (
         SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
                substr(text, CAST(i AS INTEGER), 1) AS ch
-        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        FROM docs2, UNNEST(range(1, length(text) + 1)) AS t(i)
     ),
     counts AS (
         SELECT doc_id, n, ch, CAST(count(*) AS DOUBLE) AS c
@@ -413,14 +415,24 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            round(log2(max(n)) - sum(c * log2(c)) / max(n), 6) AS char_entropy
     FROM counts GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "doc_char_entropy_v2",
+    _char_entropy_v2_oracle(),
     doc="Character-level Shannon entropy per doc (bits/char) — gibberish/"
     "base64/repeated-junk filter; single aggregation pass via "
-    "H = log2(n) - sum(c*log2(c))/n.",
+    "H = log2(n) - sum(c*log2(c))/n. Runs on the Zipf-ish documents_v2 "
+    "corpus (the v1 twin retired in r10 — the v2-swap pattern the "
+    "retrieval family set in r8/r9): entropy now spreads with the "
+    "harmonic-decay token mix instead of the 31-token vocabulary's "
+    "near-constant character pool.",
 )
-def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.with_char_entropy(docs)
+def q_doc_char_entropy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return T.with_char_entropy(documents_v2(spark, sf_dir))
 
 
 # Corpus-tuned Gopher parameters: the synthetic documents corpus is
@@ -486,6 +498,103 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.with_gopher_rules(
         d, min_words=_GOPHER_MIN_WORDS, required_stopwords=_GOPHER_SW
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "n_req_stopwords",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "passes_gopher",
+    )
+
+
+# v2-corpus Gopher knobs: the required-stopword rule is corpus-tuned by
+# design (the operator keeps the paper's published defaults; this
+# registration exercises the rule STRUCTURE on the Zipf corpus, whose
+# function words are the s0..s19 heads — ~25% of tokens, df ~ N, the
+# role English stopwords play in real text). s0+s1 required -> ~half
+# the corpus passes the stopword rule, a genuinely discriminative gate
+# instead of v1's all-fail.
+_GOPHER_SW_V2 = ("s0", "s1")
+_GOPHER_SW_V2_SQL = ", ".join(f"'{s}'" for s in _GOPHER_SW_V2)
+
+
+def _gopher_v2_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return f"""
+    WITH {documents_v2_sql("docs2")},
+    stats AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS mwl,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS symr,
+               CAST(len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / nullif(len({_TOKS}), 0) AS alphar,
+               CAST(len(list_intersect(
+                   list_distinct(list_transform({_TOKS}, x -> lower(x))),
+                   [{_GOPHER_SW_V2_SQL}])) AS BIGINT) AS sw_hits,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '^\\s*([-*•]\\s)'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0) AS bulletr,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0) AS ellr
+        FROM docs2
+    )
+    SELECT doc_id, n_words,
+           round(coalesce(mwl, 0), 6) AS mean_word_len,
+           round(coalesce(symr, 0), 6) AS symbol_ratio,
+           round(coalesce(alphar, 0), 6) AS alpha_word_ratio,
+           sw_hits AS n_req_stopwords,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND 100000 AS rule_word_count,
+           coalesce(mwl, 0) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+           coalesce(symr, 0) <= 0.1 AS rule_symbol_ratio,
+           coalesce(alphar, 0) >= 0.8 AS rule_alpha_words,
+           sw_hits >= 2 AS rule_stopwords,
+           coalesce(bulletr, 0) <= 0.9 AS rule_bullet_lines,
+           coalesce(ellr, 0) <= 0.3 AS rule_ellipsis_lines,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND 100000)
+               AND (coalesce(mwl, 0) BETWEEN 3.0 AND 10.0)
+               AND (coalesce(symr, 0) <= 0.1)
+               AND (coalesce(alphar, 0) >= 0.8)
+               AND (sw_hits >= 2)
+               AND (coalesce(bulletr, 0) <= 0.9)
+               AND (coalesce(ellr, 0) <= 0.3) AS passes_gopher
+    FROM stats
+    """
+
+
+@register(
+    "doc_gopher_rules_v2",
+    _gopher_v2_oracle(),
+    doc="Gopher-style rule-based quality gate over the Zipf-ish "
+    "documents_v2 corpus (VERDICT r9 item 6 — the v2-twin pattern "
+    "extended to the quality family): word-count band, mean-word-length "
+    "band, symbol ratio, alpha-word ratio, required-stopword hits "
+    "(tuned to the v2 function-word heads s0/s1 — ~half the corpus "
+    "passes, a real gate instead of v1's all-fail), bullet/ellipsis "
+    "line ratios — all map-only built-in expressions, per-rule flags + "
+    "conjunction. The v1 sibling stays registered: its oracle SQL is "
+    "composed into doc_curation_decision.",
+)
+def q_doc_gopher_rules_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return T.with_gopher_rules(
+        documents_v2(spark, sf_dir),
+        min_words=_GOPHER_MIN_WORDS,
+        required_stopwords=_GOPHER_SW_V2,
     ).select(
         "doc_id",
         "n_words",
