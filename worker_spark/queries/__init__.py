@@ -51,81 +51,33 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-9 rotation. ----
+    # ---- Round-10 rotation. ----
     # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-8 close): three NEW
-    # rows (A-ES weighted reservoir, cluster-balanced selection, bigram
-    # novelty); streaming_index_bm25 (bucketed-state API hardening +
-    # the index query constant moved in from the retired v1 BM25 row);
-    # doc_bm25_topk_v2 / doc_bm25f_topk (shared _bm25_oracle signature
-    # change after the v1 retirement — SQL output identical);
-    # dedup_best_of_cluster (transitive through the text/selection
-    # modules). The v1 retrieval trio was retired outright (see
-    # retrievalq.py) — removed from the registry, not rotated.
-    "doc_weighted_reservoir",
-    "embedding_cluster_balance",
+    # by tools/query_hashes.py against the round-9 close): the two
+    # de-weaked rows (doc_ngram_novelty — partial-agg reformulation, no
+    # shingle window; embedding_cluster_balance — auto centroid
+    # stride); doc_weighted_reservoir (w > 0 guard in operator +
+    # oracle); the three streaming-index rows (feed.last_wins per-key
+    # batch dedup; the vector row additionally via the torn/empty pin
+    # guards); dedup_best_of_cluster (transitive through the selection
+    # module); plus three NEW rows: streaming_minhash_index (the
+    # incremental MinHash-LSH index) and the doc_char_entropy_v2 /
+    # doc_gopher_rules_v2 corpus twins (doc_char_entropy v1 retired —
+    # the v2-swap pattern).
     "doc_ngram_novelty",
-    "doc_tfidf_topk_v2",
+    "embedding_cluster_balance",
+    "doc_weighted_reservoir",
+    "streaming_index_bm25",
     "streaming_ivf_ann",
     "streaming_dedup_index",
-    "streaming_index_bm25",
-    "doc_bm25_topk_v2",
-    "doc_bm25f_topk",
+    "streaming_minhash_index",
     "dedup_best_of_cluster",
-    # (b) The FULL 35-entry oldest class: last driver green round 4/5
-    # (no driver row since — the r8 window was consumed by the r4-stale
-    # backlog and the v2 twins).
-    "event_audience_overlap",
-    "lang_shingle_overlap",
-    "join_skew_profile",
-    "doc_rag_chunks",
-    "events_zorder_layout",
-    "event_funnel_conversion",
-    "event_retention_cohorts",
-    "event_rate_anomalies",
-    "similarity_multiprobe_lsh",
-    "similarity_margin_probe_lsh",
-    "event_sessions",
-    "order_rollup",
-    "cheapest_supplier_per_part",
-    "pricing_summary",
-    "status_counts",
-    "key_roundtrip",
-    "orders_per_customer_list",
-    "event_journey",
-    "dedup_minhash_lsh",
-    "positional_list_parse",
-    "recent_event_stats",
-    "code_first_id_wins",
-    "name_fallback_resolution",
-    "active_entity_keys",
-    "sync_diff_classify",
-    "top3_orders_per_segment",
-    "revenue_by_nation",
-    "orders_with_returns",
-    "customers_without_orders",
-    "customer_any_return",
-    "outbox_drain_cap",
-    "global_cursors",
-    "doc_quota_sample",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    # (c) Oldest r7-green entries fill the window to exactly 50.
-    "similarity_binary_topk",
-    "dedup_embedding_blocked",
-    "similarity_graph_ann",
-    "graph_nn_descent_stats",
-    "similarity_ivf_ann",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r7-green remainder (driver row r7, unchanged since) — these lead
-    # the round-10 rotation. streaming_topk_window,
-    # similarity_ivfpq_refined_topk and similarity_ivfpq_residual_topk
-    # yielded their fill slots to the NEW doc_tfidf_topk_v2,
-    # streaming_ivf_ann and streaming_dedup_index (new queries outrank
-    # fills; similarity_ivf_ann keeps its fill slot because the oracle
-    # refactor transitively changed it).
+    "doc_char_entropy_v2",
+    "doc_gopher_rules_v2",
+    # (b) The FULL r7-green remainder (driver row r7, no slot since):
+    # 40 entries after the doc_char_entropy retirement — exactly fills
+    # the window, so nothing in the registry is older than r8-green
+    # after this round.
     "streaming_topk_window",
     "similarity_ivfpq_refined_topk",
     "similarity_ivfpq_residual_topk",
@@ -145,7 +97,6 @@ _DRIVER_WINDOW = [
     "dedup_translit_shingles",
     "doc_cdc_chunks",
     "doc_cdc_chunks_clamped",
-    "doc_char_entropy",
     "doc_gopher_rules",
     "doc_mixture_report",
     "doc_split_assign",
@@ -167,7 +118,11 @@ _DRIVER_WINDOW = [
     "bloom_membership_audit",
     "semdedup_prune",
     "streaming_hll_window_users",
-    # r8-green block (driver row r8, unchanged since)
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r8-green block (driver row r8, unchanged since) — these lead the
+    # round-11 rotation (45 rows; changed-first as always).
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "bloom_incremental_dedup",
@@ -212,6 +167,51 @@ _DRIVER_WINDOW = [
     "doc_curation_decision",
     "event_value_percentiles",
     "doc_length_quantiles",
+    # r9-green block (driver row r9, unchanged since — the youngest
+    # class; fills after the r8 block in r11).
+    "doc_tfidf_topk_v2",
+    "doc_bm25_topk_v2",
+    "doc_bm25f_topk",
+    "event_audience_overlap",
+    "lang_shingle_overlap",
+    "join_skew_profile",
+    "doc_rag_chunks",
+    "events_zorder_layout",
+    "event_funnel_conversion",
+    "event_retention_cohorts",
+    "event_rate_anomalies",
+    "similarity_multiprobe_lsh",
+    "similarity_margin_probe_lsh",
+    "event_sessions",
+    "order_rollup",
+    "cheapest_supplier_per_part",
+    "pricing_summary",
+    "status_counts",
+    "key_roundtrip",
+    "orders_per_customer_list",
+    "event_journey",
+    "dedup_minhash_lsh",
+    "positional_list_parse",
+    "recent_event_stats",
+    "code_first_id_wins",
+    "name_fallback_resolution",
+    "active_entity_keys",
+    "sync_diff_classify",
+    "top3_orders_per_segment",
+    "revenue_by_nation",
+    "orders_with_returns",
+    "customers_without_orders",
+    "customer_any_return",
+    "outbox_drain_cap",
+    "global_cursors",
+    "doc_quota_sample",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "similarity_binary_topk",
+    "dedup_embedding_blocked",
+    "similarity_graph_ann",
+    "graph_nn_descent_stats",
+    "similarity_ivf_ann",
 ]
 
 
