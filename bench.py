@@ -115,6 +115,12 @@ HEADLINE = [
     # r6/r8 late-addition precedent)
     "streaming_ivf_ann",
     "streaming_dedup_index",
+    # round-10 additions (incremental MinHash-LSH index; the v2-corpus
+    # quality twins — doc_char_entropy_v2 replaces the retired v1 row)
+    # — no prior anchor; they join the anchor set in r10's close anchor
+    "streaming_minhash_index",
+    "doc_char_entropy_v2",
+    "doc_gopher_rules_v2",
 ]
 
 
@@ -527,7 +533,20 @@ R9_ANCHOR: dict[str, float] = {
     "doc_tfidf_topk_v2": 1.855,
 }
 
-ANCHOR_CALIBRATION: dict[str, float] = {"r6": 0.207, "r8": 0.210, "r9": 0.242}
+# Round-10 anchor: recorded by tools/record_anchor.py from the SECOND
+# of two back-to-back serialized sf0.1 runs at round-10 close. First
+# anchor to cover the FULL headline set (the late-r9 streaming rows
+# and the r10 additions included — VERDICT r9 item 7), so
+# vs_r10_adjusted from r11 on has no uncovered headline rows.
+R10_ANCHOR: dict[str, float] = {}
+
+ANCHOR_CALIBRATION: dict[str, float] = {
+    "r6": 0.207,
+    "r8": 0.210,
+    "r9": 0.242,
+    # pinned by the R10 anchor-recording run (same-run rule above)
+    "r10": None,  # type: ignore[dict-item]
+}
 ADJ_REGRESSION_FLAG = 1.3
 
 
@@ -613,6 +632,7 @@ def main() -> None:
             ("r6", R6_ANCHOR),
             ("r8", R8_ANCHOR),
             ("r9", R9_ANCHOR),
+            ("r10", R10_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
@@ -626,7 +646,7 @@ def main() -> None:
             full[f"total_vs_{tag}"] = round(
                 full[f"anchored_total_{tag}"] / sum(anchor[n] for n in anchored), 3
             )
-            if tag in ANCHOR_CALIBRATION:
+            if ANCHOR_CALIBRATION.get(tag) is not None:
                 # host-load normalization: divide by the calibration
                 # ratio of THIS run vs the anchor's recording run
                 load = calibration_s / ANCHOR_CALIBRATION[tag]
@@ -653,6 +673,7 @@ def main() -> None:
             "total_vs_r6_adjusted",
             "total_vs_r8_adjusted",
             "total_vs_r9_adjusted",
+            "total_vs_r10_adjusted",
         ):
             if k in full:
                 out[k] = full[k]

@@ -140,12 +140,14 @@ class IncrementalDedupIndex:
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
-        docs = last_wins(docs, [id_col])
         new_fps = (
-            simhash(docs, id_col=id_col, text_col=text_col)
+            simhash(last_wins(docs, [id_col]), id_col=id_col, text_col=text_col)
             .select(F.col("id").cast("long").alias("doc_id"), "simhash")
             .localCheckpoint(eager=True)
         )
+        # batch_ids from the RAW batch: the key set is identical before
+        # and after last_wins, and deriving it from the deduped frame
+        # would run the dedup agg a second time
         batch_ids = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .distinct()

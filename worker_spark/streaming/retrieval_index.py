@@ -179,11 +179,13 @@ class IncrementalRetrievalIndex:
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
-        docs = last_wins(docs, [id_col])
-        tf = self._batch_delta(docs, id_col, text_col, fields)
+        # batch_ids from the RAW batch: the key set is identical before
+        # and after last_wins, and deriving it from the deduped frame
+        # would run the dedup agg a second time
         batch_ids = docs.select(
             F.col(id_col).cast("long").alias("doc_id")
         ).distinct()
+        tf = self._batch_delta(last_wins(docs, [id_col]), id_col, text_col, fields)
         # localCheckpoint: the bucket swaps invalidate lazy frames derived
         # from pre-swap files (BucketedParquetStateStore caution), and
         # tf must also not re-read the streaming batch after the

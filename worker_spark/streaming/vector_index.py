@@ -246,13 +246,11 @@ class IncrementalVectorIndex:
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
-        batch = last_wins(
-            vectors.select(
-                F.col(self.id_col).cast("long").alias("vec_id"),
-                F.col(self.vec_col).alias("embedding"),
-            ),
-            ["vec_id"],
+        raw = vectors.select(
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            F.col(self.vec_col).alias("embedding"),
         )
+        batch = last_wins(raw, ["vec_id"])
         live = batch.filter(F.size("embedding") > 0)
         cents = self.centroids().select(
             F.col("cent_id").alias("vec_id"), "embedding"
@@ -267,8 +265,11 @@ class IncrementalVectorIndex:
         assign = assign.select(
             "vec_id", "cell_id", "embedding", "code"
         ).localCheckpoint(eager=True)
+        # batch_ids from the RAW batch: the key set is identical before
+        # and after last_wins, and deriving it from the deduped frame
+        # would run the dedup agg a second time
         batch_ids = (
-            batch.select("vec_id").distinct().localCheckpoint(eager=True)
+            raw.select("vec_id").distinct().localCheckpoint(eager=True)
         )
 
         # touched cells buckets = old manifest (pruned vecmap read by the
