@@ -558,15 +558,20 @@ def test_cluster_balance_is_broadcast_plus_one_cell_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_ngram_novelty_is_all_partial_aggs(spark):
+def test_ngram_novelty_is_skew_safe(spark):
     # the df signal is a partial-aggregated groupBy over the shingle key
     # (map-side combine — a Zipf-hot bigram collapses to one partial per
     # task), NOT a window (a window keys ALL of a hot shingle's rows
-    # into one task — the r9 weak grade); and no shingle-to-shingle join
-    # (the jaccard family's quadratic hazard) can appear — the novel and
-    # total branches meet in a union + final agg, never a join
-    plan = _physical(_SPECS["doc_ngram_novelty"].run(spark, SF_ORACLE))
+    # into one task — the r9 weak grade); totals are a map-side
+    # size(array_distinct(...)) — the only join in the plan is the
+    # per-doc totals-to-novel join on the high-cardinality doc id (fine
+    # at scale), never a shingle-to-shingle join (the jaccard family's
+    # quadratic hazard) and never a cartesian
+    df = _SPECS["doc_ngram_novelty"].run(spark, SF_ORACLE)
+    plan = _physical(df)
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
-    assert "partial_count" in plan  # shingle df / per-doc aggs combine
+    assert "partial_count" in plan  # shingle df agg map-side combines
+    # exactly ONE full-stream shuffle (the shingle agg) plus the tiny
+    # per-doc stages: no Exchange on the shingle column after the agg
+    assert plan.count("Generate explode") == 1  # one explode branch only

@@ -166,3 +166,32 @@ def test_ngram_novelty_repeated_shingle_in_one_doc_counts_once(spark):
     (r,) = ngram_novelty(docs, n=2).collect()
     assert r["n_shingles"] == 2 and r["n_novel"] == 2
     assert r["novelty"] == 1.0
+
+
+def test_ngram_novelty_totals_match_word_shingles(spark):
+    """Drift pin for the deliberately-inlined shingle construction
+    (operators/text.ngram_novelty builds the per-doc shingle ARRAY
+    itself so totals stay map-only — see its docstring): n_shingles
+    must equal dedup.word_shingles' per-doc distinct counts on the
+    same corpus, so the two definitions cannot diverge silently."""
+    from pyspark.sql import functions as F
+
+    from worker_spark.operators.dedup import word_shingles
+    from worker_spark.operators.text import ngram_novelty
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    from tests.conftest import SF_ORACLE
+
+    docs = documents_v2(spark, SF_ORACLE)
+    got = {
+        r["doc_id"]: r["n_shingles"]
+        for r in ngram_novelty(docs, n=2).collect()
+    }
+    want = {
+        r["id"]: r["cnt"]
+        for r in word_shingles(docs, n=2)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
