@@ -538,14 +538,88 @@ R9_ANCHOR: dict[str, float] = {
 # anchor to cover the FULL headline set (the late-r9 streaming rows
 # and the r10 additions included — VERDICT r9 item 7), so
 # vs_r10_adjusted from r11 on has no uncovered headline rows.
-R10_ANCHOR: dict[str, float] = {}
+R10_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.466,
+    "top_revenue_orders": 1.227,
+    "revenue_by_nation": 0.974,
+    "orders_with_returns": 0.509,
+    "customer_any_return": 0.533,
+    "sync_diff_classify": 0.635,
+    "event_journey": 0.201,
+    "outbox_drain_cap": 0.323,
+    "doc_token_stats": 0.18,
+    "dedup_minhash_lsh": 2.854,
+    "dedup_simhash": 3.123,
+    "similarity_cosine_topk": 0.926,
+    "similarity_lsh_ann": 1.761,
+    "dedup_embedding_blocked": 2.028,
+    "multimodal_features": 0.306,
+    "event_value_percentiles": 0.238,
+    "reverse_invalidation": 0.668,
+    "doc_build_scale": 2.263,
+    "dedup_cluster_components": 5.235,
+    "doc_sequence_pack": 0.475,
+    "doc_stratified_sample": 0.184,
+    "similarity_quantized_topk": 0.527,
+    "benchmark_contamination": 2.452,
+    "similarity_pq_refined_topk": 5.034,
+    "similarity_pq_kmeans_topk": 4.306,
+    "doc_cdc_chunks": 1.618,
+    "dedup_translit_shingles": 5.58,
+    "doc_substring_dedup_report": 0.543,
+    "hll_distinct_users": 0.343,
+    "token_cms_heavy_hitters": 2.035,
+    "bpe_train_merges": 2.283,
+    "dedup_edit_distance": 1.864,
+    "token_bigram_collocations": 0.714,
+    "similarity_opq_kmeans_topk": 7.308,
+    "search_documents_flat": 1.378,
+    "bloom_membership_audit": 0.411,
+    "doc_dsir_selection": 2.29,
+    "semdedup_prune": 0.798,
+    "doc_curation_decision": 2.178,
+    "event_quantile_sketch": 0.989,
+    "similarity_graph_ann": 7.954,
+    "event_audience_overlap": 0.705,
+    "lang_shingle_overlap": 2.186,
+    "join_skew_profile": 0.507,
+    "doc_rag_chunks": 0.286,
+    "events_zorder_layout": 0.704,
+    "similarity_binary_topk": 2.724,
+    "event_funnel_conversion": 0.541,
+    "event_retention_cohorts": 0.381,
+    "event_rate_anomalies": 0.38,
+    "similarity_multiprobe_lsh": 2.043,
+    "similarity_margin_probe_lsh": 1.915,
+    "similarity_ivfpq_residual_topk": 4.583,
+    "similarity_ivfpq_refined_topk": 6.418,
+    "streaming_index_bm25": 8.494,
+    "streaming_topk_window": 2.781,
+    "doc_bm25_topk_v2": 2.81,
+    "inverted_index_postings_v2": 1.279,
+    "doc_hybrid_rrf_topk_v2": 5.373,
+    "doc_bm25f_topk": 3.488,
+    "doc_weighted_reservoir": 0.192,
+    "embedding_cluster_balance": 0.746,
+    "doc_ngram_novelty": 1.649,
+    "doc_tfidf_topk_v2": 1.868,
+    "streaming_ivf_ann": 8.367,
+    "streaming_dedup_index": 10.502,
+    "streaming_minhash_index": 9.943,
+    "doc_char_entropy_v2": 0.62,
+    "doc_gopher_rules_v2": 0.6,
+}
 
 ANCHOR_CALIBRATION: dict[str, float] = {
     "r6": 0.207,
     "r8": 0.210,
     "r9": 0.242,
-    # pinned by the R10 anchor-recording run (same-run rule above)
-    "r10": None,  # type: ignore[dict-item]
+    # pinned by the R10 anchor-recording run (same-run rule above): the
+    # second of two back-to-back serialized sf0.1 runs at round-10
+    # close (its sibling first run read calibration 0.156 with total
+    # 131.2s — the documented ±30% host swing between adjacent runs;
+    # anchor timings and calibration come from ONE run)
+    "r10": 0.227,
 }
 ADJ_REGRESSION_FLAG = 1.3
 
