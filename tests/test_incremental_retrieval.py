@@ -78,6 +78,53 @@ def test_duplicate_keys_in_one_batch_are_last_wins(spark, tmp_path):
     assert _rows(idx.doclen().select("doc_id", "dl")) == [(1, 2), (2, 2)]
 
 
+def test_merged_trigger_is_last_wins_through_the_stream(spark, tmp_path):
+    """The advice's exact scenario, end-to-end: with
+    max_files_per_trigger=None the file source merges a draft file and
+    its correction into ONE availableNow trigger, and last_wins must
+    still see per-row source files through the real streaming batch
+    DataFrame (input_file_name() inside foreachBatch)."""
+    import glob
+    import shutil
+    import time
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    now = time.time()
+    rows = (
+        [(1, "stale stale words"), (2, "other doc")],
+        [(1, "fresh words")],
+    )
+    for i, batch_rows in enumerate(rows):
+        stage = str(tmp_path / f"_mstage{i}")
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = str(feed / f"b{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))
+    q = index_maintenance_stream(
+        spark,
+        str(feed),
+        idx,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=None,  # both files in one trigger
+    )
+    assert q.awaitTermination(300)
+    # ONE merged trigger: the only progress entry is batch 0
+    assert q.lastProgress["batchId"] == 0
+    got = {(r[0], r[1]): r[2] for r in _rows(idx.postings())}
+    assert got == {
+        ("fresh", 1): 1,
+        ("words", 1): 1,
+        ("other", 2): 1,
+        ("doc", 2): 1,
+    }
+
+
 def test_incremental_index_converges_to_batch_build(spark, tmp_path):
     docs = _docs(spark)
     idx = IncrementalRetrievalIndex(spark, str(tmp_path / "state"))

@@ -214,3 +214,17 @@ def test_minhash_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q2 = minhash_maintenance_stream(spark, str(feed), idx, ckpt)
     assert q2.awaitTermination(300)
     assert _rows(idx.sigs()) == _rows(_sig_frame(docs))
+
+
+def test_dedup_pairs_plan_has_no_pairwise_hazard(spark, tmp_path):
+    """Serving-plan audit: candidates come from one band-key equi-join
+    of stored band rows and the verify stage is candidate-restricted
+    equi-joins — no cartesian/broadcast-nested-loop stage may appear
+    anywhere, at any corpus size."""
+    docs = _docs(spark).limit(200).localCheckpoint(eager=True)
+    idx = IncrementalMinHashIndex(spark, str(tmp_path / "m"))
+    idx.apply_batch(docs)
+    df = idx.dedup_pairs(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

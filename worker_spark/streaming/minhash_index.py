@@ -316,12 +316,23 @@ class IncrementalMinHashIndex:
         ``corpus_docs`` (the corpus side's signatures are never
         recomputed; its text is read for the few candidate partners
         alone). Output (new_id, corpus_id, jaccard) — identical scores
-        to the batch operator over the union corpus."""
+        to the batch operator over the union corpus.
+
+        If a batch id is ALREADY indexed (screening after apply, or an
+        update), its candidate partners come from the index's stored
+        bands as usual, but the verify side must hold ONE text version
+        per id — the batch's version wins (partners also present in
+        the batch are dropped from the corpus text fetch), so the
+        shingle sizes can never double-count an id."""
         cands = self.screen_candidates(
             new_docs, id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)  # feeds the partner semi-join AND
         # the verify join; without this the probe join runs twice
-        partner_ids = cands.select(F.col("id_b").alias(id_col)).distinct()
+        partner_ids = (
+            cands.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .join(new_docs.select(id_col), id_col, "left_anti")
+        )
         sh = word_shingles(
             new_docs, id_col=id_col, text_col=text_col
         ).unionByName(
