@@ -754,3 +754,54 @@ def test_failed_first_write_leaves_no_existence_witness(spark, tmp_path):
     # and a successful write NOW creates the witness
     store.write("t", one, keys=["k"])
     assert store.exists("t")
+
+
+def test_clone_rebucketed_resizes_the_whole_root(spark, tmp_path):
+    """The sizing-rule resize path: blue/green re-shard into a fresh
+    root with a different bucket count — state identical, pinned keys
+    and schema witnesses carried, maintenance continues on the new
+    root, and the old root stays live (crash safety by construction)."""
+    import os as _os
+
+    docs = _docs(spark).limit(200).localCheckpoint(eager=True)
+    old_root = str(tmp_path / "old")
+    idx = IncrementalRetrievalIndex(spark, old_root, n_buckets=8)
+    idx.apply_batch(docs)
+    before_postings = _rows(idx.postings())
+    before_bm25 = _rows(idx.bm25_topk(QUERIES, k=10))
+
+    new_root = str(tmp_path / "new")
+    idx2 = idx.clone_rebucketed(new_root, 32)
+    assert idx2.store.n_buckets == 32  # pinned from the clone
+    assert _rows(idx2.postings()) == before_postings
+    assert _rows(idx2.bm25_topk(QUERIES, k=10)) == before_bm25
+    # more bucket dirs than the old layout actually materialized
+    n_old = len(os.listdir(os.path.join(old_root, "postings")))
+    n_new = len(
+        [
+            d
+            for d in os.listdir(os.path.join(new_root, "postings"))
+            if d.startswith("b")
+        ]
+    )
+    assert n_new > n_old
+
+    # maintenance continues on the NEW root: an update lands correctly
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    idx2.apply_batch(
+        spark.createDataFrame(
+            [(int(victim), "zzresize zzresize")], "doc_id long, text string"
+        )
+    )
+    after = {
+        (r[0], r[1]): r[2] for r in _rows(idx2.postings()) if r[1] == victim
+    }
+    assert after == {("zzresize", victim): 2}
+    # the OLD root is untouched — blue/green, not in-place
+    assert _rows(idx.postings()) == before_postings
+
+    # a conflicting pre-pinned target refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pinned"):
+        idx.store.clone_rebucketed(new_root, 64)

@@ -228,3 +228,31 @@ def test_dedup_pairs_plan_has_no_pairwise_hazard(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clone_rebucketed_carries_state_and_maintenance(spark, tmp_path):
+    """Resize path for the fingerprint-manifest indexes: no transform
+    needed (band keys are column math over stored sigs), state carries
+    bit-for-bit and a post-resize update still moves band rows."""
+    docs = _docs(spark).limit(200).localCheckpoint(eager=True)
+    idx = IncrementalMinHashIndex(spark, str(tmp_path / "old"), n_buckets=8)
+    idx.apply_batch(docs)
+    before_sigs = _rows(idx.sigs())
+    before_bands = _rows(idx.bands())
+
+    idx2 = idx.clone_rebucketed(str(tmp_path / "new"), 32)
+    assert idx2.store.n_buckets == 32
+    assert _rows(idx2.sigs()) == before_sigs
+    assert _rows(idx2.bands()) == before_bands
+
+    victim = int(docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"])
+    idx2.apply_batch(
+        spark.createDataFrame(
+            [(victim, "zzresize zzalpha zzbeta zzgamma")],
+            "doc_id long, text string",
+        )
+    )
+    mine = [r for r in idx2.bands().collect() if r["doc_id"] == victim]
+    assert len(mine) == 4  # one row per band
+    old_keys = {r[0] for r in before_bands if r[3] == victim}
+    assert {r["bk"] for r in mine} != old_keys  # the old keys are gone

@@ -406,3 +406,40 @@ def test_adc_refined_serving_matches_batch_refine(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_clone_rebucketed_remaps_the_vecmap_manifest(spark, tmp_path):
+    """Resize regression (the retrieval twin caught the original bug):
+    vecmap stores CELLS-bucket ids, which are modulus-dependent — the
+    blue/green re-shard must recompute them, or a post-resize update
+    consults stale bucket ids and strands the vector's old cell row."""
+    emb = _emb(spark).limit(200).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "old"), centroids=cents, n_buckets=8
+    )
+    idx.apply_batch(emb)
+    before = _rows(idx.cells().select("vec_id", "cell_id"))
+
+    idx2 = idx.clone_rebucketed(str(tmp_path / "new"), 32)
+    assert idx2.store.n_buckets == 32
+    assert _rows(idx2.cells().select("vec_id", "cell_id")) == before
+    assert _rows(idx2.centroids()) == _rows(idx.centroids())  # pin carried
+
+    # update on the NEW root: the flipped vector must MOVE cells, its
+    # old row deleted via the re-mapped manifest — exactly one row
+    victim = 7
+    idx2.apply_batch(
+        emb.filter(F.col("vec_id") == victim).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(-x as float))").alias(
+                "embedding"
+            ),
+        )
+    )
+    mine = idx2.cells().filter(F.col("vec_id") == victim).collect()
+    assert len(mine) == 1
+    old_cell = dict(before)[victim]
+    assert mine[0]["cell_id"] != old_cell
+    # old root untouched (blue/green)
+    assert _rows(idx.cells().select("vec_id", "cell_id")) == before

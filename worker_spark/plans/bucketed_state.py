@@ -316,6 +316,84 @@ class BucketedParquetStateStore:
         never need this (replays heal them)."""
         shutil.rmtree(self._table_dir(table), ignore_errors=True)
 
+    def tables(self) -> list[str]:
+        """Existing table names under this root (dirs that are not
+        bucket-internal artifacts)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n))
+        )
+
+    def clone_rebucketed(
+        self,
+        new_root: str,
+        n_buckets: int,
+        transforms: dict | None = None,
+    ) -> "BucketedParquetStateStore":
+        """Re-shard the WHOLE root into a fresh root with a different
+        bucket count — the resize operation the sizing rule assumes
+        exists (module docstring: with ``n_buckets`` held fixed while
+        state grows, per-batch cost degrades to touched/n of a full
+        rewrite; the CONSTANT is the knob). Production index stores
+        resize exactly this way — a blue/green rebuild + pointer flip —
+        because re-bucketing IN PLACE can tear: a crash mid-swap would
+        leave rows bucketed under two different moduli with no witness
+        of which, poisoning every later touched-set computation.
+
+        Into-a-fresh-root is crash-safe by construction: the old root
+        stays live and untouched; an incomplete new root is simply
+        discarded and the clone re-run; the caller flips its pointer
+        (and the maintenance stream's index handle) only after this
+        returns. O(state) read+write by definition — the amortized
+        resize cost, paid once per capacity doubling, not per batch.
+
+        Every table's pinned bucket keys and schema witness carry over;
+        rows land in ``pmod(xxhash64(key), n_buckets)`` under the NEW
+        modulus. Refuses a new root that already has a conflicting
+        bucket pin.
+
+        ``transforms`` (table -> fn(rows, new_store) -> rows) rewrites
+        a table's ROWS for the new modulus. This matters for MANIFEST
+        payloads: a table whose rows STORE bucket ids of another table
+        (retrieval's doclen.term_buckets, the vector index's
+        vecmap.cell_bucket) encodes the OLD modulus in data — cloned
+        verbatim, every later delete-then-insert would consult stale
+        bucket ids and strand old rows in unvisited buckets (caught by
+        the resize regression test before this parameter existed).
+        The index classes' own clone_rebucketed methods supply the
+        right transforms; manifests derived by pure column math over
+        stored state (the SimHash/MinHash fingerprint tables) need
+        none."""
+        if os.path.exists(os.path.join(new_root, _META)):
+            with open(os.path.join(new_root, _META)) as f:
+                pinned = int(f.read().strip())
+            if pinned != n_buckets:
+                raise ValueError(
+                    f"{new_root}: already pinned to {pinned} buckets — "
+                    "clone into an empty root"
+                )
+        new_store = BucketedParquetStateStore(
+            self.spark, new_root, n_buckets
+        )
+        for table in self.tables():
+            self._recover(table)
+            keys = self._pinned_keys(table)
+            schema = self._stored_schema(table)
+            if keys is None or schema is None:
+                raise ValueError(
+                    f"{self.root}/{table}: no committed key/schema "
+                    "witness — heal or reseed the source table before "
+                    "resizing"
+                )
+            rows = self.read(table, schema)
+            if transforms and table in transforms:
+                rows = transforms[table](rows, new_store)
+            new_store.write(table, rows, keys=keys)
+        return new_store
+
     def read(
         self,
         table: str,

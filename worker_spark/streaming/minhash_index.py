@@ -203,6 +203,16 @@ class IncrementalMinHashIndex:
             # only BANDS buckets were swapped since
         )
 
+    def clone_rebucketed(
+        self, new_root: str, n_buckets: int
+    ) -> "IncrementalMinHashIndex":
+        """Resize into a fresh root (blue/green re-shard). No manifest
+        transform needed: this index's manifest is pure column math
+        over the stored signatures (sigs), never stored bucket ids —
+        so the generic clone is already correct under a new modulus."""
+        self.store.clone_rebucketed(new_root, n_buckets)
+        return IncrementalMinHashIndex(self.spark, new_root)
+
     # --- read side --------------------------------------------------------
 
     def bands(self, buckets: list[int] | None = None) -> DataFrame:

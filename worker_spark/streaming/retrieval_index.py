@@ -245,6 +245,33 @@ class IncrementalRetrievalIndex:
             existing=old_dl,
         )
 
+    def clone_rebucketed(
+        self, new_root: str, n_buckets: int
+    ) -> "IncrementalRetrievalIndex":
+        """Resize the index into a fresh root (the blue/green re-shard
+        of BucketedParquetStateStore.clone_rebucketed): O(state) once,
+        old root stays live, the caller flips its handle after this
+        returns. doclen's term-bucket MANIFEST stores postings-bucket
+        ids — modulus-dependent data — so it is recomputed from the
+        postings under the NEW modulus; cloning it verbatim would make
+        every later update consult stale bucket ids and strand dropped
+        terms' old postings (the exact failure the manifest exists to
+        prevent; regression-tested)."""
+        postings = self.postings()
+
+        def _remanifest(doclen: DataFrame, new_store) -> DataFrame:
+            manifest = postings.groupBy("doc_id").agg(
+                F.sort_array(
+                    F.collect_set(new_store.bucket_of(F.col("term")))
+                ).alias("term_buckets")
+            )
+            return doclen.drop("term_buckets").join(manifest, "doc_id")
+
+        self.store.clone_rebucketed(
+            new_root, n_buckets, transforms={self.DOCLEN: _remanifest}
+        )
+        return IncrementalRetrievalIndex(self.spark, new_root)
+
     # --- read side -------------------------------------------------------
 
     def postings(self, buckets: list[int] | None = None) -> DataFrame:

@@ -311,6 +311,31 @@ class IncrementalVectorIndex:
             # only CELLS buckets were swapped since
         )
 
+    def clone_rebucketed(
+        self, new_root: str, n_buckets: int
+    ) -> "IncrementalVectorIndex":
+        """Resize the index into a fresh root (the blue/green re-shard
+        of BucketedParquetStateStore.clone_rebucketed): O(state) once,
+        old root stays live, pinned centroids/codebook carry over.
+        vecmap stores each vector's CELLS-bucket id — modulus-dependent
+        data — so it is recomputed from the cells under the NEW
+        modulus; cloned verbatim, a later update would consult stale
+        bucket ids and strand the vector's old cell row (the manifest
+        failure mode, regression-tested on the retrieval twin)."""
+
+        def _remanifest(vecmap: DataFrame, new_store) -> DataFrame:
+            return self.cells().select(
+                "vec_id",
+                new_store.bucket_of(F.col("cell_id"))
+                .cast("int")
+                .alias("cell_bucket"),
+            )
+
+        self.store.clone_rebucketed(
+            new_root, n_buckets, transforms={self.VECMAP: _remanifest}
+        )
+        return IncrementalVectorIndex(self.spark, new_root)
+
     # --- read side --------------------------------------------------------
 
     def cells(self, buckets: list[int] | None = None) -> DataFrame:
