@@ -1,0 +1,99 @@
+"""Planted-duplicate v2 corpus (sources/synth_corpus.documents_v2_dupes
+— round-10 groundwork for the r11 lexical-dedup v2 twins): the derived
+corpus must be byte-identical across engines (every future registered
+row's hash-checkability rests on that), and the dedup operators must
+recover exactly the planted cluster structure."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from worker_spark.sources.synth_corpus import (
+    V2_DUP_GROUP,
+    documents_v2_dupes,
+    documents_v2_dupes_sql,
+)
+
+
+def _duck_rows(sql: str):
+    sys.path.insert(0, "tests")
+    from tests.oracle_harness import run_oracle
+
+    pdf = run_oracle(sql, SF_ORACLE)
+    return sorted(map(tuple, pdf.itertuples(index=False)))
+
+
+def test_dupes_corpus_is_cross_engine_byte_identical(spark):
+    for exact in (False, True):
+        got = sorted(
+            tuple(r)
+            for r in documents_v2_dupes(
+                spark, SF_ORACLE, exact=exact
+            ).collect()
+        )
+        want = _duck_rows(
+            f"WITH {documents_v2_dupes_sql(exact=exact)} "
+            "SELECT doc_id, text FROM docs2d"
+        )
+        assert got == want, f"exact={exact}: engine texts diverge"
+
+
+def test_exact_variant_plants_exact_dup_clusters(spark):
+    """Group members share ONE text: exact_dedup must find exactly the
+    groups with >= 2 members, min-id canonical, correct sizes."""
+    from worker_spark.operators.dedup import exact_dedup
+
+    corpus = documents_v2_dupes(spark, SF_ORACLE, exact=True)
+    groups = {
+        r["g"]: (r["lo"], r["n"])
+        for r in corpus.select(
+            F.expr(f"(doc_id div {V2_DUP_GROUP}) * {V2_DUP_GROUP}").alias(
+                "g"
+            ),
+            "doc_id",
+        )
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (r["canonical_id"], r["n_dupes"])
+        for r in exact_dedup(corpus).filter(F.col("n_dupes") > 1).collect()
+    }
+    want = {(lo, n) for lo, n in groups.values() if n > 1}
+    assert got == want
+
+
+def test_marker_variant_plants_near_dup_clusters(spark):
+    """Members differ only by the trailing marker token: every
+    intra-group pair must verify as a MinHash near-dup, and no
+    cross-group pair may reach the threshold (v2 base texts are
+    independent Zipf draws; organic minhash precision on v2 measured
+    1.0 in DEDUP_EVAL)."""
+    from worker_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    corpus = documents_v2_dupes(spark, SF_ORACLE, exact=False)
+    ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
+    by_group: dict[int, list[int]] = {}
+    for i in ids:
+        by_group.setdefault((i // V2_DUP_GROUP) * V2_DUP_GROUP, []).append(i)
+    planted = {
+        (a, b)
+        for members in by_group.values()
+        for ai, a in enumerate(sorted(members))
+        for b in sorted(members)[ai + 1 :]
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    # every pair found is a planted intra-group pair...
+    assert got <= planted
+    # ...and recall over the planted pairs clears the 4x4-banding
+    # s-curve floor (members share all base shingles; only the two
+    # marker-adjacent shingles differ, so true jaccard is ~0.9+ and the
+    # overwhelming majority of pairs must band-collide and verify)
+    assert len(got) >= 0.9 * len(planted), (len(got), len(planted))

@@ -224,3 +224,83 @@ def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
         FROM {body} b
         JOIN {title} t USING (doc_id)
     )"""
+
+
+# Planted-duplicate derivation (round-10 groundwork for the r11 lexical
+# dedup v2 twins): the plain v2 corpus has no duplicate structure at all
+# (every doc_id's text is an independent draw), so dedup rows registered
+# on it would be degenerate-empty. Groups of up to V2_DUP_GROUP
+# consecutive doc_ids share ONE base text generated from the group head
+# (src_id = (doc_id div G) * G — SF-independent, no density assumption);
+# exact=True leaves members identical (exact-dup clusters with a known
+# canonical min-id), exact=False appends a per-doc marker token
+# (' u<doc_id>') so members are NEAR-dups: all base shingles shared,
+# only the marker-adjacent shingles differ. Both variants are pure
+# integer/md5 column math — oracle-expressible, so the r11 dedup twins
+# stay hash-checkable with KNOWN planted structure on the realistic
+# Zipf corpus.
+V2_DUP_GROUP = 5
+
+
+def documents_v2_dupes(
+    spark: SparkSession,
+    sf_dir: str,
+    group: int = V2_DUP_GROUP,
+    exact: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, text): the v2 token model generated from each GROUP
+    HEAD's id, so every group of up to ``group`` doc_ids is a planted
+    duplicate cluster — identical texts when ``exact``, else base text
+    + a per-doc marker token (near-dups)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"(doc_id div {group}) * {group}").alias("src_id")
+    )
+    base = documents_v2_from(
+        docs.select(F.col("src_id").alias("doc_id")).distinct(),
+        materialize=False,
+    ).select(F.col("doc_id").alias("src_id"), F.col("text").alias("base"))
+    text = (
+        F.col("base")
+        if exact
+        else F.concat(F.col("base"), F.lit(" u"), F.col("doc_id"))
+    )
+    out = docs.join(base, "src_id").select("doc_id", text.alias("text"))
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2_dupes_sql(
+    cte_name: str = "docs2d",
+    group: int = V2_DUP_GROUP,
+    exact: bool = False,
+) -> str:
+    """DuckDB twin of documents_v2_dupes as a WITH-clause fragment —
+    byte-identical text (same md5 streams over the same derived src
+    ids, same marker concat)."""
+    srcs = (
+        f"(SELECT DISTINCT (doc_id // {group}) * {group} AS doc_id "
+        "FROM documents)"
+    )
+    # Rewrite the ONE doc_id source of the shared fragment to the
+    # derived group-head ids. A targeted rewrite (not a _stream_sql
+    # parameter) on purpose: adding a source parameter would change
+    # _stream_sql's hashed source and spuriously flag every
+    # out-of-window v2 query as transitively changed for a provably
+    # output-identical refactor (rotation policy, tools/query_hashes) —
+    # found live in r10. The count check fails loudly if the fragment
+    # ever stops matching.
+    base = _stream_sql("base", ":len", V2_MIN_TOKENS, V2_LEN_SPREAD)
+    marker = "FROM documents d"
+    if base.count(marker) != 1:
+        raise RuntimeError(
+            "documents_v2_dupes_sql: the shared corpus fragment no "
+            f"longer contains exactly one '{marker}' — update the "
+            "source rewrite"
+        )
+    base = base.replace(marker, f"FROM {srcs} d")
+    text = "g.base" if exact else "g.base || ' u' || d.doc_id"
+    return f"""{cte_name} AS (
+        SELECT d.doc_id, {text} AS text
+        FROM documents d
+        JOIN {base} g ON g.doc_id = (d.doc_id // {group}) * {group}
+    )"""
