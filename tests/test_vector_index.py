@@ -443,3 +443,29 @@ def test_clone_rebucketed_remaps_the_vecmap_manifest(spark, tmp_path):
     assert mine[0]["cell_id"] != old_cell
     # old root untouched (blue/green)
     assert _rows(idx.cells().select("vec_id", "cell_id")) == before
+
+
+def test_adc_serving_survives_clone_rebucketed(spark, tmp_path):
+    """The resize must carry BOTH pinned tables (centroids + codebook)
+    and the stored PQ codes: ADC serving from the resized root is
+    bit-identical to serving from the original."""
+    emb = _emb(spark).limit(300).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cbvecs = emb.filter(F.col("vec_id") % 40 == 0)
+    idx = IncrementalVectorIndex(
+        spark,
+        str(tmp_path / "a"),
+        centroids=cents,
+        codebook_vectors=cbvecs,
+        n_buckets=8,
+    )
+    idx.apply_batch(emb)
+    queries = emb.filter(F.col("vec_id") % 60 == 0)
+    before = _rows(idx.adc_topk(queries, nprobe=2, top_k=5))
+
+    idx2 = idx.clone_rebucketed(str(tmp_path / "b"), 32)
+    assert idx2.has_codebook()
+    assert _rows(idx2.adc_topk(queries, nprobe=2, top_k=5)) == before
+    assert _rows(
+        idx2.adc_refined_topk(queries, nprobe=2, top_k=5)
+    ) == _rows(idx.adc_refined_topk(queries, nprobe=2, top_k=5))
