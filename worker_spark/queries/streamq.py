@@ -745,8 +745,14 @@ def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_feed(batches, feed_dir: str) -> None:
     """Land each batch as ONE parquet file with pinned mtime spacing so
     the file source's modification-time ordering is unambiguous — the
-    feed-staging idiom shared by all three incremental-index rows
-    (review finding: three verbatim copies)."""
+    feed-staging idiom shared by all the incremental-index rows
+    (review finding: verbatim copies). File names are ZERO-PADDED:
+    feed.last_wins breaks within-trigger ties by LEXICOGRAPHIC
+    input_file_name(), and an unpadded b10 sorts before b2 — with
+    maxFilesPerTrigger=None a >=10-file backlog drained in one trigger
+    would invert later-file-wins (r10 review finding; the registered
+    rows use 3 files + maxFilesPerTrigger=1, so this is insurance, not
+    a live defect)."""
     import glob
     import os
     import shutil
@@ -757,7 +763,7 @@ def _stage_feed(batches, feed_dir: str) -> None:
         part_dir = os.path.join(feed_dir, f"_stage{i}")
         batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
         (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        dst = os.path.join(feed_dir, f"b{i}.parquet")
+        dst = os.path.join(feed_dir, f"b{i:04d}.parquet")
         shutil.move(part, dst)
         shutil.rmtree(part_dir, ignore_errors=True)
         os.utime(dst, (now - 180 + 60 * i, now - 180 + 60 * i))
