@@ -252,7 +252,13 @@ def documents_v2_dupes(
     """(doc_id, text): the v2 token model generated from each GROUP
     HEAD's id, so every group of up to ``group`` doc_ids is a planted
     duplicate cluster — identical texts when ``exact``, else base text
-    + a per-doc marker token (near-dups)."""
+    + a per-doc marker token (near-dups).
+
+    NON-NEGATIVE ids only (the fixture contract): Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so a negative
+    doc_id would map to DIFFERENT group heads in the two engines — the
+    same class of latent divergence as the pow()/round() notes
+    elsewhere in this module."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(f"(doc_id div {group}) * {group}").alias("src_id")
     )
