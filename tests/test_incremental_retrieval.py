@@ -78,6 +78,25 @@ def test_duplicate_keys_in_one_batch_are_last_wins(spark, tmp_path):
     assert _rows(idx.doclen().select("doc_id", "dl")) == [(1, 2), (2, 2)]
 
 
+def test_last_wins_is_layout_independent(spark):
+    """Replay-stability contract: with no file order to consult (the
+    in-memory '' source), the fingerprint tiebreak must elect the SAME
+    winner per key regardless of physical layout — a replayed batch
+    that repartitions differently still converges to identical state."""
+    from worker_spark.streaming.feed import last_wins
+
+    rows = [(i % 7, f"v{i}") for i in range(50)]  # 7 keys, many versions
+    base = spark.createDataFrame(rows, "k long, v string")
+    picks = [
+        sorted(
+            tuple(r) for r in last_wins(base.repartition(p), ["k"]).collect()
+        )
+        for p in (1, 5, 17)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    assert len(picks[0]) == 7  # exactly one row per key
+
+
 def test_merged_trigger_is_last_wins_through_the_stream(spark, tmp_path):
     """The advice's exact scenario, end-to-end: with
     max_files_per_trigger=None the file source merges a draft file and
