@@ -177,3 +177,11 @@ def test_screen_reads_only_probe_band_buckets(spark, tmp_path):
     assert scanned == expected
     n_total = len(_bucket_snapshot(os.path.join(str(tmp_path / "d"), "bands")))
     assert len(scanned) < n_total  # genuinely pruned
+
+
+def test_fsck_green_after_maintenance(spark, tmp_path):
+    docs = _docs(spark).limit(100).localCheckpoint(eager=True)
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "d"))
+    idx.apply_batch(docs)
+    counts = idx.fsck()
+    assert counts["fps"] == 100 and counts["bands"] == 400

@@ -824,3 +824,57 @@ def test_clone_rebucketed_resizes_the_whole_root(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="pinned"):
         idx.store.clone_rebucketed(new_root, 64)
+
+
+def test_fsck_passes_after_maintenance_and_catches_corruption(
+    spark, tmp_path
+):
+    """The consistency checker: green after normal maintenance AND
+    after a resize; loud on injected placement corruption (a bucket's
+    rows moved into another bucket dir) and on a drifted manifest."""
+    import shutil
+
+    docs = _docs(spark).limit(200).localCheckpoint(eager=True)
+    root = str(tmp_path / "s")
+    idx = IncrementalRetrievalIndex(spark, root, n_buckets=8)
+    idx.apply_batch(docs)
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(0, "zzfsck zzfsck")], "doc_id long, text string"
+        )
+    )
+    counts = idx.fsck()
+    assert counts["postings"] > 0 and counts["doclen"] > 0
+    idx2 = idx.clone_rebucketed(str(tmp_path / "s2"), 32)
+    idx2.fsck()
+
+    # placement corruption: splice one populated bucket's files into a
+    # DIFFERENT bucket dir — rows now live where no key hashes
+    pdir = os.path.join(root, "postings")
+    pops = sorted(
+        d
+        for d in os.listdir(pdir)
+        if d.startswith("b") and os.listdir(os.path.join(pdir, d))
+    )
+    src, dst = pops[0], pops[-1]
+    assert src != dst
+    for f in os.listdir(os.path.join(pdir, src)):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(pdir, src, f),
+                os.path.join(pdir, dst, "smuggled-" + f),
+            )
+    with pytest.raises(RuntimeError, match="outside their key bucket"):
+        idx.fsck()
+
+    # manifest drift: hand-write a doclen with a wrong bucket set
+    docs2 = docs.limit(50).localCheckpoint(eager=True)
+    idx3 = IncrementalRetrievalIndex(spark, str(tmp_path / "s3"))
+    idx3.apply_batch(docs2)
+    dl = idx3.doclen().withColumn(
+        "term_buckets",
+        F.array(F.lit(0).cast("int")),  # almost surely wrong
+    )
+    idx3.store.write("doclen", dl, keys=["doc_id"])
+    with pytest.raises(RuntimeError, match="manifest or dl drifted"):
+        idx3.fsck()

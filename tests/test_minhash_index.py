@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
@@ -256,3 +258,31 @@ def test_clone_rebucketed_carries_state_and_maintenance(spark, tmp_path):
     assert len(mine) == 4  # one row per band
     old_keys = {r[0] for r in before_bands if r[3] == victim}
     assert {r["bk"] for r in mine} != old_keys  # the old keys are gone
+
+
+def test_fsck_green_after_maintenance_and_loud_on_band_drift(
+    spark, tmp_path
+):
+    docs = _docs(spark).limit(100).localCheckpoint(eager=True)
+    idx = IncrementalMinHashIndex(spark, str(tmp_path / "m"))
+    idx.apply_batch(docs)
+    counts = idx.fsck()
+    assert counts["sigs"] == 100 and counts["bands"] == 400
+
+    # orphan band row: a doc_id with no stored signature
+    from worker_spark.streaming.minhash_index import BANDS_SCHEMA
+
+    orphan = spark.createDataFrame(
+        [("3:9-9-9-9", 3, "9-9-9-9", 10**9)], BANDS_SCHEMA
+    )
+    idx.store.delete_then_insert(
+        "bands",
+        delete_keys=orphan.select("doc_id"),
+        inserts=orphan,
+        schema=BANDS_SCHEMA,
+        bucket_col="bk",
+        delete_on="doc_id",
+        touched=idx.store.touched_buckets(orphan, "bk"),
+    )
+    with pytest.raises(RuntimeError, match="drifted from the stored"):
+        idx.fsck()

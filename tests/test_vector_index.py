@@ -469,3 +469,24 @@ def test_adc_serving_survives_clone_rebucketed(spark, tmp_path):
     assert _rows(
         idx2.adc_refined_topk(queries, nprobe=2, top_k=5)
     ) == _rows(idx.adc_refined_topk(queries, nprobe=2, top_k=5))
+
+
+def test_fsck_green_after_maintenance_and_loud_on_manifest_drift(
+    spark, tmp_path
+):
+    emb = _emb(spark).limit(200).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "v"), centroids=cents)
+    idx.apply_batch(emb)
+    counts = idx.fsck()
+    assert counts["cells"] == 200 and counts["vecmap"] == 200
+
+    # drift the manifest: point every vector at one bucket
+    from worker_spark.streaming.vector_index import VECMAP_SCHEMA
+
+    vm = idx.store.read("vecmap", VECMAP_SCHEMA).withColumn(
+        "cell_bucket", F.lit(0).cast("int")
+    )
+    idx.store.write("vecmap", vm, keys=["vec_id"])
+    with pytest.raises(RuntimeError, match="manifest drifted"):
+        idx.fsck()

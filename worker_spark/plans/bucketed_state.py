@@ -327,6 +327,47 @@ class BucketedParquetStateStore:
             if os.path.isdir(os.path.join(self.root, n))
         )
 
+    def verify_layout(self, table: str) -> int:
+        """Placement fsck: every row must live in the bucket dir of its
+        pinned key hash — the invariant ALL touched-set arithmetic
+        (manifests, pruned reads, delete scoping) rests on. A row in
+        the wrong bucket is silently unreachable to deletes and
+        invisible to pruned reads, so violations raise rather than
+        report. One distributed job (origin bucket parsed from
+        input_file_name(), compared to bucket_of(keys) per row — no
+        collect); returns the number of rows checked. Run after
+        external surgery or before trusting a restored/migrated root —
+        normal operation never needs it (writes stage through
+        bucket_of by construction)."""
+        keys = self._pinned_keys(table)
+        if keys is None:
+            raise ValueError(
+                f"{self.root}/{table}: no pinned bucket keys — nothing "
+                "to verify against (table never committed?)"
+            )
+        df = self.read(table)
+        origin = F.regexp_extract(
+            F.input_file_name(), r"/b(\d{5})/", 1
+        ).cast("int")
+        tagged = df.select(
+            origin.alias("_origin"),
+            self.bucket_of(*keys).alias("_want"),
+        )
+        counts = tagged.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("_origin") != F.col("_want")).cast("long")
+            ).alias("bad"),
+        ).collect()[0]
+        if (counts["bad"] or 0) > 0:
+            raise RuntimeError(
+                f"{self.root}/{table}: {counts['bad']} of {counts['n']} "
+                f"rows live outside their key bucket (keys={keys}) — "
+                "the layout is corrupt; rebuild via clone_rebucketed "
+                "from a trusted source or reseed"
+            )
+        return int(counts["n"])
+
     def clone_rebucketed(
         self,
         new_root: str,

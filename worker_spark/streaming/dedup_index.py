@@ -188,6 +188,28 @@ class IncrementalDedupIndex:
             # only BANDS buckets were swapped since
         )
 
+    def fsck(self) -> dict[str, int]:
+        """Index-level consistency check (after surgery/migration):
+        placement for both tables, then derivation — the bands table
+        must equal the banded expansion of the stored fingerprints
+        EXACTLY (band rows are pure column math over fps, so any
+        difference is corruption: an orphan band row screens against a
+        document that no longer exists; a missing one hides a real
+        near-dup). Raises on violation; returns checked row counts."""
+        counts = {
+            self.BANDS: self.store.verify_layout(self.BANDS),
+            self.FPS: self.store.verify_layout(self.FPS),
+        }
+        want = _band_rows(self.fps())
+        got = self.bands()
+        drift = got.exceptAll(want).count() + want.exceptAll(got).count()
+        if drift:
+            raise RuntimeError(
+                f"{self.store.root}: bands drifted from the stored "
+                f"fingerprints by {drift} rows — reseed or replay"
+            )
+        return counts
+
     def clone_rebucketed(
         self, new_root: str, n_buckets: int
     ) -> "IncrementalDedupIndex":

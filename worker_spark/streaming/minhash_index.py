@@ -203,6 +203,27 @@ class IncrementalMinHashIndex:
             # only BANDS buckets were swapped since
         )
 
+    def fsck(self) -> dict[str, int]:
+        """Index-level consistency check (after surgery/migration):
+        placement for both tables, then derivation — the bands table
+        must equal the banded expansion of the stored signatures
+        EXACTLY (band rows are pure column math over sigs; any
+        difference is corruption that silently skews candidate
+        generation). Raises on violation; returns checked row counts."""
+        counts = {
+            self.BANDS: self.store.verify_layout(self.BANDS),
+            self.SIGS: self.store.verify_layout(self.SIGS),
+        }
+        want = _band_rows(self.sigs())
+        got = self.bands()
+        drift = got.exceptAll(want).count() + want.exceptAll(got).count()
+        if drift:
+            raise RuntimeError(
+                f"{self.store.root}: bands drifted from the stored "
+                f"signatures by {drift} rows — reseed or replay"
+            )
+        return counts
+
     def clone_rebucketed(
         self, new_root: str, n_buckets: int
     ) -> "IncrementalMinHashIndex":

@@ -270,6 +270,42 @@ class IncrementalRetrievalIndex:
         )
         return IncrementalRetrievalIndex(self.spark, new_root)
 
+    def fsck(self) -> dict[str, int]:
+        """Index-level consistency check, for after surgery/migration
+        (normal maintenance preserves these by construction): (1)
+        placement — every postings/doclen row in its key's bucket
+        (store.verify_layout); (2) manifest — each doc's stored
+        term_buckets equals the bucket set derived from its actual
+        postings (a drifted manifest makes later updates miss buckets
+        and strand stale postings); (3) dl — each doc's stored length
+        equals sum(tf) over its postings (a drifted dl skews every BM25
+        score). Raises on the first violation; returns checked row
+        counts."""
+        counts = {
+            self.POSTINGS: self.store.verify_layout(self.POSTINGS),
+            self.DOCLEN: self.store.verify_layout(self.DOCLEN),
+        }
+        derived = self.postings().groupBy("doc_id").agg(
+            F.sort_array(
+                F.collect_set(self.store.bucket_of(F.col("term")))
+            ).alias("_tb"),
+            F.sum("tf").cast("long").alias("_dl"),
+        )
+        joined = self.doclen().join(derived, "doc_id", "full_outer")
+        bad = joined.filter(
+            F.col("dl").isNull()  # postings without a doclen row
+            | F.col("_dl").isNull()  # doclen row without postings
+            | (F.col("dl") != F.col("_dl"))
+            | (F.col("term_buckets") != F.col("_tb"))
+        ).count()
+        if bad:
+            raise RuntimeError(
+                f"{self.store.root}: {bad} documents have a manifest or "
+                "dl drifted from their postings — later updates would "
+                "miss buckets / BM25 would misscore; reseed or replay"
+            )
+        return counts
+
     # --- read side -------------------------------------------------------
 
     def postings(self, buckets: list[int] | None = None) -> DataFrame:

@@ -336,6 +336,43 @@ class IncrementalVectorIndex:
         )
         return IncrementalVectorIndex(self.spark, new_root)
 
+    def fsck(self) -> dict[str, int]:
+        """Index-level consistency check (after surgery/migration):
+        placement for every table including the pinned sets, then the
+        manifest — each vecmap row's stored cell_bucket must equal the
+        bucket of the vector's actual cells row, one row per vec_id on
+        both sides (a drifted manifest makes later updates miss the old
+        cell's bucket and strand the row). Raises on violation; returns
+        checked row counts."""
+        counts = {
+            t: self.store.verify_layout(t)
+            for t in ([self.CELLS, self.VECMAP, self.CENTROIDS]
+                      + ([self.CODEBOOK] if self.has_codebook() else []))
+        }
+        derived = self.cells().select(
+            "vec_id",
+            self.store.bucket_of(F.col("cell_id"))
+            .cast("int")
+            .alias("_cb"),
+        )
+        vm = self.store.read(self.VECMAP, VECMAP_SCHEMA)
+        bad = (
+            vm.join(derived, "vec_id", "full_outer")
+            .filter(
+                F.col("cell_bucket").isNull()
+                | F.col("_cb").isNull()
+                | (F.col("cell_bucket") != F.col("_cb"))
+            )
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"{self.store.root}: {bad} vectors have a manifest "
+                "drifted from their cells row — later updates would "
+                "strand stale cell rows; reseed or replay"
+            )
+        return counts
+
     # --- read side --------------------------------------------------------
 
     def cells(self, buckets: list[int] | None = None) -> DataFrame:
