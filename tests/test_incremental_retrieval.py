@@ -825,6 +825,39 @@ def test_clone_rebucketed_resizes_the_whole_root(spark, tmp_path):
     with _pytest.raises(ValueError, match="pinned"):
         idx.store.clone_rebucketed(new_root, 64)
 
+    # a SAME-modulus non-empty target (the aborted-clone debris case,
+    # round-10 advice) refuses too: silently writing over it would keep
+    # any table present there but since dropped from the source
+    with _pytest.raises(ValueError, match="not empty"):
+        idx.store.clone_rebucketed(new_root, 32)
+
+
+def test_last_wins_refuses_map_columns(spark):
+    """MapType guard (round-10 advice): to_json map key order is not
+    canonical, so a map-bearing feed row could fingerprint differently
+    on replay and elect a different winner — refuse at plan time, even
+    when the map hides inside a struct or array."""
+    import pytest as _pytest
+
+    from worker_spark.streaming.feed import last_wins
+
+    flat = spark.createDataFrame(
+        [(1, {"a": 1})], "k long, m map<string,int>"
+    )
+    with _pytest.raises(ValueError, match="MapType"):
+        last_wins(flat, ["k"])
+    nested = spark.createDataFrame(
+        [(1, ([{"a": 1}],))],
+        "k long, s struct<ms: array<map<string,int>>>",
+    )
+    with _pytest.raises(ValueError, match="MapType"):
+        last_wins(nested, ["k"])
+    # map-free frames (arrays/structs included) still pass
+    ok = spark.createDataFrame(
+        [(1, [2, 3], (4,))], "k long, a array<int>, s struct<x: int>"
+    )
+    assert last_wins(ok, ["k"]).count() == 1
+
 
 def test_fsck_passes_after_maintenance_and_catches_corruption(
     spark, tmp_path

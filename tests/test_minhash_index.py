@@ -62,6 +62,31 @@ def test_incremental_minhash_converges_and_pairs_match_batch(
     )
 
 
+def test_verify_releases_its_shingle_cache(spark, tmp_path):
+    """_verify caches the shingle relation for its 3 scans but must
+    unpersist it once the output is materialized (round-10 advice):
+    repeated dedup_pairs/screen_batch calls in a long-lived session
+    would otherwise accumulate cached relations and pressure executor
+    storage memory."""
+    docs = _docs(spark).limit(120).localCheckpoint(eager=True)
+    idx = IncrementalMinHashIndex(spark, str(tmp_path / "m"))
+    idx.apply_batch(docs)
+    # earlier tests in the session may hold their own (transparent)
+    # caches — clear so emptiness-after is attributable to _verify
+    spark.catalog.clearCache()
+    jss = spark._jsparkSession.sharedState().cacheManager()
+    assert jss.isEmpty(), "test precondition: no cached relations"
+    pairs = idx.dedup_pairs(docs, threshold=0.5)
+    pairs.count()
+    assert jss.isEmpty(), "dedup_pairs leaked a cached shingle relation"
+    new = spark.createDataFrame(
+        [(100001, "zzalpha zzbeta zzgamma zzdelta")],
+        "doc_id long, text string",
+    )
+    idx.screen_batch(new, docs, threshold=0.5).count()
+    assert jss.isEmpty(), "screen_batch leaked a cached shingle relation"
+
+
 def test_update_moves_band_rows_and_delete_removes(spark, tmp_path):
     docs = _docs(spark).limit(200).localCheckpoint(eager=True)
     idx = IncrementalMinHashIndex(spark, str(tmp_path / "m"))

@@ -416,6 +416,19 @@ class BucketedParquetStateStore:
                     f"{new_root}: already pinned to {pinned} buckets — "
                     "clone into an empty root"
                 )
+            # A SAME-modulus pin is still a used root — most likely an
+            # aborted earlier clone (round-10 advice). Writing over it
+            # would silently keep any table present there but since
+            # dropped from the source; the documented recovery for an
+            # incomplete clone is discard-and-rerun, so force it.
+            probe = BucketedParquetStateStore(self.spark, new_root, n_buckets)
+            leftover = probe.tables()
+            if leftover:
+                raise ValueError(
+                    f"{new_root}: not empty (tables {sorted(leftover)} "
+                    "present — likely an aborted clone); delete the root "
+                    "and re-run the clone"
+                )
         new_store = BucketedParquetStateStore(
             self.spark, new_root, n_buckets
         )

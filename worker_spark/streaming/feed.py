@@ -14,6 +14,24 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _refuse_map_columns(schema: T.DataType, path: str = "") -> None:
+    """Recursive MapType sweep over a schema (struct/array nesting
+    included) — see last_wins' docstring for why maps cannot be
+    fingerprinted with to_json."""
+    if isinstance(schema, T.MapType):
+        raise ValueError(
+            f"last_wins cannot fingerprint MapType column {path or '<root>'}: "
+            "to_json map key order is not canonical, so replayed batches "
+            "could elect different winners. Serialize the map to a sorted "
+            "array<struct<key,value>> column before the feed."
+        )
+    if isinstance(schema, T.StructType):
+        for f in schema.fields:
+            _refuse_map_columns(f.dataType, f"{path}.{f.name}" if path else f.name)
+    elif isinstance(schema, T.ArrayType):
+        _refuse_map_columns(schema.elementType, f"{path}[]")
+
+
 def last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """One row per key tuple: LAST version wins — the reference index
     sink's add_or_replace-by-id semantics (src/indexing.rs:61-115)
@@ -40,7 +58,16 @@ def last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     join; cost O(batch), hot keys collapse to one partial per task.
     The order columns are materialized in a projection BELOW the agg:
     input_file_name() is non-deterministic to Catalyst and may not
-    appear inside an aggregate function directly."""
+    appear inside an aggregate function directly.
+
+    MapType columns are REFUSED up front (round-10 advice): the
+    fingerprint is md5(to_json(struct(*))) and to_json's map key
+    order is not canonical, so a replayed batch could serialize the
+    same row differently and elect a DIFFERENT winner — silently
+    breaking the idempotent-replay contract. No current feed schema
+    carries a map; the guard keeps a future one from compiling into
+    a latent replay divergence instead of a loud error here."""
+    _refuse_map_columns(df.schema)
     cols = df.columns
     tagged = df.select(
         *cols,

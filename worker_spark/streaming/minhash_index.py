@@ -254,9 +254,17 @@ class IncrementalMinHashIndex:
         disagree with the batch operator on a score."""
         sh = shingles.cache()
         sh.count()  # one materialization for the 3 verify scans
-        out = _jaccard_verify(sh, threshold, candidates=cands).select(
-            "id_a", "id_b", "jaccard"
+        out = (
+            _jaccard_verify(sh, threshold, candidates=cands)
+            .select("id_a", "id_b", "jaccard")
+            # Eagerly cut the lineage so the cache can be released NOW:
+            # without this, repeated dedup_pairs/screen_batch calls in a
+            # long-lived session each leave a cached shingle relation
+            # pinned until GC (round-10 advice) — matching the
+            # localCheckpoint discipline used elsewhere in the module.
+            .localCheckpoint(eager=True)
         )
+        sh.unpersist()
         return out
 
     def dedup_pairs(
