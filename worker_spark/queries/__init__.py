@@ -51,78 +51,39 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-10 rotation. ----
+    # ---- Round-11 rotation. ----
     # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-9 close): the two
-    # de-weaked rows (doc_ngram_novelty — partial-agg reformulation, no
-    # shingle window; embedding_cluster_balance — auto centroid
-    # stride); doc_weighted_reservoir (w > 0 guard in operator +
-    # oracle); the three streaming-index rows (feed.last_wins per-key
-    # batch dedup; the vector row additionally via the torn/empty pin
-    # guards); dedup_best_of_cluster (transitive through the selection
-    # module); plus three NEW rows: streaming_minhash_index (the
-    # incremental MinHash-LSH index) and the doc_char_entropy_v2 /
-    # doc_gopher_rules_v2 corpus twins (doc_char_entropy v1 retired —
-    # the v2-swap pattern).
-    "doc_ngram_novelty",
-    "embedding_cluster_balance",
-    "doc_weighted_reservoir",
+    # by tools/query_hashes.py against the round-10 close): six NEW
+    # rows — the v2 twins deferred from r10 (token stats + repetition
+    # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
+    # over the PLANTED-duplicate documents_v2_dupes corpus) — plus
+    # their v1 siblings and doc_curation_decision (transitively through
+    # the hoisted shared SQL constants / _repetition_frame refactor)
+    # and the four streaming-index rows (r10-advice fixes: feed.last_wins
+    # MapType guard, minhash _verify cache release, clone-target
+    # emptiness refusal).
+    "dedup_exact_v2",
+    "dedup_ngram_jaccard_v2",
+    "dedup_simhash_v2",
+    "dedup_minhash_lsh_v2",
+    "doc_token_stats_v2",
+    "doc_repetition_scores_v2",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_token_stats",
+    "doc_repetition_scores",
+    "doc_curation_decision",
     "streaming_index_bm25",
     "streaming_ivf_ann",
     "streaming_dedup_index",
     "streaming_minhash_index",
-    "dedup_best_of_cluster",
-    "doc_char_entropy_v2",
-    "doc_gopher_rules_v2",
-    # (b) The FULL r7-green remainder (driver row r7, no slot since):
-    # 40 entries after the doc_char_entropy retirement — exactly fills
-    # the window, so nothing in the registry is older than r8-green
-    # after this round.
-    "streaming_topk_window",
-    "similarity_ivfpq_refined_topk",
-    "similarity_ivfpq_residual_topk",
-    "similarity_pq_adc_topk",
-    "similarity_pq_refined_topk",
-    "similarity_quantized_topk",
-    "similarity_pq_kmeans_topk",
-    "similarity_opq_kmeans_topk",
-    "similarity_lsh_ann",
-    "similarity_cosine_topk",
-    "streaming_event_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_view_purchase_join",
-    "streaming_dedup_keys",
-    "dedup_cluster_components",
-    "dedup_pagerank_centrality",
-    "dedup_translit_shingles",
-    "doc_cdc_chunks",
-    "doc_cdc_chunks_clamped",
-    "doc_gopher_rules",
-    "doc_mixture_report",
-    "doc_split_assign",
-    "doc_stratified_sample",
-    "documents_profile",
-    "event_asof_attribution",
-    "event_range_join",
-    "hll_distinct_users",
-    "inline_ref_parse",
-    "outbox_dedup_append",
-    "pack_utilization",
-    "place_crawl_closure",
-    "reverse_invalidation",
-    "search_index_config",
-    "url_build_redact",
-    "doc_cdc_duplicate_chunks",
-    "dedup_substring_spans",
-    "embedding_label_centroids",
-    "bloom_membership_audit",
-    "semdedup_prune",
-    "streaming_hll_window_users",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r8-green block (driver row r8, unchanged since) — these lead the
-    # round-11 rotation (45 rows; changed-first as always).
+    # (b) The r8-green block (driver row r8, unchanged since — the
+    # oldest class): 38 unchanged rows remain after the six changed
+    # ones moved into the leads; 35 fit. The three deferred rows sit
+    # immediately below the boundary (family coverage in-window:
+    # substring family keeps dup_spans + dedup_cut, the CMS sketch
+    # keeps its streaming row, the mixture family keeps interleave +
+    # report) and lead the r12 fill.
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "bloom_incremental_dedup",
@@ -130,28 +91,21 @@ _DRIVER_WINDOW = [
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",
-    "doc_mixture_weights",
-    "token_cms_heavy_hitters",
     "sync_outbox_tick",
     "outbox_dashboard",
     "doc_weighted_sample",
     "token_bigram_collocations",
     "doc_substring_dup_spans",
-    "doc_substring_dedup_report",
     "doc_substring_dedup_cut",
     "search_documents_flat",
     "article_search_documents",
     "doc_build_scale",
     "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
-    "doc_token_stats",
     "doc_quality_filter",
     "doc_lang_id",
     "doc_fingerprint_dupes",
-    "doc_repetition_scores",
     "doc_tfidf_topk",
     "benchmark_contamination",
     "pii_redaction",
@@ -164,11 +118,17 @@ _DRIVER_WINDOW = [
     "kmv_distinct_users",
     "doc_lm_score",
     "doc_dsir_selection",
-    "doc_curation_decision",
     "event_value_percentiles",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r8-green rows deferred for window room (lead the r12 fill).
     "doc_length_quantiles",
-    # r9-green block (driver row r9, unchanged since — the youngest
-    # class; fills after the r8 block in r11).
+    "doc_substring_dedup_report",
+    "doc_mixture_weights",
+    "token_cms_heavy_hitters",
+    # r9-green block (driver row r9, unchanged since; fills r12 after
+    # the deferred r8 rows).
     "doc_tfidf_topk_v2",
     "doc_bm25_topk_v2",
     "doc_bm25f_topk",
@@ -212,6 +172,54 @@ _DRIVER_WINDOW = [
     "similarity_graph_ann",
     "graph_nn_descent_stats",
     "similarity_ivf_ann",
+    # r10-green block (driver row r10, unchanged since — the youngest
+    # class).
+    "doc_ngram_novelty",
+    "embedding_cluster_balance",
+    "doc_weighted_reservoir",
+    "dedup_best_of_cluster",
+    "doc_char_entropy_v2",
+    "doc_gopher_rules_v2",
+    "streaming_topk_window",
+    "similarity_ivfpq_refined_topk",
+    "similarity_ivfpq_residual_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_refined_topk",
+    "similarity_quantized_topk",
+    "similarity_pq_kmeans_topk",
+    "similarity_opq_kmeans_topk",
+    "similarity_lsh_ann",
+    "similarity_cosine_topk",
+    "streaming_event_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_view_purchase_join",
+    "streaming_dedup_keys",
+    "dedup_cluster_components",
+    "dedup_pagerank_centrality",
+    "dedup_translit_shingles",
+    "doc_cdc_chunks",
+    "doc_cdc_chunks_clamped",
+    "doc_gopher_rules",
+    "doc_mixture_report",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "documents_profile",
+    "event_asof_attribution",
+    "event_range_join",
+    "hll_distinct_users",
+    "inline_ref_parse",
+    "outbox_dedup_append",
+    "pack_utilization",
+    "place_crawl_closure",
+    "reverse_invalidation",
+    "search_index_config",
+    "url_build_redact",
+    "doc_cdc_duplicate_chunks",
+    "dedup_substring_spans",
+    "embedding_label_centroids",
+    "bloom_membership_audit",
+    "semdedup_prune",
+    "streaming_hll_window_users",
 ]
 
 

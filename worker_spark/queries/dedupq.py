@@ -29,27 +29,66 @@ _SHINGLES_CTE = """
 """
 
 
-@register(
-    "dedup_exact",
-    """
+_EXACT_SQL = """
     SELECT md5(text)   AS content_hash,
            min(doc_id) AS canonical_id,
            count(*)    AS n_dupes
     FROM documents
     GROUP BY md5(text)
-    """,
+    """
+
+
+def _on_dupes(oracle: str, exact: bool) -> str:
+    """Re-source a documents-table dedup oracle onto the PLANTED-duplicate
+    v2 corpus (groups of V2_DUP_GROUP consecutive ids share one base text;
+    ``exact`` => identical members, else per-doc marker near-dups): the
+    ONE table reference is rewritten to the docs2d CTE, THEN the corpus
+    fragment is spliced in front — order matters, the fragment itself
+    reads FROM documents. Loud count check as in _on_v2/r10."""
+    from worker_spark.sources.synth_corpus import documents_v2_dupes_sql
+
+    marker = "FROM documents"
+    if oracle.count(marker) != 1:
+        raise RuntimeError(
+            f"_on_dupes: expected exactly one '{marker}' in the oracle, "
+            f"found {oracle.count(marker)} — update the source rewrite"
+        )
+    body = oracle.replace(marker, "FROM docs2d")
+    cte = documents_v2_dupes_sql("docs2d", exact=exact)
+    if body.lstrip().startswith("WITH"):
+        return body.replace("WITH", f"WITH {cte},", 1)
+    return f"WITH {cte}\n{body}"
+
+
+@register(
+    "dedup_exact",
+    _EXACT_SQL,
     doc="Exact dedup: content-hash groupBy with min-id survivor.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_exact_v2",
+    _on_dupes(_EXACT_SQL, exact=True),
+    doc="Exact dedup over the PLANTED-duplicate v2 corpus (r11 twin, "
+    "deferred from r10): groups of V2_DUP_GROUP consecutive doc_ids "
+    "share one Zipf-ish base text, so the content-hash groupBy must "
+    "recover exactly the planted clusters (n_dupes == group size, "
+    "canonical == group-head id) — KNOWN structure instead of the v1 "
+    "fixture's organic collisions. Same operator, same scale shape.",
+)
+def q_dedup_exact_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+
+    return D.exact_dedup(documents_v2_dupes(spark, sf_dir, exact=True))
+
+
 _NGRAM_DF_CAP = 1000  # stop-shingle document-frequency cap (both engines)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH {_SHINGLES_CTE},
     keep AS (
         SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
@@ -69,7 +108,12 @@ _NGRAM_DF_CAP = 1000  # stop-shingle document-frequency cap (both engines)
     JOIN sizes_c sa ON sa.id = id_a
     JOIN sizes_c sb ON sb.id = id_b
     WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_JACCARD_SQL,
     doc="Word-3-gram Jaccard near-dup pairs via shingle equi-join "
     "(no cross join); threshold 0.2. Shingles with document frequency "
     f"> {_NGRAM_DF_CAP} are dropped pre-join in BOTH engines (stop-shingle "
@@ -79,6 +123,26 @@ _NGRAM_DF_CAP = 1000  # stop-shingle document-frequency cap (both engines)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_df_cap=_NGRAM_DF_CAP,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_v2",
+    _on_dupes(_NGRAM_JACCARD_SQL, exact=False),
+    doc="Word-3-gram Jaccard near-dup pairs over the PLANTED near-dup v2 "
+    "corpus (r11 twin): group members share every base shingle and "
+    "differ only in the shingles touching their per-doc marker token, "
+    "so jaccard ~ (n-2)/(n+2) >> 0.2 — the pair set must cover exactly "
+    "the intra-group pairs, with KNOWN scores on a realistic Zipf "
+    "vocabulary instead of v1's 31-token organic soup.",
+)
+def q_dedup_ngram_jaccard_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+
+    return D.ngram_jaccard_pairs(
+        documents_v2_dupes(spark, sf_dir, exact=False),
         threshold=0.2,
         shingle_df_cap=_NGRAM_DF_CAP,
     )
@@ -216,6 +280,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "dedup_minhash_lsh_v2",
+    _on_dupes(_minhash_oracle(), exact=False),
+    doc="MinHash(16)+LSH(4x4) with exact-Jaccard verify >= 0.5 over the "
+    "PLANTED near-dup v2 corpus (r11 twin): intra-group jaccard "
+    "~ (n-2)/(n+2) ~ 0.96, far above the banding s-curve's 0.5 "
+    "midpoint, so LSH must surface every intra-group pair — planted "
+    "recall is checkable, not just oracle-replayable. MinHash is the "
+    "method a 100 TB corpus dedups with; this gives its registered row "
+    "known ground truth on a realistic vocabulary.",
+)
+def q_dedup_minhash_lsh_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+
+    return D.minhash_lsh_dedup_pairs(
+        documents_v2_dupes(spark, sf_dir, exact=False), threshold=0.5
+    )
+
+
 def _simhash_band_union(src: str) -> str:
     return "\n        UNION ALL\n        ".join(
         f"SELECT id, simhash, {k} AS band, "
@@ -273,6 +356,24 @@ def _simhash_oracle() -> str:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_simhash_v2",
+    _on_dupes(_simhash_oracle(), exact=False),
+    doc="48-bit SimHash near-dup pairs (hamming <= 3, 12-bit-band "
+    "pigeonhole) over the PLANTED near-dup v2 corpus (r11 twin): group "
+    "members differ by a handful of marker-adjacent shingles, so their "
+    "fingerprints sit within a few bits — the banded candidate path "
+    "must recover the planted intra-group pairs on a realistic Zipf "
+    "vocabulary.",
+)
+def q_dedup_simhash_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+
+    return D.simhash_near_dup_pairs(
+        documents_v2_dupes(spark, sf_dir, exact=False), max_hamming=3
+    )
 
 
 def _simhash_incremental_oracle() -> str:

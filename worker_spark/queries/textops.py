@@ -24,9 +24,7 @@ _TOKS = (
 )
 
 
-@register(
-    "doc_token_stats",
-    f"""
+_TOKEN_STATS_SQL = f"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -35,13 +33,56 @@ _TOKS = (
            round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
                  / nullif(len({_TOKS}), 0), 6) AS mean_word_len
     FROM documents
-    """,
+    """
+
+
+def _on_v2(oracle: str) -> str:
+    """Re-source a documents-table oracle onto the derived documents_v2
+    corpus: the ONE table reference is rewritten to the docs2 CTE and the
+    shared corpus fragment spliced in front — the exact query semantics,
+    a realistic Zipf corpus (the r10 char-entropy/gopher twin pattern).
+    Loud count check so a drifted fragment can never silently no-op."""
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    marker = "FROM documents"
+    if oracle.count(marker) != 1:
+        raise RuntimeError(
+            f"_on_v2: expected exactly one '{marker}' in the oracle, "
+            f"found {oracle.count(marker)} — update the source rewrite"
+        )
+    body = oracle.replace(marker, "FROM docs2")
+    cte = documents_v2_sql("docs2")
+    if body.lstrip().startswith("WITH"):
+        return body.replace("WITH", f"WITH {cte},", 1)
+    return f"WITH {cte}\n{body}"
+
+
+@register(
+    "doc_token_stats",
+    _TOKEN_STATS_SQL,
     doc="Token counting: whitespace tokens + BPE-ish piece count + punct "
     "stats per document (training-data text analysis).",
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_pieces", "n_punct", "mean_word_len"
+    )
+
+
+@register(
+    "doc_token_stats_v2",
+    _on_v2(_TOKEN_STATS_SQL),
+    doc="doc_token_stats over the Zipf-ish documents_v2 corpus (r11 v2 "
+    "twin, deferred from r10): token/length counts now spread with the "
+    "harmonic-decay length model (40-160 tokens/doc) instead of the "
+    "fixture's near-constant 31-token soup. v1 KEPT — its corpus still "
+    "carries punctuation, so n_punct has signal there and none here.",
+)
+def q_doc_token_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return T.with_text_stats(documents_v2(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_chars_calc", "n_pieces", "n_punct", "mean_word_len"
     )
 
@@ -184,9 +225,7 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_repetition_scores",
-    f"""
+_REPETITION_SQL = f"""
     WITH toks AS (
         SELECT doc_id, {_TOKS} AS t FROM documents
     ), bigrams AS (
@@ -210,13 +249,38 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(ts.n_distinct AS DOUBLE) / nullif(ts.n_tokens, 0), 6) AS type_token_ratio,
            round(CAST(bs.top_bigram_count AS DOUBLE) / nullif(bs.n_bigrams, 0), 6) AS top_bigram_ratio
     FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
-    """,
+    """
+
+
+@register(
+    "doc_repetition_scores",
+    _REPETITION_SQL,
     doc="Repetition quality signals (Gopher-style): type-token ratio and "
     "most-frequent-bigram mass per document — the repetition gate a "
     "pretraining pipeline applies before dedup.",
 )
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return _repetition_frame(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition_scores_v2",
+    _on_v2(_REPETITION_SQL),
+    doc="doc_repetition_scores over the Zipf-ish documents_v2 corpus (r11 "
+    "v2 twin, deferred from r10): type-token ratio and top-bigram mass "
+    "now spread with the harmonic-decay vocabulary (v1's 31-token pool "
+    "forces near-zero TTR and saturated bigram repeats at 100+ tokens). "
+    "v1 KEPT — its oracle SQL is composed into doc_curation_decision.",
+)
+def q_doc_repetition_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    return _repetition_frame(documents_v2(spark, sf_dir))
+
+
+def _repetition_frame(d: DataFrame) -> DataFrame:
+    """Repetition signals over any (doc_id, text) frame — ONE plan shared
+    by the v1 row, its documents_v2 twin, and the curation composition."""
     toks = T.tokens(F.col("text"))
     tokenized = d.select(F.col("doc_id"), toks.alias("t"))
     # guard: sequence(0, -1) DESCENDS in Spark, so size<2 must short-circuit
