@@ -121,6 +121,17 @@ HEADLINE = [
     "streaming_minhash_index",
     "doc_char_entropy_v2",
     "doc_gopher_rules_v2",
+    # round-11 additions (v2 corpus twins: token/repetition stats over
+    # documents_v2; lexical dedup over the planted-dup corpus) — no
+    # prior anchor; they join the anchor set in r11's close anchor
+    "doc_token_stats_v2",
+    "doc_repetition_scores_v2",
+    "dedup_exact_v2",
+    "dedup_ngram_jaccard_v2",
+    "dedup_simhash_v2",
+    "dedup_minhash_lsh_v2",
+    "doc_lang_id_v2",
+    "doc_quality_filter_v2",
 ]
 
 

@@ -144,3 +144,38 @@ def test_marker_variant_recovered_by_simhash_and_jaccard(spark):
     # sf0.001, so the floor pins "recovers the large majority" without
     # overclaiming what a 48-bit sketch can do
     assert len(sim) >= 0.8 * len(planted), (len(sim), len(planted))
+
+def test_lang_corpus_is_cross_engine_byte_identical_and_learnable(spark):
+    """The language-bearing corpus (r11): byte-identical across engines
+    (the lang-id/quality twins' hash-checkability rests on it), roughly
+    balanced across the three planted languages, and the stopword-vote
+    detector must EARN a high-but-imperfect accuracy against the real
+    cross-language vocabulary overlap (measured 0.928 at this SF — a
+    perfect score would mean the ambiguity was rigged away)."""
+    from worker_spark.operators.text import with_lang_id
+    from worker_spark.sources.synth_corpus import (
+        documents_v2_lang,
+        documents_v2_lang_sql,
+    )
+
+    corpus = documents_v2_lang(spark, SF_ORACLE)
+    got = sorted(tuple(r) for r in corpus.collect())
+    want = _duck_rows(
+        f"WITH {documents_v2_lang_sql()} "
+        "SELECT doc_id, true_lang, text FROM docs2l"
+    )
+    assert got == want, "engine texts diverge"
+
+    by_lang = {
+        r["true_lang"]: r["n"]
+        for r in corpus.groupBy("true_lang").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(by_lang.values())
+    assert set(by_lang) == {"en", "es", "fr"}
+    assert all(v > 0.2 * n for v in by_lang.values()), by_lang
+
+    pred = with_lang_id(corpus)
+    acc = (
+        pred.filter(F.col("pred_lang") == F.col("true_lang")).count() / n
+    )
+    assert 0.85 <= acc < 1.0, acc

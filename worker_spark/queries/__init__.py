@@ -53,10 +53,12 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 _DRIVER_WINDOW = [
     # ---- Round-11 rotation. ----
     # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-10 close): six NEW
+    # by tools/query_hashes.py against the round-10 close): eight NEW
     # rows — the v2 twins deferred from r10 (token stats + repetition
     # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
-    # over the PLANTED-duplicate documents_v2_dupes corpus) — plus
+    # over the PLANTED-duplicate documents_v2_dupes corpus) and the
+    # lang-id/quality twins over the language-bearing documents_v2_lang
+    # corpus (watch-list skip cleared) — plus
     # their v1 siblings and doc_curation_decision (transitively through
     # the hoisted shared SQL constants / _repetition_frame refactor)
     # and the four streaming-index rows (r10-advice fixes: feed.last_wins
@@ -64,6 +66,8 @@ _DRIVER_WINDOW = [
     # emptiness refusal).
     "dedup_exact_v2",
     "dedup_ngram_jaccard_v2",
+    "doc_lang_id_v2",
+    "doc_quality_filter_v2",
     "dedup_simhash_v2",
     "dedup_minhash_lsh_v2",
     "doc_token_stats_v2",
@@ -115,15 +119,15 @@ _DRIVER_WINDOW = [
     "doc_sequence_pack",
     "top_revenue_orders",
     "event_quantile_sketch",
-    "kmv_distinct_users",
     "doc_lm_score",
     "doc_dsir_selection",
-    "event_value_percentiles",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r8-green rows deferred for window room (lead the r12 fill).
     "doc_length_quantiles",
+    "kmv_distinct_users",
+    "event_value_percentiles",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

@@ -90,17 +90,20 @@ def q_doc_token_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Filterless quality-score SQL, shared verbatim by the doc_quality_filter
 # oracle (which adds the >= 0.5 cut) and the doc_curation_decision oracle
 # (which needs every document scored) — a string-replace between the two
-# would silently no-op the moment either text drifts.
-_QUALITY_SCORED_SQL = f"""
+# would silently no-op the moment either text drifts. Parametrized over
+# (source table, language column) in r11 so the documents_v2_lang twin
+# composes the IDENTICAL formula instead of a drift-prone copy.
+def _quality_scored_sql(src: str = "documents", lang_col: str = "lang") -> str:
+    return f"""
     WITH scored AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, {lang_col},
                len({_TOKS}) AS n_tokens,
                len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS sw,
                len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
                length(text) AS n_chars
-        FROM documents
+        FROM {src}
     ), q AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, {lang_col},
                round(coalesce(CAST(sw AS DOUBLE) / nullif(n_tokens, 0), 0), 6) AS stopword_ratio,
                round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
                      + (1.0 - least(coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0) * 10.0, 1.0)) * 0.3
@@ -108,9 +111,12 @@ _QUALITY_SCORED_SQL = f"""
                               BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality_score
         FROM scored
     )
-    SELECT doc_id, lang, stopword_ratio, quality_score
+    SELECT doc_id, {lang_col}, stopword_ratio, quality_score
     FROM q
 """
+
+
+_QUALITY_SCORED_SQL = _quality_scored_sql()
 
 
 @register(
@@ -126,6 +132,38 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.with_quality_score(d)
         .filter(F.col("quality_score") >= 0.5)
         .select("doc_id", "lang", "stopword_ratio", "quality_score")
+    )
+
+
+def _quality_v2_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_lang_sql
+
+    body = _quality_scored_sql("docs2l", "true_lang")
+    return (
+        body.replace("WITH", f"WITH {documents_v2_lang_sql('docs2l')},", 1)
+        + """    WHERE quality_score >= 0.5
+    """
+    )
+
+
+@register(
+    "doc_quality_filter_v2",
+    _quality_v2_oracle(),
+    doc="Quality gate over the language-bearing documents_v2_lang corpus "
+    "(r11 twin — the NOTES watch-list skip cleared by giving the corpus "
+    "REAL function words): the English-stopword band now discriminates "
+    "— en docs sit in the 0.05-0.6 band, es/fr docs score near zero on "
+    "it and pass only on length+punct — instead of v1's all-or-nothing "
+    "fixture artifact. Identical formula (the oracle composes the same "
+    "parametrized SQL as v1).",
+)
+def q_doc_quality_filter_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+
+    return (
+        T.with_quality_score(documents_v2_lang(spark, sf_dir))
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "true_lang", "stopword_ratio", "quality_score")
     )
 
 
@@ -162,6 +200,63 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes_es",
         "votes_fr",
         "pred_lang",
+    )
+
+
+def _lang_id_v2_oracle() -> str:
+    from worker_spark.sources.synth_corpus import documents_v2_lang_sql
+
+    return f"""
+    WITH {documents_v2_lang_sql("docs2l")},
+    votes AS (
+        SELECT doc_id, true_lang,
+               len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS votes_en,
+               len(list_filter({_TOKS}, t -> t IN ({_ES}))) AS votes_es,
+               len(list_filter({_TOKS}, t -> t IN ({_FR}))) AS votes_fr
+        FROM docs2l
+    ),
+    pred AS (
+        SELECT doc_id, true_lang,
+               CAST(votes_en AS BIGINT) AS votes_en,
+               CAST(votes_es AS BIGINT) AS votes_es,
+               CAST(votes_fr AS BIGINT) AS votes_fr,
+               CASE
+                 WHEN greatest(votes_en, votes_es, votes_fr) <= 0 THEN 'und'
+                 WHEN votes_en = greatest(votes_en, votes_es, votes_fr) THEN 'en'
+                 WHEN votes_es = greatest(votes_en, votes_es, votes_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM votes
+    )
+    SELECT doc_id, true_lang, votes_en, votes_es, votes_fr, pred_lang,
+           pred_lang = true_lang AS correct
+    FROM pred
+    """
+
+
+@register(
+    "doc_lang_id_v2",
+    _lang_id_v2_oracle(),
+    doc="Stopword-vote language ID over the language-bearing "
+    "documents_v2_lang corpus (r11 twin — watch-list skip cleared): each "
+    "doc's true language is planted via real function-word vocabularies "
+    "that genuinely OVERLAP ('de'/'en'/'la' live in several languages), "
+    "so the detector earns a measured ~0.9 accuracy against honest "
+    "ambiguity rather than the v1 fixture's label passthrough. Emits "
+    "per-doc correctness so the accuracy surface itself is hash-pinned.",
+)
+def q_doc_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+
+    d = documents_v2_lang(spark, sf_dir)
+    return T.with_lang_id(d).select(
+        "doc_id",
+        "true_lang",
+        "votes_en",
+        "votes_es",
+        "votes_fr",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
     )
 
 

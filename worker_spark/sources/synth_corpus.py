@@ -242,6 +242,144 @@ def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
 V2_DUP_GROUP = 5
 
 
+# Language-bearing corpus variant (round-11, NOTES watch-list: the
+# lang-id / quality v2 twins "stay honest skips unless the corpus gains
+# real-language stopwords"). Same token model, same ':len' length
+# stream, same Zipf content terms — but each doc draws a TRUE language
+# from md5(doc_id ':lang') and its ~25% stopword tokens come from that
+# language's REAL function-word vocabulary (20 words each, containing
+# the detector's 5-word vote lists, operators/text.LANG_STOPWORDS).
+# Overlap between the vocabularies ('de'/'en'/'la' live in more than
+# one language, as in real text) is kept, so the stopword-vote detector
+# faces genuine cross-language ambiguity instead of a rigged alphabet —
+# measured accuracy ~0.9, not 1.0, which is the honest signal the
+# watch-list asked for.
+V2_LANGS = ("en", "es", "fr")
+V2_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the", "a", "of", "and", "in", "to", "is", "was", "for", "on",
+        "as", "with", "by", "at", "from", "that", "it", "he", "she",
+        "they",
+    ),
+    "es": (
+        "el", "la", "de", "y", "en", "los", "las", "un", "una", "que",
+        "se", "del", "por", "con", "no", "su", "para", "es", "al", "lo",
+    ),
+    "fr": (
+        "le", "les", "de", "et", "en", "la", "un", "une", "des", "du",
+        "que", "qui", "dans", "pour", "sur", "par", "au", "pas", "ne",
+        "ce",
+    ),
+}
+
+
+def _lang_idx_expr(doc_id: Column) -> Column:
+    h = F.md5(F.concat(doc_id.cast("string"), F.lit(":lang")))
+    return _hx(h, 1) % len(V2_LANGS)
+
+
+def _lang_token_expr(doc_id: Column, pos: Column, lang_idx: Column) -> Column:
+    """_token_expr with the stopword branch resolved through the doc's
+    language vocabulary (same md5 stream, same gate/stop/U/rank slices,
+    so content terms and stopword POSITIONS match documents_v2 exactly
+    — only the stopword SURFACE differs)."""
+    h = F.md5(
+        F.concat(doc_id.cast("string"), F.lit(":"), pos.cast("string"))
+    )
+    gate = _hx(h, 1) % V2_STOP_GATE
+    stop = _hx(h, 25) % V2_STOPWORDS
+    u = F.lit(1) + (_hx(h, 9) % V2_VOCAB)
+    rank = F.lit(1) + (_hx(h, 17) % u)
+    stopword = None
+    for i, lang in enumerate(V2_LANGS):
+        picked = F.element_at(
+            F.array(*[F.lit(w) for w in V2_LANG_STOPWORDS[lang]]),
+            (stop + 1).cast("int"),
+        )
+        stopword = (
+            F.when(lang_idx == i, picked)
+            if stopword is None
+            else stopword.when(lang_idx == i, picked)
+        )
+    return F.when(gate == 0, stopword).otherwise(
+        F.concat(F.lit("t"), rank.cast("string"))
+    )
+
+
+def documents_v2_lang(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """(doc_id, true_lang, text): the v2 corpus with per-document REAL
+    language function words — the honest substrate for the lang-id and
+    quality v2 twins (the detector must EARN its accuracy against
+    cross-language stopword overlap)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lidx = _lang_idx_expr(F.col("doc_id"))
+    hlen = _hx(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
+    )
+    n = (F.lit(V2_MIN_TOKENS) + (hlen % V2_LEN_SPREAD)).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda p: _lang_token_expr(F.col("doc_id"), p, F.col("_lidx")),
+        ),
+        " ",
+    )
+    true_lang = None
+    for i, lang in enumerate(V2_LANGS):
+        true_lang = (
+            F.when(F.col("_lidx") == i, F.lit(lang))
+            if true_lang is None
+            else true_lang.when(F.col("_lidx") == i, F.lit(lang))
+        )
+    out = docs.withColumn("_lidx", lidx).select(
+        "doc_id", true_lang.alias("true_lang"), text.alias("text")
+    )
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2_lang_sql(cte_name: str = "docs2l") -> str:
+    """DuckDB twin of documents_v2_lang — byte-identical text (same md5
+    streams; DuckDB 1-based list indexing == Spark element_at)."""
+    hx = "('0x' || substr({h}, {lo}, 8))::BIGINT"
+    hlen = hx.format(h="md5(d.doc_id::VARCHAR || ':len')", lo=1)
+    lidx = hx.format(h="md5(doc_id::VARCHAR || ':lang')", lo=1)
+    stop_cases = []
+    for i, lang in enumerate(V2_LANGS):
+        arr = ", ".join(f"'{w}'" for w in V2_LANG_STOPWORDS[lang])
+        stop_cases.append(
+            f"WHEN {i} THEN ([{arr}])"
+            f"[1 + {hx.format(h='h', lo=25)} % {V2_STOPWORDS}]"
+        )
+    stop_case = " ".join(stop_cases)
+    tok_case = f"""CASE WHEN {hx.format(h="h", lo=1)} % {V2_STOP_GATE} = 0
+                        THEN CASE lidx {stop_case} END
+                        ELSE 't' || (1 + {hx.format(h="h", lo=17)}
+                                     % (1 + {hx.format(h="h", lo=9)} % {V2_VOCAB}))
+                   END"""
+    langs = ", ".join(f"'{x}'" for x in V2_LANGS)
+    return f"""{cte_name} AS (
+        SELECT doc_id, ([{langs}])[1 + lidx] AS true_lang,
+               string_agg({tok_case}, ' ' ORDER BY p) AS text
+        FROM (
+            SELECT doc_id, ({lidx}) % {len(V2_LANGS)} AS lidx, p,
+                   md5(doc_id::VARCHAR || ':' || p::VARCHAR) AS h
+            FROM (
+                SELECT d.doc_id, u.p
+                FROM documents d,
+                     UNNEST(range(0, {V2_MIN_TOKENS} + {hlen} % {V2_LEN_SPREAD}))
+                         AS u(p)
+            )
+        )
+        GROUP BY doc_id, lidx
+    )"""
+
+
 def documents_v2_dupes(
     spark: SparkSession,
     sf_dir: str,
