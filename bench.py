@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_minhash_lsh_v2",
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
+    "token_bigram_collocations_v2",
 ]
 
 

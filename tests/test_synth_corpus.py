@@ -179,3 +179,30 @@ def test_lang_corpus_is_cross_engine_byte_identical_and_learnable(spark):
         pred.filter(F.col("pred_lang") == F.col("true_lang")).count() / n
     )
     assert 0.85 <= acc < 1.0, acc
+
+
+def test_colloc_corpus_plants_recoverable_phrases(spark):
+    """The positional-correlation corpus (r11): byte-identical across
+    engines, and collocation mining must rank ONLY planted phrase halves
+    at the top — lift separates the bound pairs (~450) from the
+    independence null (~1) by two orders of magnitude."""
+    from worker_spark.operators.retrieval import bigram_collocations
+    from worker_spark.sources.synth_corpus import (
+        documents_v2_colloc,
+        documents_v2_colloc_sql,
+    )
+
+    corpus = documents_v2_colloc(spark, SF_ORACLE)
+    got = sorted(tuple(r) for r in corpus.collect())
+    want = _duck_rows(
+        f"WITH {documents_v2_colloc_sql()} SELECT doc_id, text FROM docs2c"
+    )
+    assert got == want, "engine texts diverge"
+
+    top = bigram_collocations(corpus).collect()
+    assert len(top) == 25
+    for r in top:
+        k = r["left_tok"]
+        assert k.startswith("p") and k.endswith("a"), r
+        assert r["right_tok"] == k[:-1] + "b", r
+        assert r["lift"] > 100, r

@@ -58,7 +58,8 @@ _DRIVER_WINDOW = [
     # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
     # over the PLANTED-duplicate documents_v2_dupes corpus) and the
     # lang-id/quality twins over the language-bearing documents_v2_lang
-    # corpus (watch-list skip cleared) — plus
+    # corpus and the collocations twin over the positional-correlation
+    # documents_v2_colloc corpus (both watch-list skips cleared) — plus
     # their v1 siblings and doc_curation_decision (transitively through
     # the hoisted shared SQL constants / _repetition_frame refactor)
     # and the four streaming-index rows (r10-advice fixes: feed.last_wins
@@ -68,6 +69,7 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard_v2",
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
+    "token_bigram_collocations_v2",
     "dedup_simhash_v2",
     "dedup_minhash_lsh_v2",
     "doc_token_stats_v2",
@@ -120,7 +122,6 @@ _DRIVER_WINDOW = [
     "top_revenue_orders",
     "event_quantile_sketch",
     "doc_lm_score",
-    "doc_dsir_selection",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -128,6 +129,7 @@ _DRIVER_WINDOW = [
     "doc_length_quantiles",
     "kmv_distinct_users",
     "event_value_percentiles",
+    "doc_dsir_selection",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

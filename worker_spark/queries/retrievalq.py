@@ -19,9 +19,7 @@ _TOKS = """
 """
 
 
-@register(
-    "token_bigram_collocations",
-    f"""
+_COLLOC_SQL = f"""
     WITH {_TOKS},
     bigrams AS (
         SELECT t[CAST(i AS INT)] AS left_tok,
@@ -48,7 +46,30 @@ _TOKS = """
     CROSS JOIN total t
     ORDER BY lift DESC, left_tok ASC, right_tok ASC
     LIMIT {R.COLLOC_TOP}
-    """,
+    """
+
+
+def _colloc_v2_oracle() -> str:
+    """token_bigram_collocations re-sourced onto the positional-
+    correlation corpus (the _on_v2/_on_dupes targeted-rewrite pattern;
+    loud count check)."""
+    from worker_spark.sources.synth_corpus import documents_v2_colloc_sql
+
+    marker = "FROM documents"
+    if _COLLOC_SQL.count(marker) != 1:
+        raise RuntimeError(
+            "_colloc_v2_oracle: expected exactly one table reference — "
+            "update the source rewrite"
+        )
+    body = _COLLOC_SQL.replace(marker, "FROM docs2c")
+    return body.replace(
+        "WITH", f"WITH {documents_v2_colloc_sql('docs2c')},", 1
+    )
+
+
+@register(
+    "token_bigram_collocations",
+    _COLLOC_SQL,
     doc=f"Collocation mining (Church&Hanks'90): top-{R.COLLOC_TOP} adjacent "
     "bigrams by lift = N*c(ab)/(c(a)*c(b)) with pair count >= "
     f"{R.COLLOC_MIN_PAIR}. Vocab-bounded shuffles; lift is one double "
@@ -58,6 +79,25 @@ _TOKS = """
 def q_token_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return R.bigram_collocations(docs)
+
+
+@register(
+    "token_bigram_collocations_v2",
+    _colloc_v2_oracle(),
+    doc="Collocation mining over the positional-correlation corpus "
+    "documents_v2_colloc (r11 — the watch-list's last honest skip "
+    "cleared): 1 in 4 adjacent position pairs is a planted two-token "
+    "phrase, everything else combines independently, so lift genuinely "
+    "separates bound pairs (~450) from the independence null (~1) — "
+    "the top-25 must be exactly phrase halves (pinned in "
+    "test_synth_corpus) instead of v1's 31-token co-occurrence noise.",
+)
+def q_token_bigram_collocations_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_colloc
+
+    return R.bigram_collocations(documents_v2_colloc(spark, sf_dir))
 
 
 def _bm25_term_score_sql(tf: str = "t.tf", df: str = "f.df", dl: str = "d.dl") -> str:

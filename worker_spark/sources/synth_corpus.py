@@ -226,6 +226,101 @@ def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
     )"""
 
 
+# Positional-correlation corpus (round-11, NOTES watch-list: honest PMI
+# needs a corpus where ADJACENT positions are statistically bound — the
+# per-position-independent v2 stream has lift ~ 1 everywhere, so a
+# collocation row on it would mine noise). Positions pair up
+# (pair_id = p div 2); one md5 draw per PAIR decides whether the pair is
+# a bound PHRASE (1 in V2_PHRASE_GATE): if so both positions emit the
+# phrase's two halves 'p<k>a' 'p<k>b' (always adjacent, in order — a
+# true collocation with lift ~ N/c(phrase) >> 1); otherwise each
+# position independently draws from the plain v2 token model (the PMI
+# null: cross-pair and non-phrase bigrams combine independently, lift
+# ~ 1). Still position-local column math — token(p) is a pure function
+# of (doc_id, p div 2, p % 2, p) — so both engines generate it with the
+# same UNNEST/transform shape, byte-identical.
+V2_N_PHRASES = 50
+V2_PHRASE_GATE = 4
+
+
+def _colloc_token_expr(doc_id: Column, pos: Column) -> Column:
+    pair = (pos - (pos % 2)) / F.lit(2)
+    hp = F.md5(
+        F.concat(
+            doc_id.cast("string"),
+            F.lit(":"),
+            pair.cast("bigint").cast("string"),
+            F.lit(":pair"),
+        )
+    )
+    gate = _hx(hp, 1) % V2_PHRASE_GATE
+    phrase = _hx(hp, 9) % V2_N_PHRASES
+    side = F.when(pos % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    return F.when(
+        gate == 0, F.concat(F.lit("p"), phrase.cast("string"), side)
+    ).otherwise(_token_expr(doc_id, pos))
+
+
+def documents_v2_colloc(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """(doc_id, text): the v2 corpus with planted two-token phrases —
+    the honest substrate for collocation/PMI mining."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    hlen = _hx(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":len"))), 1
+    )
+    n = (F.lit(V2_MIN_TOKENS) + (hlen % V2_LEN_SPREAD)).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda p: _colloc_token_expr(F.col("doc_id"), p),
+        ),
+        " ",
+    )
+    out = docs.select("doc_id", text.alias("text"))
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2_colloc_sql(cte_name: str = "docs2c") -> str:
+    """DuckDB twin of documents_v2_colloc — byte-identical text (same
+    per-pair and per-position md5 streams; p // 2 == Spark's truncating
+    div for the non-negative positions)."""
+    hx = "('0x' || substr({h}, {lo}, 8))::BIGINT"
+    hlen = hx.format(h="md5(d.doc_id::VARCHAR || ':len')", lo=1)
+    plain_tok = f"""CASE WHEN {hx.format(h="h", lo=1)} % {V2_STOP_GATE} = 0
+                        THEN 's' || ({hx.format(h="h", lo=25)} % {V2_STOPWORDS})
+                        ELSE 't' || (1 + {hx.format(h="h", lo=17)}
+                                     % (1 + {hx.format(h="h", lo=9)} % {V2_VOCAB}))
+                   END"""
+    tok_case = f"""CASE WHEN {hx.format(h="hp", lo=1)} % {V2_PHRASE_GATE} = 0
+                        THEN 'p' || ({hx.format(h="hp", lo=9)} % {V2_N_PHRASES})
+                                 || (CASE WHEN p % 2 = 0 THEN 'a' ELSE 'b' END)
+                        ELSE {plain_tok}
+                   END"""
+    return f"""{cte_name} AS (
+        SELECT doc_id,
+               string_agg({tok_case}, ' ' ORDER BY p) AS text
+        FROM (
+            SELECT doc_id, p,
+                   md5(doc_id::VARCHAR || ':' || p::VARCHAR) AS h,
+                   md5(doc_id::VARCHAR || ':' || (p // 2)::VARCHAR
+                       || ':pair') AS hp
+            FROM (
+                SELECT d.doc_id, u.p
+                FROM documents d,
+                     UNNEST(range(0, {V2_MIN_TOKENS} + {hlen} % {V2_LEN_SPREAD}))
+                         AS u(p)
+            )
+        )
+        GROUP BY doc_id
+    )"""
+
+
 # Planted-duplicate derivation (round-10 groundwork for the r11 lexical
 # dedup v2 twins): the plain v2 corpus has no duplicate structure at all
 # (every doc_id's text is an independent draw), so dedup rows registered
