@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
+    "doc_curation_decision_v2",
 ]
 
 

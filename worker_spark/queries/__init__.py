@@ -70,6 +70,7 @@ _DRIVER_WINDOW = [
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
+    "doc_curation_decision_v2",
     "dedup_simhash_v2",
     "dedup_minhash_lsh_v2",
     "doc_token_stats_v2",
@@ -121,7 +122,6 @@ _DRIVER_WINDOW = [
     "doc_sequence_pack",
     "top_revenue_orders",
     "event_quantile_sketch",
-    "doc_lm_score",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -130,6 +130,7 @@ _DRIVER_WINDOW = [
     "kmv_distinct_users",
     "event_value_percentiles",
     "doc_dsir_selection",
+    "doc_lm_score",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

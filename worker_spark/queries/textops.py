@@ -36,25 +36,29 @@ _TOKEN_STATS_SQL = f"""
     """
 
 
-def _on_v2(oracle: str) -> str:
-    """Re-source a documents-table oracle onto the derived documents_v2
-    corpus: the ONE table reference is rewritten to the docs2 CTE and the
-    shared corpus fragment spliced in front — the exact query semantics,
-    a realistic Zipf corpus (the r10 char-entropy/gopher twin pattern).
-    Loud count check so a drifted fragment can never silently no-op."""
-    from worker_spark.sources.synth_corpus import documents_v2_sql
-
+def _resourced(oracle: str, cte_sql: str, cte_name: str) -> str:
+    """Re-source a documents-table oracle onto a derived-corpus CTE: the
+    ONE table reference is rewritten to ``cte_name`` and the corpus
+    fragment spliced in front — the exact query semantics, a different
+    substrate (the r10 char-entropy/gopher twin pattern). Loud count
+    check so a drifted fragment can never silently no-op."""
     marker = "FROM documents"
     if oracle.count(marker) != 1:
         raise RuntimeError(
-            f"_on_v2: expected exactly one '{marker}' in the oracle, "
+            f"_resourced: expected exactly one '{marker}' in the oracle, "
             f"found {oracle.count(marker)} — update the source rewrite"
         )
-    body = oracle.replace(marker, "FROM docs2")
-    cte = documents_v2_sql("docs2")
+    body = oracle.replace(marker, f"FROM {cte_name}")
     if body.lstrip().startswith("WITH"):
-        return body.replace("WITH", f"WITH {cte},", 1)
-    return f"WITH {cte}\n{body}"
+        return body.replace("WITH", f"WITH {cte_sql},", 1)
+    return f"WITH {cte_sql}\n{body}"
+
+
+def _on_v2(oracle: str) -> str:
+    """_resourced onto the plain Zipf documents_v2 corpus."""
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+
+    return _resourced(oracle, documents_v2_sql("docs2"), "docs2")
 
 
 @register(
@@ -895,6 +899,121 @@ def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "doc_id",
+        "pred_lang",
+        "quality_score",
+        "type_token_ratio",
+        "top_bigram_ratio",
+        "avg_logp",
+        "passes_gopher",
+        (reason == "kept").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+# documents_v2_lang-tuned curation thresholds (measured at sf0.01 on the
+# pred_lang='en' subset — every gate keeps real pass AND fail sets:
+# quality p5/p25 = 0.546/0.700, TTR p5..p95 = 0.821..0.968, top-bigram
+# p75/p95 = 0.015/0.023, avg_logp p5/p25 = -4.773/-4.682; Gopher with
+# the real ('the','a') required stopwords passes 88/162 en docs).
+CURATION2_MIN_QUALITY = 0.6
+CURATION2_MIN_TTR = 0.85
+CURATION2_MAX_TBR = 0.02
+CURATION2_MIN_LOGP = -4.7
+CURATION2_TARGET = "en"
+
+
+def _curation_v2_oracle() -> str:
+    """The five signal layers, each re-sourced onto the SAME
+    documents_v2_lang corpus (every nested layer carries its own corpus
+    CTE — DuckDB accepts WITH inside a joined subquery, the v1
+    composition's own precedent), gated in the English-pipeline order:
+    a FineWeb-style monolingual pipeline REJECTS off-target languages
+    first, then applies the quality/repetition/LM/Gopher chain."""
+    from worker_spark.queries import _REGISTRY
+    from worker_spark.sources.synth_corpus import documents_v2_lang_sql
+
+    cte = documents_v2_lang_sql("docs2l")
+    lang_sql = _lang_id_v2_oracle()
+    qual_sql = _quality_scored_sql("docs2l", "true_lang").replace(
+        "WITH", f"WITH {cte},", 1
+    )
+    rep_sql = _resourced(_REPETITION_SQL, cte, "docs2l")
+    lm_sql = _resourced(_REGISTRY["doc_lm_score"].oracle, cte, "docs2l")
+    gopher_sql = _resourced(_REGISTRY["doc_gopher_rules"].oracle, cte, "docs2l")
+    reason = f"""CASE
+        WHEN l.pred_lang <> '{CURATION2_TARGET}' THEN 'non_target_lang'
+        WHEN q.quality_score < {CURATION2_MIN_QUALITY} THEN 'low_quality'
+        WHEN r.type_token_ratio < {CURATION2_MIN_TTR}
+             OR r.top_bigram_ratio > {CURATION2_MAX_TBR} THEN 'repetitive'
+        WHEN m.avg_logp < {CURATION2_MIN_LOGP} THEN 'lm_outlier'
+        WHEN NOT g.passes_gopher THEN 'gopher_fail'
+        ELSE 'kept' END"""
+    return f"""
+    SELECT l.doc_id, l.true_lang, l.pred_lang, q.quality_score,
+           r.type_token_ratio, r.top_bigram_ratio, m.avg_logp,
+           g.passes_gopher,
+           ({reason}) = 'kept' AS keep,
+           {reason} AS reject_reason
+    FROM ({lang_sql}) l
+    JOIN ({qual_sql}) q USING (doc_id)
+    JOIN ({rep_sql}) r USING (doc_id)
+    JOIN ({lm_sql}) m USING (doc_id)
+    JOIN ({gopher_sql}) g USING (doc_id)
+    """
+
+
+@register(
+    "doc_curation_decision_v2",
+    _curation_v2_oracle(),
+    doc="END-TO-END monolingual curation over the language-bearing "
+    "documents_v2_lang corpus (r11): the realistic FineWeb-shaped "
+    "decision — reject off-target languages FIRST (the lang gate now "
+    "rejects ~2/3 of docs instead of v1's never-firing 'und' check), "
+    "then the quality/repetition/LM/Gopher chain with corpus-measured "
+    "thresholds so every gate has real pass and fail sets. Same "
+    "composition discipline as v1: five already-oracled signal layers "
+    "joined per-doc (equi on doc_id, shuffle-partitioned by id at "
+    "scale), each layer map-only or broadcast-model.",
+)
+def q_doc_curation_decision_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+
+    d = documents_v2_lang(spark, sf_dir)
+    lang = T.with_lang_id(d).select("doc_id", "true_lang", "pred_lang")
+    qual = T.with_quality_score(d).select("doc_id", "quality_score")
+    rep = _repetition_frame(d).select(
+        "doc_id", "type_token_ratio", "top_bigram_ratio"
+    )
+    lm = T.bigram_lm_scores(d).select("doc_id", "avg_logp")
+    gopher = T.with_gopher_rules(
+        d, min_words=_GOPHER_MIN_WORDS, required_stopwords=_GOPHER_SW
+    ).select("doc_id", "passes_gopher")
+    joined = (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .join(gopher, "doc_id")
+    )
+    reason = (
+        F.when(
+            F.col("pred_lang") != CURATION2_TARGET, F.lit("non_target_lang")
+        )
+        .when(
+            F.col("quality_score") < CURATION2_MIN_QUALITY,
+            F.lit("low_quality"),
+        )
+        .when(
+            (F.col("type_token_ratio") < CURATION2_MIN_TTR)
+            | (F.col("top_bigram_ratio") > CURATION2_MAX_TBR),
+            F.lit("repetitive"),
+        )
+        .when(F.col("avg_logp") < CURATION2_MIN_LOGP, F.lit("lm_outlier"))
+        .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        "true_lang",
         "pred_lang",
         "quality_score",
         "type_token_ratio",
