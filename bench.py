@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
     "doc_curation_decision_v2",
+    "streaming_exact_index",
 ]
 
 

@@ -393,7 +393,8 @@ def test_multifield_index_converges_to_bm25f(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "kind", ["retrieval", "dedup_simhash", "minhash_lsh", "vector_ivf"]
+    "kind",
+    ["retrieval", "dedup_simhash", "minhash_lsh", "vector_ivf", "exact"],
 )
 def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
     """The bucketed-state sizing rule, asserted for the WHOLE index
@@ -472,6 +473,13 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
             vec_batch,
         ),
     }
+    from worker_spark.streaming.exact_index import IncrementalExactIndex
+
+    makers["exact"] = (
+        lambda root, nb: IncrementalExactIndex(spark, root, n_buckets=nb),
+        doc_corpus,
+        doc_batch,
+    )
     make_idx, corpus_fn, batch = makers[kind]
     rewritten = {}
     for tag, n, nb in (("small", 2_000, 16), ("big", 16_000, 128)):

@@ -575,3 +575,31 @@ def test_ngram_novelty_is_skew_safe(spark):
     # exactly ONE full-stream shuffle (the shingle agg) plus the tiny
     # per-doc stages: no Exchange on the shingle column after the agg
     assert plan.count("Generate explode") == 1  # one explode branch only
+
+
+def test_r11_corpus_twin_plans_keep_the_family_guarantees(spark):
+    """The round-11 derived-corpus twins run the SAME audited operators
+    over generated substrates, so their plans must keep the family's
+    scale guarantees: candidate generation stays an equi-join (never a
+    cartesian), the jaccard twin keeps its df-cap anti-join, the
+    collocations twin keeps its broadcast unigram sides, and the
+    five-layer curation composition joins per-doc equi only. (The
+    corpus generators themselves are one id-repartition + a map-only
+    token transform — nothing here may introduce a pairwise stage.)"""
+    for name in (
+        "dedup_ngram_jaccard_v2",
+        "dedup_simhash_v2",
+        "dedup_minhash_lsh_v2",
+        "token_bigram_collocations_v2",
+        "doc_curation_decision_v2",
+        "doc_lang_id_v2",
+    ):
+        plan = _physical(_SPECS[name].run(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+    jac = _physical(_SPECS["dedup_ngram_jaccard_v2"].run(spark, SF_ORACLE))
+    # stop-shingle df cap survives the corpus swap (anti-join pre-join)
+    assert "LeftAnti" in jac
+    col = _physical(
+        _SPECS["token_bigram_collocations_v2"].run(spark, SF_ORACLE)
+    )
+    assert "BroadcastHashJoin" in col

@@ -597,7 +597,14 @@ def state_probe() -> None:
     ).localCheckpoint()
     vec_batch = _vec_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.exact_index import IncrementalExactIndex
+
     kinds = {
+        "exact": lambda work, nb: (
+            IncrementalExactIndex(spark, work, n_buckets=nb),
+            _doc_corpus,
+            doc_batch,
+        ),
         "dedup_simhash": lambda work, nb: (
             IncrementalDedupIndex(spark, work, n_buckets=nb),
             _doc_corpus,

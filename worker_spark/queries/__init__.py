@@ -71,6 +71,7 @@ _DRIVER_WINDOW = [
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
     "doc_curation_decision_v2",
+    "streaming_exact_index",
     "dedup_simhash_v2",
     "dedup_minhash_lsh_v2",
     "doc_token_stats_v2",
@@ -121,7 +122,6 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "doc_sequence_pack",
     "top_revenue_orders",
-    "event_quantile_sketch",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -131,6 +131,7 @@ _DRIVER_WINDOW = [
     "event_value_percentiles",
     "doc_dsir_selection",
     "doc_lm_score",
+    "event_quantile_sketch",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

@@ -1002,6 +1002,78 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _streaming_exact_oracle() -> str:
+    # The post-stream hash state is EXACTLY the batch content-hash build
+    # over the canonical corpus (streaming/exact_index.py convergence
+    # contract, pinned by tests/test_exact_index.py), so the clusters
+    # served from the maintained state equal exact_dedup over the same
+    # corpus — the batch exact-dedup oracle serves unchanged (the
+    # one-oracle-for-both argument, fifth instance).
+    from worker_spark.queries.dedupq import _EXACT_SQL
+
+    return _EXACT_SQL
+
+
+@register(
+    "streaming_exact_index",
+    _streaming_exact_oracle(),
+    doc="Incrementally-maintained EXACT dedup index driven end-to-end "
+    "through Structured Streaming — the cheapest dedup pass a 100 TB "
+    "pipeline keeps current rather than recomputing: document batches "
+    "arrive as files (maxFilesPerTrigger=1, availableNow), a "
+    "foreachBatch MERGE keeps the content-hash state current on "
+    "hash-bucketed parquet — including an UPDATE batch whose corrected "
+    "text REPLACES stale drafts, moving their hash rows between hash "
+    "buckets via the per-doc manifest — and duplicate clusters are "
+    "served from the MAINTAINED state alone (the corpus text is never "
+    "re-read and never re-hashed on the serving path). Hash-checked "
+    "against the batch exact-dedup oracle. Completes streaming "
+    "maintenance for every registered lexical dedup method (exact + "
+    "SimHash + MinHash).",
+)
+def q_streaming_exact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.exact_index import (
+        IncrementalExactIndex,
+        exact_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the even
+    # docs but a stale 40-char draft for doc_id%7==0 (different content
+    # -> different hash -> different hash bucket); batch 1 the odd docs;
+    # batch 2 the corrected full rows. Final state == the canonical
+    # corpus iff the manifest-driven delete-then-insert moves hash rows
+    # between buckets correctly, which the batch oracle checks.
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="xidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="xidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="xidx_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalExactIndex(spark, state)
+        q = exact_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_exact_index: availableNow drain exceeded 300s"
+            )
+        return idx.dedup_clusters().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _streaming_minhash_oracle() -> str:
     # The post-stream banded state is EXACTLY the batch signature build
     # over the canonical corpus (streaming/minhash_index.py convergence
