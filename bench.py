@@ -624,6 +624,95 @@ R10_ANCHOR: dict[str, float] = {
     "doc_gopher_rules_v2": 0.6,
 }
 
+# Round-11 anchor (second of two back-to-back serialized sf0.1 runs at
+# round-11 close, calibration 0.216 pinned from the SAME run — the
+# same-run rule above): first anchor covering the 79-row headline set
+# including the 11 round-11 additions (v2 corpus twins, monolingual
+# curation, streaming_exact_index).
+R11_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.453,
+    "top_revenue_orders": 1.298,
+    "revenue_by_nation": 1.123,
+    "orders_with_returns": 0.573,
+    "customer_any_return": 0.653,
+    "sync_diff_classify": 0.711,
+    "event_journey": 0.25,
+    "outbox_drain_cap": 0.332,
+    "doc_token_stats": 0.223,
+    "dedup_minhash_lsh": 3.752,
+    "dedup_simhash": 3.787,
+    "similarity_cosine_topk": 0.968,
+    "similarity_lsh_ann": 2.669,
+    "dedup_embedding_blocked": 2.462,
+    "multimodal_features": 0.468,
+    "event_value_percentiles": 0.22,
+    "reverse_invalidation": 0.699,
+    "doc_build_scale": 2.081,
+    "dedup_cluster_components": 5.728,
+    "doc_sequence_pack": 0.57,
+    "doc_stratified_sample": 0.203,
+    "similarity_quantized_topk": 0.606,
+    "benchmark_contamination": 3.172,
+    "similarity_pq_refined_topk": 4.122,
+    "similarity_pq_kmeans_topk": 5.626,
+    "doc_cdc_chunks": 2.439,
+    "dedup_translit_shingles": 4.849,
+    "doc_substring_dedup_report": 0.511,
+    "hll_distinct_users": 0.355,
+    "token_cms_heavy_hitters": 1.817,
+    "bpe_train_merges": 1.826,
+    "dedup_edit_distance": 2.189,
+    "token_bigram_collocations": 0.779,
+    "similarity_opq_kmeans_topk": 6.124,
+    "search_documents_flat": 1.519,
+    "bloom_membership_audit": 0.511,
+    "doc_dsir_selection": 2.086,
+    "semdedup_prune": 0.847,
+    "doc_curation_decision": 2.208,
+    "event_quantile_sketch": 1.093,
+    "similarity_graph_ann": 6.41,
+    "event_audience_overlap": 0.614,
+    "lang_shingle_overlap": 1.69,
+    "join_skew_profile": 0.438,
+    "doc_rag_chunks": 0.251,
+    "events_zorder_layout": 0.631,
+    "similarity_binary_topk": 2.359,
+    "event_funnel_conversion": 0.606,
+    "event_retention_cohorts": 0.345,
+    "event_rate_anomalies": 0.415,
+    "similarity_multiprobe_lsh": 2.111,
+    "similarity_margin_probe_lsh": 2.015,
+    "similarity_ivfpq_residual_topk": 5.471,
+    "similarity_ivfpq_refined_topk": 5.666,
+    "streaming_index_bm25": 7.194,
+    "streaming_topk_window": 2.313,
+    "doc_bm25_topk_v2": 2.524,
+    "inverted_index_postings_v2": 1.069,
+    "doc_hybrid_rrf_topk_v2": 4.971,
+    "doc_bm25f_topk": 2.952,
+    "doc_weighted_reservoir": 0.17,
+    "embedding_cluster_balance": 0.723,
+    "doc_ngram_novelty": 1.27,
+    "doc_tfidf_topk_v2": 1.64,
+    "streaming_ivf_ann": 7.651,
+    "streaming_dedup_index": 12.81,
+    "streaming_minhash_index": 8.288,
+    "doc_char_entropy_v2": 0.415,
+    "doc_gopher_rules_v2": 0.453,
+    "doc_token_stats_v2": 0.359,
+    "doc_repetition_scores_v2": 0.446,
+    "dedup_exact_v2": 0.508,
+    "dedup_ngram_jaccard_v2": 2.826,
+    "dedup_simhash_v2": 2.874,
+    "dedup_minhash_lsh_v2": 3.729,
+    "doc_lang_id_v2": 0.577,
+    "doc_quality_filter_v2": 0.743,
+    "token_bigram_collocations_v2": 1.528,
+    "doc_curation_decision_v2": 3.065,
+    "streaming_exact_index": 4.995,
+}
+
+
 ANCHOR_CALIBRATION: dict[str, float] = {
     "r6": 0.207,
     "r8": 0.210,
@@ -634,6 +723,10 @@ ANCHOR_CALIBRATION: dict[str, float] = {
     # 131.2s — the documented ±30% host swing between adjacent runs;
     # anchor timings and calibration come from ONE run)
     "r10": 0.227,
+    # pinned by the R11 anchor-recording run (same rule): the second of
+    # two back-to-back serialized sf0.1 runs at round-11 close (sibling
+    # first run: 193.3s at calibration 0.245)
+    "r11": 0.216,
 }
 ADJ_REGRESSION_FLAG = 1.3
 
@@ -721,6 +814,7 @@ def main() -> None:
             ("r8", R8_ANCHOR),
             ("r9", R9_ANCHOR),
             ("r10", R10_ANCHOR),
+            ("r11", R11_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
@@ -762,6 +856,7 @@ def main() -> None:
             "total_vs_r8_adjusted",
             "total_vs_r9_adjusted",
             "total_vs_r10_adjusted",
+            "total_vs_r11_adjusted",
         ):
             if k in full:
                 out[k] = full[k]
