@@ -270,3 +270,41 @@ def test_fsck_and_clone_rebucketed(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="drifted"):
         idx2.fsck()
+
+
+def test_unknown_doc_delete_batch_is_a_clean_noop(spark, tmp_path):
+    """A batch that only deletes docs the index never saw (contentless
+    text, no stored rows) must early-return without touching a single
+    bucket file — the touched-set arithmetic's empty case."""
+    docs = _docs(spark).limit(50).localCheckpoint(eager=True)
+    root = str(tmp_path / "x")
+    idx = IncrementalExactIndex(spark, root)
+    idx.apply_batch(docs)
+    h_before = _bucket_snapshot(os.path.join(root, "hashes"))
+    f_before = _bucket_snapshot(os.path.join(root, "fps"))
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(10**9, ""), (10**9 + 1, "   ")], "doc_id long, text string"
+        )
+    )
+    assert _bucket_snapshot(os.path.join(root, "hashes")) == h_before
+    assert _bucket_snapshot(os.path.join(root, "fps")) == f_before
+
+
+def test_all_delete_batch_of_known_docs_empties_their_rows(spark, tmp_path):
+    """A batch consisting ONLY of deletes for existing docs must remove
+    their rows from BOTH tables (the inserts-empty path through
+    delete_then_insert)."""
+    docs = _docs(spark).limit(50).localCheckpoint(eager=True)
+    idx = IncrementalExactIndex(spark, str(tmp_path / "x"))
+    idx.apply_batch(docs)
+    victims = [r["doc_id"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(int(v), "") for v in victims], "doc_id long, text string"
+        )
+    )
+    left = {r["doc_id"] for r in idx.fps().collect()}
+    assert left.isdisjoint(victims)
+    assert {r["doc_id"] for r in idx.hashes().collect()} == left
+    idx.fsck()

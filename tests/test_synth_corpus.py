@@ -206,3 +206,31 @@ def test_colloc_corpus_plants_recoverable_phrases(spark):
         assert k.startswith("p") and k.endswith("a"), r
         assert r["right_tok"] == k[:-1] + "b", r
         assert r["lift"] > 100, r
+
+
+def test_marker_variant_clusters_recover_planted_groups(spark):
+    """Connected components over the planted pair graph must recover
+    each planted group as exactly one cluster with the group head as
+    survivor (the registered dedup_cluster_components_v2 contract)."""
+    from worker_spark.operators.components import cluster_assignments
+    from worker_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = documents_v2_dupes(spark, SF_ORACLE, exact=False)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.2, shingle_df_cap=1000)
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_survivor"])
+        for r in cluster_assignments(
+            pairs.select("id_a", "id_b")
+        ).collect()
+    }
+    ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
+    by_group: dict[int, list[int]] = {}
+    for i in ids:
+        by_group.setdefault((i // V2_DUP_GROUP) * V2_DUP_GROUP, []).append(i)
+    want = {
+        (d, min(members), len(members), d == min(members))
+        for members in by_group.values()
+        if len(members) > 1
+        for d in members
+    }
+    assert got == want

@@ -39,7 +39,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver oracle-checks only the FIRST 50 registry entries, so the
 # inventory order is a verification-priority list, not an aesthetic one.
-# Steady state for 132 queries / 50 slots: every entry gets a driver row at
+# Steady state for ~148 queries / 50 slots: every entry gets a driver row at
 # least every ~2.6 rounds; new or changed queries always re-enter the window
 # immediately, then the longest-stale class fills the remainder.
 #
@@ -53,20 +53,23 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 _DRIVER_WINDOW = [
     # ---- Round-11 rotation. ----
     # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-10 close): eight NEW
+    # by tools/query_hashes.py against the round-10 close): TWELVE new
     # rows — the v2 twins deferred from r10 (token stats + repetition
     # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
-    # over the PLANTED-duplicate documents_v2_dupes corpus) and the
+    # over the PLANTED-duplicate documents_v2_dupes corpus), the
     # lang-id/quality twins over the language-bearing documents_v2_lang
-    # corpus and the collocations twin over the positional-correlation
-    # documents_v2_colloc corpus (both watch-list skips cleared) — plus
-    # their v1 siblings and doc_curation_decision (transitively through
-    # the hoisted shared SQL constants / _repetition_frame refactor)
-    # and the four streaming-index rows (r10-advice fixes: feed.last_wins
-    # MapType guard, minhash _verify cache release, clone-target
-    # emptiness refusal).
+    # corpus, the collocations twin over the positional-correlation
+    # documents_v2_colloc corpus (both watch-list skips cleared), the
+    # monolingual curation table doc_curation_decision_v2, and
+    # streaming_exact_index (the fifth maintained index) — plus their
+    # v1 siblings and doc_curation_decision (transitively changed
+    # through the hoisted shared SQL constants / _repetition_frame
+    # refactor) and the four pre-existing streaming-index rows
+    # (r10-advice fixes: feed.last_wins MapType guard, minhash _verify
+    # cache release, clone-target emptiness refusal).
     "dedup_exact_v2",
     "dedup_ngram_jaccard_v2",
+    "dedup_cluster_components_v2",
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
@@ -121,7 +124,6 @@ _DRIVER_WINDOW = [
     "article_analysis",
     "multimodal_features",
     "doc_sequence_pack",
-    "top_revenue_orders",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -132,6 +134,7 @@ _DRIVER_WINDOW = [
     "doc_dsir_selection",
     "doc_lm_score",
     "event_quantile_sketch",
+    "top_revenue_orders",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

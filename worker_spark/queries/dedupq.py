@@ -55,7 +55,12 @@ def _on_dupes(oracle: str, exact: bool) -> str:
         )
     body = oracle.replace(marker, "FROM docs2d")
     cte = documents_v2_dupes_sql("docs2d", exact=exact)
-    if body.lstrip().startswith("WITH"):
+    stripped = body.lstrip()
+    if stripped.startswith("WITH RECURSIVE"):
+        # RECURSIVE modifies the whole WITH list; splice AFTER it (a
+        # non-recursive corpus CTE is legal inside a RECURSIVE list)
+        return body.replace("WITH RECURSIVE", f"WITH RECURSIVE {cte},", 1)
+    if stripped.startswith("WITH"):
         return body.replace("WITH", f"WITH {cte},", 1)
     return f"WITH {cte}\n{body}"
 
@@ -211,6 +216,31 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_df_cap=_NGRAM_DF_CAP,
+    )
+    return C.cluster_assignments(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "dedup_cluster_components_v2",
+    _on_dupes(_cluster_oracle(), exact=False),
+    doc="Near-dup CLUSTERS over the PLANTED near-dup v2 corpus (r11 "
+    "twin, completing the lexical-dedup twin family): the Jaccard pair "
+    "graph is exactly the intra-group pairs (planted-structure test), "
+    "so min-label propagation must recover each planted group as one "
+    "cluster with the group head as survivor — connected components "
+    "verified against KNOWN ground truth instead of organic soup. Same "
+    "checkpointed-lineage operator, same recursive-CTE oracle replay.",
+)
+def q_dedup_cluster_components_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from worker_spark.operators import components as C
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+
+    pairs = D.ngram_jaccard_pairs(
+        documents_v2_dupes(spark, sf_dir, exact=False),
         threshold=0.2,
         shingle_df_cap=_NGRAM_DF_CAP,
     )
