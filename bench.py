@@ -135,9 +135,10 @@ HEADLINE = [
     "token_bigram_collocations_v2",
     "doc_curation_decision_v2",
     "streaming_exact_index",
-    # round-11 LATE addition (after R11_ANCHOR was recorded) — no prior
-    # anchor; it joins the anchor set in r12 (the r6/r8/r9 precedent)
+    # round-11 LATE additions (after R11_ANCHOR was recorded) — no prior
+    # anchor; they join the anchor set in r12 (the r6/r8/r9 precedent)
     "dedup_cluster_components_v2",
+    "doc_substring_dedup_report_v2",
 ]
 
 

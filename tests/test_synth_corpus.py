@@ -234,3 +234,43 @@ def test_marker_variant_clusters_recover_planted_groups(spark):
         for d in members
     }
     assert got == want
+
+
+def test_substr_corpus_block_region_is_recovered_in_every_member(spark):
+    """The shared-substring corpus (r11): byte-identical across engines,
+    and winnowing must cover (at least) the planted block region in
+    EVERY group member — the 27-char guarantee means at most the two
+    block edges (< 27 chars each) can escape — while total coverage
+    stays well below 1.0 (the prefix/suffix streams are independent, so
+    the detection is earned, not degenerate)."""
+    from worker_spark.operators.substrings import substring_dedup_report
+    from worker_spark.sources.synth_corpus import (
+        V2_SUBSTR_BLK,
+        _stream_text_expr,
+        documents_v2_substr,
+        documents_v2_substr_sql,
+    )
+
+    corpus = documents_v2_substr(spark, SF_ORACLE)
+    got = sorted(tuple(r) for r in corpus.collect())
+    want = _duck_rows(
+        f"WITH {documents_v2_substr_sql()} SELECT doc_id, text FROM docs2s"
+    )
+    assert got == want, "engine texts diverge"
+
+    heads = (
+        corpus.select(
+            F.expr(f"(doc_id div {V2_DUP_GROUP}) * {V2_DUP_GROUP}").alias(
+                "doc_id"
+            )
+        )
+        .distinct()
+        .select("doc_id", _stream_text_expr(*V2_SUBSTR_BLK).alias("blk"))
+    )
+    blk_len = {r["doc_id"]: len(r["blk"]) for r in heads.collect()}
+    rows = substring_dedup_report(corpus).collect()
+    for r in rows:
+        head = (r["doc_id"] // V2_DUP_GROUP) * V2_DUP_GROUP
+        floor = blk_len[head] - 26  # 27-char guarantee at both edges
+        assert r["dup_chars"] >= floor, (r["doc_id"], r["dup_chars"], floor)
+        assert r["dup_frac"] < 0.9, r  # not degenerate-everything

@@ -53,7 +53,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 _DRIVER_WINDOW = [
     # ---- Round-11 rotation. ----
     # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-10 close): TWELVE new
+    # by tools/query_hashes.py against the round-10 close): THIRTEEN new
     # rows — the v2 twins deferred from r10 (token stats + repetition
     # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
     # over the PLANTED-duplicate documents_v2_dupes corpus), the
@@ -70,6 +70,7 @@ _DRIVER_WINDOW = [
     "dedup_exact_v2",
     "dedup_ngram_jaccard_v2",
     "dedup_cluster_components_v2",
+    "doc_substring_dedup_report_v2",
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
@@ -123,7 +124,6 @@ _DRIVER_WINDOW = [
     "inline_ref_codes",
     "article_analysis",
     "multimodal_features",
-    "doc_sequence_pack",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
@@ -135,6 +135,7 @@ _DRIVER_WINDOW = [
     "doc_lm_score",
     "event_quantile_sketch",
     "top_revenue_orders",
+    "doc_sequence_pack",
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",

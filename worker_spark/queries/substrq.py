@@ -134,6 +134,60 @@ def q_doc_substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.substring_dedup_report(docs)
 
 
+def _report_v2_oracle() -> str:
+    """The report oracle re-sourced onto the shared-substring corpus:
+    BOTH table references (the span CTE's scan and the zero-fill left
+    join) move to the docs2s CTE — count-checked so a drifted fragment
+    can never silently half-rewrite — then the corpus fragment is
+    spliced in front (it reads FROM documents itself, so order
+    matters; the r11 _on_dupes/_resourced pattern)."""
+    from worker_spark.sources.synth_corpus import documents_v2_substr_sql
+
+    oracle = _SPAN_CTE + """
+    , per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_chars, 0) AS dup_chars,
+           round(coalesce(p.dup_chars, 0) /
+                 greatest(CAST(length(d.text) AS BIGINT), 1), 6) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    marker = "FROM documents"
+    if oracle.count(marker) != 2:
+        raise RuntimeError(
+            "_report_v2_oracle: expected exactly two table references "
+            f"(span scan + zero-fill join), found {oracle.count(marker)}"
+        )
+    body = oracle.replace(marker, "FROM docs2s")
+    cte = documents_v2_substr_sql("docs2s")
+    return body.replace("WITH", f"WITH {cte},", 1)
+
+
+@register(
+    "doc_substring_dedup_report_v2",
+    _report_v2_oracle(),
+    doc="Per-document duplicated-substring coverage over the PLANTED "
+    "shared-substring corpus (r11 — the substring family joins the "
+    "planted-realism program): each doc embeds one group-shared "
+    ">=150-char block between independent prefix/suffix streams, so "
+    "winnowing's 27-char guarantee must recover the block region in "
+    "EVERY member (dup_frac ~ the planted block share, median 0.45 "
+    "measured) — known span structure instead of the v1 fixture's "
+    "organic-repetition soup. Same operator, same scale shape.",
+)
+def q_doc_substring_dedup_report_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from worker_spark.sources.synth_corpus import documents_v2_substr
+
+    return S.substring_dedup_report(documents_v2_substr(spark, sf_dir))
+
+
 @register(
     "doc_substring_dedup_cut",
     _SPAN_CTE

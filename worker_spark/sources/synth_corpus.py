@@ -226,6 +226,91 @@ def documents_v2_titled_sql(cte_name: str = "docs2f") -> str:
     )"""
 
 
+# Planted-group size shared by the dupes and shared-substring corpora
+# (groups of consecutive doc_ids; see the derivation comments below).
+V2_DUP_GROUP = 5
+
+
+# Shared-substring corpus (round-11, extending the planted-realism
+# program to the SUBSTRING dedup family): each doc is
+# unique-prefix + SHARED BLOCK + unique-suffix, where the block is one
+# v2 token stream generated from the doc's GROUP HEAD id — so every
+# group of V2_DUP_GROUP consecutive ids embeds one identical >=150-char
+# run inside otherwise-independent text. Winnowing (K=12, W=16:
+# every exact repeat >= 27 chars is guaranteed a shared fingerprint)
+# must recover the block region in EVERY member — planted span
+# structure instead of the v1 fixture's organic-repetition soup. The
+# three streams live in disjoint position namespaces (2M/3M/4M; body=0
+# and title=1M are taken) so no stream can alias another.
+V2_SUBSTR_PRE = (":pre", 15, 10, 2_000_000)
+V2_SUBSTR_BLK = (":blk", 30, 10, 4_000_000)
+V2_SUBSTR_SUF = (":suf", 15, 10, 3_000_000)
+
+
+def documents_v2_substr(
+    spark: SparkSession,
+    sf_dir: str,
+    group: int = V2_DUP_GROUP,
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, text): prefix + group-shared block + suffix — the honest
+    substrate for exact-substring (winnowing) dedup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"(doc_id div {group}) * {group}").alias("src_id"),
+    )
+    blk = (
+        docs.select(F.col("src_id").alias("doc_id"))
+        .distinct()
+        .select(
+            F.col("doc_id").alias("src_id"),
+            _stream_text_expr(*V2_SUBSTR_BLK).alias("blk"),
+        )
+    )
+    out = (
+        docs.join(blk, "src_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                _stream_text_expr(*V2_SUBSTR_PRE),
+                F.col("blk"),
+                _stream_text_expr(*V2_SUBSTR_SUF),
+            ).alias("text"),
+        )
+    )
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def documents_v2_substr_sql(
+    cte_name: str = "docs2s", group: int = V2_DUP_GROUP
+) -> str:
+    """DuckDB twin of documents_v2_substr — byte-identical text (same
+    three md5 streams, same group-head derivation, same ' ' joins)."""
+    pre = _stream_sql("pre", *V2_SUBSTR_PRE)
+    suf = _stream_sql("suf", *V2_SUBSTR_SUF)
+    blk = _stream_sql("blk", *V2_SUBSTR_BLK)
+    marker = "FROM documents d"
+    if blk.count(marker) != 1:
+        raise RuntimeError(
+            "documents_v2_substr_sql: the shared corpus fragment no "
+            f"longer contains exactly one '{marker}' — update the "
+            "source rewrite"
+        )
+    heads = (
+        f"(SELECT DISTINCT (doc_id // {group}) * {group} AS doc_id "
+        "FROM documents)"
+    )
+    blk = blk.replace(marker, f"FROM {heads} d")
+    return f"""{cte_name} AS (
+        SELECT d.doc_id, p.pre || ' ' || g.blk || ' ' || s.suf AS text
+        FROM documents d
+        JOIN {pre} p ON p.doc_id = d.doc_id
+        JOIN {suf} s ON s.doc_id = d.doc_id
+        JOIN {blk} g ON g.doc_id = (d.doc_id // {group}) * {group}
+    )"""
+
+
 # Positional-correlation corpus (round-11, NOTES watch-list: honest PMI
 # needs a corpus where ADJACENT positions are statistically bound — the
 # per-position-independent v2 stream has lift ~ 1 everywhere, so a
@@ -334,7 +419,6 @@ def documents_v2_colloc_sql(cte_name: str = "docs2c") -> str:
 # integer/md5 column math — oracle-expressible, so the r11 dedup twins
 # stay hash-checkable with KNOWN planted structure on the realistic
 # Zipf corpus.
-V2_DUP_GROUP = 5
 
 
 # Language-bearing corpus variant (round-11, NOTES watch-list: the
