@@ -139,6 +139,7 @@ HEADLINE = [
     # anchor; they join the anchor set in r12 (the r6/r8/r9 precedent)
     "dedup_cluster_components_v2",
     "doc_substring_dedup_report_v2",
+    "streaming_ivf_recluster",
 ]
 
 

@@ -490,3 +490,155 @@ def test_fsck_green_after_maintenance_and_loud_on_manifest_drift(
     idx.store.write("vecmap", vm, keys=["vec_id"])
     with pytest.raises(RuntimeError, match="manifest drifted"):
         idx.fsck()
+
+
+def test_recluster_equals_fresh_build_under_new_centroids(spark, tmp_path):
+    """Centroid refresh: reclustering a maintained index (built through
+    batches INCLUDING an update) into a fresh root under a finer
+    centroid set must equal a from-scratch batch build against those
+    centroids — cells, manifest math, and ANN serving all re-derived
+    under the new quantizer, with the corpus read from STATE, not from
+    source."""
+    emb = _emb(spark).limit(600).localCheckpoint(eager=True)
+    coarse = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "old"), centroids=coarse, n_buckets=8
+    )
+    # two inserts + an update that moves a vector between cells
+    idx.apply_batch(emb.filter(F.col("vec_id") % 2 == 0))
+    idx.apply_batch(emb.filter(F.col("vec_id") % 2 == 1))
+    idx.apply_batch(
+        emb.filter(F.col("vec_id") == 7).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(-x as float))").alias(
+                "embedding"
+            ),
+        )
+    )
+    canonical = emb.filter(F.col("vec_id") != 7).unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(-x as float))").alias(
+                "embedding"
+            ),
+        )
+    )
+    fine = canonical.filter(F.col("vec_id") % 50 == 0)
+
+    new_idx = idx.recluster(str(tmp_path / "new"), new_centroids=fine)
+    assert _rows(new_idx.cells().select("vec_id", "cell_id")) == _rows(
+        ivf_assign(canonical, fine)
+    )
+    queries = canonical.filter(F.col("vec_id") % 60 == 0)
+    assert _rows(new_idx.ann_topk(queries, nprobe=2, top_k=5)) == _rows(
+        ivf_ann_neighbors(
+            queries, canonical, centroid_every=50, nprobe=2, top_k=5
+        )
+    )
+    # old root untouched (blue/green): still assigned under the coarse set
+    assert _rows(idx.centroids()) == _rows(
+        coarse.select(F.col("vec_id").alias("cent_id"), "embedding")
+    )
+    new_idx.fsck()
+
+    # post-recluster maintenance: an update moves a vector between NEW
+    # cells via the recomputed manifest — exactly one row survives
+    victim = 14
+    before_cell = {
+        r["vec_id"]: r["cell_id"] for r in new_idx.cells().collect()
+    }[victim]
+    new_idx.apply_batch(
+        emb.filter(F.col("vec_id") == victim).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(-x as float))").alias(
+                "embedding"
+            ),
+        )
+    )
+    mine = new_idx.cells().filter(F.col("vec_id") == victim).collect()
+    assert len(mine) == 1
+    assert mine[0]["cell_id"] != before_cell
+    new_idx.fsck()
+
+
+def test_recluster_auto_stride_retrains_from_state(spark, tmp_path):
+    """With no explicit centroid set the retrain derives medoids from
+    the MAINTAINED state via the family's K ~ sqrt(N) rule — the same
+    auto_centroid_stride the batch quantizer builds use."""
+    from worker_spark.operators.similarity import auto_centroid_stride
+
+    emb = _emb(spark).limit(400).localCheckpoint(eager=True)
+    idx = IncrementalVectorIndex(
+        spark,
+        str(tmp_path / "old"),
+        centroids=emb.filter(F.col("vec_id") % 100 == 0),
+        n_buckets=8,
+    )
+    idx.apply_batch(emb)
+    new_idx = idx.recluster(str(tmp_path / "new"))
+    n = idx.cells().count()
+    stride = auto_centroid_stride(n)
+    want = sorted(
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % stride == 0).collect()
+    )
+    got = sorted(r["cent_id"] for r in new_idx.centroids().collect())
+    assert got == want
+    assert new_idx.cells().count() == n  # every vector re-assigned
+
+
+def test_recluster_refuses_populated_root(spark, tmp_path):
+    """An aborted recluster's bulk load can be torn (cells swapped,
+    manifest not yet); converging over leftovers is not replay-safe, so
+    a non-empty target root is refused outright."""
+    import pytest as _pytest
+
+    emb = _emb(spark).limit(200).localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "a"), centroids=cents, n_buckets=8
+    )
+    idx.apply_batch(emb)
+    with _pytest.raises(ValueError, match="already holds tables"):
+        idx.recluster(str(tmp_path / "a"))  # the live root itself
+    other = IncrementalVectorIndex(
+        spark, str(tmp_path / "b"), centroids=cents, n_buckets=8
+    )
+    other.apply_batch(emb.limit(50))
+    with _pytest.raises(ValueError, match="already holds tables"):
+        idx.recluster(str(tmp_path / "b"))
+
+
+def test_recluster_carries_codebook_and_adc_serving(spark, tmp_path):
+    """PQ codes quantize the VECTOR, not its cell — a retrain carries
+    the pinned codebook, re-encodes to the identical codes, and ADC
+    serving keeps working against the new cell geometry (equal to the
+    batch ADC build under the new centroid set)."""
+    from worker_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark).limit(300).localCheckpoint(eager=True)
+    idx = IncrementalVectorIndex(
+        spark,
+        str(tmp_path / "a"),
+        centroids=emb.filter(F.col("vec_id") % 100 == 0),
+        codebook_vectors=emb.filter(F.col("vec_id") % 40 == 0),
+        n_buckets=8,
+    )
+    idx.apply_batch(emb)
+    before_codes = _rows(idx.cells().select("vec_id", "code"))
+
+    new_idx = idx.recluster(
+        str(tmp_path / "b"),
+        new_centroids=emb.filter(F.col("vec_id") % 50 == 0),
+    )
+    assert new_idx.has_codebook()
+    assert _rows(new_idx.cells().select("vec_id", "code")) == before_codes
+    # probing every cell reproduces the batch ADC build (new centroids
+    # change WHICH cells are probed, not the stored codes/scoring)
+    n_cells = new_idx.centroids().count()
+    queries = emb.filter(F.col("vec_id") % 60 == 0)
+    got = _rows(new_idx.adc_topk(queries, nprobe=n_cells, top_k=5))
+    want = _rows(
+        pq_adc_topk(emb, k=5, codebook_stride=40, query_stride=60)
+    )
+    assert got == want

@@ -89,6 +89,11 @@ _DRIVER_WINDOW = [
     "streaming_ivf_ann",
     "streaming_dedup_index",
     "streaming_minhash_index",
+    # (a') Changed/new mid-round-11 continuation: the IVF centroid
+    # refresh (retrain from maintained state, blue/green migration)
+    # and the two rows sharing its parameterized oracle.
+    "streaming_ivf_recluster",
+    "similarity_ivf_ann",
     # (b) The r8-green block (driver row r8, unchanged since — the
     # oldest class): 38 unchanged rows remain after the six changed
     # ones moved into the leads; 35 fit. The three deferred rows sit
@@ -122,12 +127,14 @@ _DRIVER_WINDOW = [
     "benchmark_contamination",
     "pii_redaction",
     "inline_ref_codes",
-    "article_analysis",
-    "multimodal_features",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
-    # r8-green rows deferred for window room (lead the r12 fill).
+    # r8-green rows displaced by the mid-round IVF-recluster leads
+    # (article_analysis / multimodal_features) lead the r12 fill with
+    # the rows deferred at rotation time.
+    "article_analysis",
+    "multimodal_features",
     "doc_length_quantiles",
     "kmv_distinct_users",
     "event_value_percentiles",
@@ -183,7 +190,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_blocked",
     "similarity_graph_ann",
     "graph_nn_descent_stats",
-    "similarity_ivf_ann",
     # r10-green block (driver row r10, unchanged since — the youngest
     # class).
     "doc_ngram_novelty",

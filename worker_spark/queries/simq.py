@@ -137,15 +137,18 @@ def _cos_expr(a: str, b: str) -> str:
     )
 
 
-def _ivf_ann_oracle() -> str:
-    """The IVF-ANN replay (medoid centroids vec_id % 100, nprobe=2,
-    exact cosine top-5 in probed cells) — shared by the batch
-    similarity_ivf_ann row and the streaming_ivf_ann row: the
-    incrementally-maintained index provably converges to this exact
-    batch build (streaming/vector_index.py), so ONE oracle serves both."""
+def _ivf_ann_oracle(cent_stride: int = 100) -> str:
+    """The IVF-ANN replay (medoid centroids vec_id % cent_stride,
+    nprobe=2, exact cosine top-5 in probed cells) — shared by the batch
+    similarity_ivf_ann row, the streaming_ivf_ann row and (at stride
+    50) the streaming_ivf_recluster row: the incrementally-maintained
+    index provably converges to this exact batch build against the
+    SAME pinned centroid set (streaming/vector_index.py), so ONE
+    oracle serves all of them — the stride is the only knob a retrain
+    turns."""
     return f"""
     WITH cents AS (
-        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % {cent_stride} = 0
     ),
     assign_scored AS (
         SELECT e.vec_id, c.cent_id, {_cos_expr('e', 'c')} AS sim,

@@ -926,6 +926,92 @@ def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _streaming_ivf_recluster_oracle() -> str:
+    # A retrain pins a NEW centroid set in a fresh root and re-assigns
+    # the maintained state's vectors under it (vector_index.recluster),
+    # provably equal to a batch build against those centroids — so the
+    # SAME batch IVF oracle serves, with the centroid stride the only
+    # knob the retrain turned (100 -> 50: twice the cells, the
+    # corpus-outgrew-its-codebook scenario).
+    from worker_spark.queries.simq import _ivf_ann_oracle
+
+    return _ivf_ann_oracle(cent_stride=50)
+
+
+@register(
+    "streaming_ivf_recluster",
+    _streaming_ivf_recluster_oracle(),
+    doc="IVF centroid refresh over the maintained vector index — the "
+    "retrain lifecycle production ANN serving hits when the corpus "
+    "outgrows its codebook: the index is built through Structured "
+    "Streaming against a COARSE pinned centroid set (including a "
+    "stale-then-corrected update batch), then re-clustered blue/green "
+    "into a fresh root under a 2x-finer centroid set TRAINED FROM THE "
+    "MAINTAINED STATE (the corpus is never re-read from source), the "
+    "manifest recomputed under the new assignment. ANN queries served "
+    "from the re-clustered root are hash-checked against the batch IVF "
+    "oracle at the new stride — retrain equals rebuild, bit for bit.",
+)
+def q_streaming_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from worker_spark.streaming.vector_index import (
+        IncrementalVectorIndex,
+        vector_maintenance_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # the streaming_ivf_ann feed shape: a stale NEGATED draft for
+    # vec_id%10==0 in batch 0, corrected in batch 2 — the maintained
+    # state converges to the canonical corpus before the retrain
+    stale = F.col("vec_id") % 10 == 0
+    negated = F.expr("transform(embedding, x -> cast(-x as float))")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.when(stale, negated).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    b2 = emb.filter(stale)
+    feed = tempfile.mkdtemp(prefix="rcl_feed_")
+    ckpt = tempfile.mkdtemp(prefix="rcl_ckpt_")
+    state = tempfile.mkdtemp(prefix="rcl_state_")
+    state2 = tempfile.mkdtemp(prefix="rcl_state2_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalVectorIndex(
+            spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
+        )
+        q = vector_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_ivf_recluster: availableNow drain exceeded 300s"
+            )
+        # retrain: medoids drawn from the MAINTAINED state at half the
+        # stride (recluster refuses a non-empty target root, so give it
+        # a fresh dir under the pre-made tempdir)
+        new_cents = (
+            idx.cells()
+            .select("vec_id", "embedding")
+            .filter(F.col("vec_id") % 50 == 0)
+        )
+        new_idx = idx.recluster(
+            os.path.join(state2, "root"), new_centroids=new_cents
+        )
+        queries = emb.filter(F.col("vec_id") % 20 == 0)
+        return new_idx.ann_topk(queries, nprobe=2, top_k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(state2, ignore_errors=True)
+
+
 def _streaming_dedup_oracle() -> str:
     # The post-stream banded state is EXACTLY the batch build over the
     # historical corpus (streaming/dedup_index.py convergence contract,

@@ -336,6 +336,93 @@ class IncrementalVectorIndex:
         )
         return IncrementalVectorIndex(self.spark, new_root)
 
+    def recluster(
+        self,
+        new_root: str,
+        new_centroids: DataFrame | None = None,
+        n_buckets: int | None = None,
+    ) -> "IncrementalVectorIndex":
+        """Centroid refresh (retrain) as a blue/green migration — the
+        lifecycle step production IVF deployments hit when the corpus
+        outgrows its codebook: cell lists skew and the probed fraction
+        nprobe/K stops shrinking, so you retrain with more cells and
+        migrate (the reference's swap-the-index-then-cut-over sink
+        discipline, src/indexing.rs:61-115, applied to the quantizer).
+
+        The maintained index cannot swap centroids IN PLACE: every
+        stored assignment derives from the pinned set (the convergence
+        contract — that pin is what makes streamed state equal the
+        batch build), so a retrain is a FRESH ROOT: pin the new
+        centroid set, re-assign the CURRENT state's vectors in one bulk
+        MERGE, and recompute the manifest under the new assignment.
+        The corpus is never re-read from source — the state's own
+        embedding column is the input — and the old root stays live for
+        serving until the caller cuts the maintenance stream over
+        (blue/green, the clone_rebucketed discipline). Reusing
+        apply_batch for the bulk load makes equality to a batch build
+        against the new centroids hold by construction (same
+        assignment, same encode, same manifest math); O(state) once per
+        retrain, the same cost class as a capacity re-shard.
+
+        ``new_centroids`` defaults to retraining FROM THE MAINTAINED
+        STATE via the family's medoid rule: every
+        auto_centroid_stride(N)-th vec_id, N the indexed-vector count —
+        the K ~ sqrt(N) sizing that keeps assignment O(N^1.5)
+        (similarity.auto_centroid_stride). Stored PQ codes are
+        centroid-independent (they quantize the vector, not the cell),
+        so a pinned codebook carries over and re-encoding reproduces
+        the identical codes — ADC serving survives the retrain."""
+        from worker_spark.operators.similarity import auto_centroid_stride
+
+        import os
+
+        # side-effect-free tables() probe: constructing a store here
+        # would create the root and pin n_buckets even when refusing
+        leftovers = (
+            sorted(
+                n
+                for n in os.listdir(new_root)
+                if os.path.isdir(os.path.join(new_root, n))
+            )
+            if os.path.isdir(new_root)
+            else []
+        )
+        if leftovers:
+            raise ValueError(
+                f"{new_root}: target root already holds tables "
+                f"{leftovers} — an aborted recluster's bulk load can be "
+                "torn (cells swapped, manifest not yet), and converging "
+                "over it is not replay-safe; discard the root and rerun "
+                "(the clone_rebucketed discipline)"
+            )
+        vectors = self.cells().select(
+            F.col("vec_id").alias(self.id_col),
+            F.col("embedding").alias(self.vec_col),
+        )
+        if new_centroids is None:
+            stride = auto_centroid_stride(vectors.count())
+            new_centroids = vectors.filter(
+                F.col(self.id_col) % stride == 0
+            )
+        new_index = IncrementalVectorIndex(
+            self.spark,
+            new_root,
+            centroids=new_centroids,
+            codebook_vectors=(
+                self.codebook_vectors().select(
+                    F.col("cent_id").alias(self.id_col),
+                    F.col("embedding").alias(self.vec_col),
+                )
+                if self.has_codebook()
+                else None
+            ),
+            n_buckets=n_buckets or self.store.n_buckets,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        new_index.apply_batch(vectors)
+        return new_index
+
     def fsck(self) -> dict[str, int]:
         """Index-level consistency check (after surgery/migration):
         placement for every table including the pinned sets, then the
