@@ -140,6 +140,7 @@ HEADLINE = [
     "dedup_cluster_components_v2",
     "doc_substring_dedup_report_v2",
     "streaming_ivf_recluster",
+    "streaming_curation_index",
 ]
 
 

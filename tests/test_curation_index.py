@@ -1,0 +1,169 @@
+"""Incremental curation index (streaming/curation_index.py): streamed,
+batch-at-a-time decision maintenance must converge EXACTLY to the batch
+curation query over the canonical corpus — the LM is pinned at creation
+(offline-train/online-apply) and every gate is deterministic, so
+equality is exact. Plus the MERGE semantics (replays are no-ops,
+updated documents are re-decided, empty text deletes), the pinned
+config discipline (mismatched reopen refuses; bare reopen loads), and
+the bucket economics (a small batch rewrites only its own doc
+buckets)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from tests.test_incremental_retrieval import _bucket_snapshot, _changed
+from worker_spark.streaming.curation_index import (
+    CurationConfig,
+    IncrementalCurationIndex,
+)
+
+
+def _cfg() -> CurationConfig:
+    from worker_spark.operators.text import GOPHER_MIN_STOPWORD_HITS
+    from worker_spark.queries.textops import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_SW,
+        CURATION2_MAX_TBR,
+        CURATION2_MIN_LOGP,
+        CURATION2_MIN_QUALITY,
+        CURATION2_MIN_TTR,
+        CURATION2_TARGET,
+    )
+
+    return CurationConfig(
+        target_lang=CURATION2_TARGET,
+        min_quality=CURATION2_MIN_QUALITY,
+        min_ttr=CURATION2_MIN_TTR,
+        max_tbr=CURATION2_MAX_TBR,
+        min_logp=CURATION2_MIN_LOGP,
+        gopher_min_words=_GOPHER_MIN_WORDS,
+        gopher_stopwords=_GOPHER_SW,
+        gopher_min_sw_hits=GOPHER_MIN_STOPWORD_HITS,
+    )
+
+
+def _docs(spark):
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+
+    return (
+        documents_v2_lang(spark, SF_ORACLE)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streamed_decisions_converge_to_batch_curation(spark, tmp_path):
+    """Three batches — evens with a stale 40-char draft for doc_id%10==0,
+    odds, then the corrected drafts — must land on the batch curation
+    query's decisions bit-for-bit (two INDEPENDENT implementations: the
+    batch query trains its LM inline via bigram_lm_scores; the index
+    scores against the model pinned at creation)."""
+    from worker_spark.queries.textops import q_doc_curation_decision_v2
+
+    docs = _docs(spark)
+    idx = IncrementalCurationIndex(
+        spark, str(tmp_path / "c"), lm_train_docs=docs, config=_cfg()
+    )
+    stale = F.col("doc_id") % 10 == 0
+    idx.apply_batch(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.when(stale, F.substring("text", 1, 40))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    idx.apply_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    idx.apply_batch(docs.filter(stale))
+
+    want = _rows(
+        q_doc_curation_decision_v2(spark, SF_ORACLE).drop("true_lang")
+    )
+    assert _rows(idx.decisions()) == want
+    # the funnel dashboard is consistent with the decisions
+    n_kept = idx.kept_ids().count()
+    dash = {
+        r["reject_reason"]: r["n_docs"] for r in idx.dashboard().collect()
+    }
+    assert dash.get("kept", 0) == n_kept
+    assert sum(dash.values()) == idx.decisions().count()
+
+
+def test_replay_is_noop_and_empty_text_deletes(spark, tmp_path):
+    docs = _docs(spark).limit(300).localCheckpoint(eager=True)
+    idx = IncrementalCurationIndex(
+        spark, str(tmp_path / "c"), lm_train_docs=docs, config=_cfg()
+    )
+    idx.apply_batch(docs)
+    before = _rows(idx.decisions())
+    idx.apply_batch(docs.limit(50))  # replay a subset: identical rows
+    assert _rows(idx.decisions()) == before
+
+    victim = docs.select(F.min("doc_id")).collect()[0][0]
+    idx.apply_batch(
+        spark.createDataFrame([(victim, "   ")], "doc_id long, text string")
+    )
+    assert (
+        idx.decisions().filter(F.col("doc_id") == victim).count() == 0
+    )
+    assert idx.decisions().count() == len(before) - 1
+    idx.fsck()
+
+
+def test_config_and_lm_pin_discipline(spark, tmp_path):
+    """Reopening with a DIFFERENT config refuses (two threshold regimes
+    in one decisions table is silent corruption); a bare reopen loads
+    the pinned config; re-supplying a training corpus refuses (one
+    model per root — the retrain is a fresh root)."""
+    import dataclasses
+
+    docs = _docs(spark).limit(200).localCheckpoint(eager=True)
+    root = str(tmp_path / "c")
+    cfg = _cfg()
+    idx = IncrementalCurationIndex(
+        spark, root, lm_train_docs=docs, config=cfg
+    )
+    idx.apply_batch(docs)
+
+    reopened = IncrementalCurationIndex(spark, root)
+    assert reopened.config == cfg
+    assert _rows(reopened.decisions()) == _rows(idx.decisions())
+
+    with pytest.raises(ValueError, match="config differs"):
+        IncrementalCurationIndex(
+            spark, root, config=dataclasses.replace(cfg, min_quality=0.9)
+        )
+    with pytest.raises(ValueError, match="LM is already pinned"):
+        IncrementalCurationIndex(spark, root, lm_train_docs=docs)
+    with pytest.raises(ValueError, match="needs both"):
+        IncrementalCurationIndex(spark, str(tmp_path / "new"), config=cfg)
+
+
+def test_small_batch_rewrites_only_its_doc_buckets(spark, tmp_path):
+    """decisions is bucketed by doc_id — the batch key — so a one-doc
+    update touches exactly that doc's bucket, no manifest involved."""
+    docs = _docs(spark).limit(300).localCheckpoint(eager=True)
+    root = str(tmp_path / "c")
+    idx = IncrementalCurationIndex(
+        spark, root, lm_train_docs=docs, config=_cfg()
+    )
+    idx.apply_batch(docs)
+    ddir = os.path.join(root, "decisions")
+    before = _bucket_snapshot(ddir)
+
+    victim = docs.limit(1)
+    idx.apply_batch(victim)
+    changed = _changed(before, _bucket_snapshot(ddir))
+    want = idx.store.touched_buckets(
+        victim.select(F.col("doc_id")), "doc_id"
+    )
+    assert changed == {f"b{b:05d}" for b in want}

@@ -303,6 +303,92 @@ def with_char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals per document — type/token ratio and the
+    top-bigram share, the two cheap boilerplate detectors of the
+    Gopher/FineWeb filter family. ONE plan shared by the registered v1
+    row, its documents_v2 twin, the curation compositions and the
+    incremental curation index (it moved here from the queries layer
+    when the index needed it — queries import operators, never the
+    reverse).
+
+    Scale shape (100 TB): per-doc groupBys on (doc_id[, bg]) are
+    partial-aggregated and never cross documents; no corpus-wide
+    state."""
+    toks = tokens(F.col(text_col))
+    tokenized = docs.select(F.col("doc_id"), toks.alias("t"))
+    # guard: sequence(0, -1) DESCENDS in Spark, so size<2 must short-circuit
+    # to an empty array rather than produce phantom bigrams
+    bigram_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = tokenized.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    tok_stats = tokenized.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens").cast("double")), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.try_divide(
+                    F.col("top_bigram_count").cast("double"), F.col("n_bigrams").cast("double")
+                ),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def curation_reason(
+    target_lang: str,
+    min_quality: float,
+    min_ttr: float,
+    max_tbr: float,
+    min_logp: float,
+) -> Column:
+    """The monolingual-pipeline decision chain over the five gate
+    columns (pred_lang, quality_score, type_token_ratio,
+    top_bigram_ratio, avg_logp, passes_gopher) — reject off-target
+    languages FIRST, then quality / repetition / LM / Gopher, first
+    failing gate wins (the FineWeb pipeline order). ONE definition
+    shared by the batch curation query and the incremental curation
+    index so the two cannot drift."""
+    return (
+        F.when(
+            F.col("pred_lang") != target_lang, F.lit("non_target_lang")
+        )
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(
+            (F.col("type_token_ratio") < min_ttr)
+            | (F.col("top_bigram_ratio") > max_tbr),
+            F.lit("repetitive"),
+        )
+        .when(F.col("avg_logp") < min_logp, F.lit("lm_outlier"))
+        .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
+        .otherwise(F.lit("kept"))
+    )
+
+
 # Rule-based quality gate in the style of the Gopher corpus filters
 # (Rae et al. 2021, "Scaling Language Models", Appendix A — public
 # paper; LLM-pipeline extension, no reference counterpart file). The
@@ -513,11 +599,26 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     partitioning or aggregation order, and oracle-checkable bit-for-bit.
 
     Output: (doc_id, n_bigrams, avg_logp) with avg_logp rounded 6dp.
+
+    Factored into train (bigram_lm_model) + score (score_bigram_lm)
+    halves so the incremental curation index can PIN the model at
+    creation and score arriving batches against it — the CCNet split:
+    the LM trains offline once, scoring is online.
     """
-    per_doc = doc_bigram_counts(docs, text_col=text_col).cache()
+    return score_bigram_lm(
+        docs, bigram_lm_model(docs, text_col=text_col), text_col=text_col
+    )
+
+
+def bigram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bigram, lp_micro): the character-bigram LM trained on ``docs``
+    — one bounded groupBy (<= |alphabet|^2 keys), per-bigram ln(p)
+    quantized to integer micros, materialized eagerly (it is tiny, and
+    both the batch scorer and the index pin consume it at once)."""
+    per_doc = doc_bigram_counts(docs, text_col=text_col)
     model = per_doc.groupBy("bigram").agg(F.sum("cnt").alias("c"))
     total = model.agg(F.sum("c").alias("t"))
-    logp = (
+    return (
         model.crossJoin(F.broadcast(total))
         .select(
             "bigram",
@@ -525,16 +626,25 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .cast("long")
             .alias("lp_micro"),
         )
-        # Materialize the model now (it is tiny: <= |alphabet|^2 rows) so the
-        # per_doc cache — populated during this job — can be released before
-        # returning. The final scoring pass below re-derives per_doc once
-        # from source (one map-side pass); the alternative was leaking a
-        # corpus-sized cached frame for the session's lifetime.
         .localCheckpoint(eager=True)
     )
-    per_doc.unpersist()
+
+
+def score_bigram_lm(
+    docs: DataFrame, model: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp): score documents against a trained
+    (bigram, lp_micro) model — broadcast equi-join, exact integer sum,
+    6dp-rounded average. A bigram ABSENT from the model contributes
+    nothing (it drops from both the numerator and the n_bigrams
+    denominator): same-corpus scoring covers every bigram by
+    construction, and online scoring of unseen text averages over the
+    model's support — the no-backoff choice, documented rather than
+    smoothed, so streamed scoring stays bit-equal to the batch
+    operator."""
+    per_doc = doc_bigram_counts(docs, text_col=text_col)
     return (
-        per_doc.join(F.broadcast(logp), "bigram")
+        per_doc.join(F.broadcast(model), "bigram")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),

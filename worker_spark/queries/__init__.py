@@ -94,6 +94,13 @@ _DRIVER_WINDOW = [
     # and the two rows sharing its parameterized oracle.
     "streaming_ivf_recluster",
     "similarity_ivf_ann",
+    # (a'') Changed/new mid-round-11 continuation: the incremental
+    # CURATION index (sixth maintained index; pinned LM + thresholds)
+    # and the rows transitively changed by the repetition_frame /
+    # bigram_lm_model factoring it shares.
+    "streaming_curation_index",
+    "doc_lm_score",
+    "dedup_best_of_cluster",
     # (b) The r8-green block (driver row r8, unchanged since — the
     # oldest class): 38 unchanged rows remain after the six changed
     # ones moved into the leads; 35 fit. The three deferred rows sit
@@ -123,23 +130,22 @@ _DRIVER_WINDOW = [
     "doc_quality_filter",
     "doc_lang_id",
     "doc_fingerprint_dupes",
-    "doc_tfidf_topk",
-    "benchmark_contamination",
-    "pii_redaction",
     "inline_ref_codes",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
-    # r8-green rows displaced by the mid-round IVF-recluster leads
-    # (article_analysis / multimodal_features) lead the r12 fill with
-    # the rows deferred at rotation time.
+    # r8-green rows displaced by the mid-round leads (IVF recluster +
+    # curation index) lead the r12 fill with the rows deferred at
+    # rotation time.
+    "doc_tfidf_topk",
+    "benchmark_contamination",
+    "pii_redaction",
     "article_analysis",
     "multimodal_features",
     "doc_length_quantiles",
     "kmv_distinct_users",
     "event_value_percentiles",
     "doc_dsir_selection",
-    "doc_lm_score",
     "event_quantile_sketch",
     "top_revenue_orders",
     "doc_sequence_pack",
@@ -195,7 +201,6 @@ _DRIVER_WINDOW = [
     "doc_ngram_novelty",
     "embedding_cluster_balance",
     "doc_weighted_reservoir",
-    "dedup_best_of_cluster",
     "doc_char_entropy_v2",
     "doc_gopher_rules_v2",
     "streaming_topk_window",

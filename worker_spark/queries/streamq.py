@@ -1237,3 +1237,121 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_curation_oracle() -> str:
+    # The post-stream decisions table is EXACTLY the batch curation
+    # query over the canonical corpus: the LM is pinned at creation
+    # from the same corpus the batch query trains on inline, the
+    # thresholds are the same pinned constants, and every other gate is
+    # map-only — so the batch curation oracle serves VERBATIM (the
+    # one-oracle-for-both argument, sixth maintained index).
+    from worker_spark.queries.textops import _curation_v2_oracle
+
+    return _curation_v2_oracle()
+
+
+@register(
+    "streaming_curation_index",
+    _streaming_curation_oracle(),
+    doc="Incrementally-maintained CURATION decision table driven "
+    "end-to-end through Structured Streaming — the materialized "
+    "keep/reject state a production pipeline serves downstream "
+    "consumers from instead of re-deciding the corpus per run: "
+    "document batches arrive as files (maxFilesPerTrigger=1, "
+    "availableNow), a foreachBatch MERGE re-decides exactly the batch "
+    "documents against the PINNED bigram LM + thresholds (offline-"
+    "train/online-apply, the centroid-pin discipline) — including an "
+    "UPDATE batch whose corrected text REPLACES stale drafts' "
+    "decisions — and the decision table is served from maintained "
+    "state. Hash-checked against the batch curation oracle verbatim: "
+    "the streamed decisions must converge to the batch decision table "
+    "exactly.",
+)
+def q_streaming_curation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.queries.textops import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_SW,
+        CURATION2_MAX_TBR,
+        CURATION2_MIN_LOGP,
+        CURATION2_MIN_QUALITY,
+        CURATION2_MIN_TTR,
+        CURATION2_TARGET,
+    )
+    from worker_spark.operators.text import GOPHER_MIN_STOPWORD_HITS
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+    from worker_spark.streaming.curation_index import (
+        CurationConfig,
+        IncrementalCurationIndex,
+        curation_maintenance_stream,
+    )
+
+    d = documents_v2_lang(spark, sf_dir)
+    docs = d.select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the
+    # even documents but only a stale 40-char draft for doc_id%10==0
+    # (short enough to flip quality/Gopher/repetition gates — a
+    # genuinely different decision); batch 1 the odd documents; batch 2
+    # the corrected full rows. Final decisions == the canonical
+    # corpus's iff the MERGE re-decided the drafted ids.
+    stale = F.col("doc_id") % 10 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale)
+    feed = tempfile.mkdtemp(prefix="cidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="cidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="cidx_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalCurationIndex(
+            spark,
+            state,
+            lm_train_docs=docs,  # the offline LM-training corpus
+            config=CurationConfig(
+                target_lang=CURATION2_TARGET,
+                min_quality=CURATION2_MIN_QUALITY,
+                min_ttr=CURATION2_MIN_TTR,
+                max_tbr=CURATION2_MAX_TBR,
+                min_logp=CURATION2_MIN_LOGP,
+                gopher_min_words=_GOPHER_MIN_WORDS,
+                gopher_stopwords=_GOPHER_SW,
+                gopher_min_sw_hits=GOPHER_MIN_STOPWORD_HITS,
+            ),
+        )
+        q = curation_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_curation_index: availableNow drain exceeded 300s"
+            )
+        # true_lang is fixture metadata (not text-derived state) — the
+        # serve-side enrichment join that makes the batch oracle apply
+        # verbatim
+        return (
+            idx.decisions()
+            .join(d.select("doc_id", "true_lang"), "doc_id")
+            .select(
+                "doc_id",
+                "true_lang",
+                "pred_lang",
+                "quality_score",
+                "type_token_ratio",
+                "top_bigram_ratio",
+                "avg_logp",
+                "passes_gopher",
+                "keep",
+                "reject_reason",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -377,51 +377,9 @@ def q_doc_repetition_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _repetition_frame(documents_v2(spark, sf_dir))
 
 
-def _repetition_frame(d: DataFrame) -> DataFrame:
-    """Repetition signals over any (doc_id, text) frame — ONE plan shared
-    by the v1 row, its documents_v2 twin, and the curation composition."""
-    toks = T.tokens(F.col("text"))
-    tokenized = d.select(F.col("doc_id"), toks.alias("t"))
-    # guard: sequence(0, -1) DESCENDS in Spark, so size<2 must short-circuit
-    # to an empty array rather than produce phantom bigrams
-    bigram_arr = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 2),
-            lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bigrams = tokenized.select("doc_id", F.explode(bigram_arr).alias("bg"))
-    bg_stats = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.max("c").alias("top_bigram_count"),
-        )
-    )
-    tok_stats = tokenized.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
-    )
-    return (
-        tok_stats.join(bg_stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(
-                F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens").cast("double")), 6
-            ).alias("type_token_ratio"),
-            F.round(
-                F.try_divide(
-                    F.col("top_bigram_count").cast("double"), F.col("n_bigrams").cast("double")
-                ),
-                6,
-            ).alias("top_bigram_ratio"),
-        )
-    )
+# repetition signals moved to the operators layer (the incremental
+# curation index shares them); the alias keeps the three call sites
+_repetition_frame = T.repetition_frame
 
 
 @register(
@@ -994,22 +952,12 @@ def q_doc_curation_decision_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm, "doc_id")
         .join(gopher, "doc_id")
     )
-    reason = (
-        F.when(
-            F.col("pred_lang") != CURATION2_TARGET, F.lit("non_target_lang")
-        )
-        .when(
-            F.col("quality_score") < CURATION2_MIN_QUALITY,
-            F.lit("low_quality"),
-        )
-        .when(
-            (F.col("type_token_ratio") < CURATION2_MIN_TTR)
-            | (F.col("top_bigram_ratio") > CURATION2_MAX_TBR),
-            F.lit("repetitive"),
-        )
-        .when(F.col("avg_logp") < CURATION2_MIN_LOGP, F.lit("lm_outlier"))
-        .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
-        .otherwise(F.lit("kept"))
+    reason = T.curation_reason(
+        CURATION2_TARGET,
+        CURATION2_MIN_QUALITY,
+        CURATION2_MIN_TTR,
+        CURATION2_MAX_TBR,
+        CURATION2_MIN_LOGP,
     )
     return joined.select(
         "doc_id",
