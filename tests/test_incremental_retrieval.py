@@ -394,7 +394,14 @@ def test_multifield_index_converges_to_bm25f(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "kind",
-    ["retrieval", "dedup_simhash", "minhash_lsh", "vector_ivf", "exact"],
+    [
+        "retrieval",
+        "dedup_simhash",
+        "minhash_lsh",
+        "vector_ivf",
+        "exact",
+        "curation",
+    ],
 )
 def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
     """The bucketed-state sizing rule, asserted for the WHOLE index
@@ -477,6 +484,34 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
 
     makers["exact"] = (
         lambda root, nb: IncrementalExactIndex(spark, root, n_buckets=nb),
+        doc_corpus,
+        doc_batch,
+    )
+    from worker_spark.streaming.curation_index import (
+        CurationConfig,
+        IncrementalCurationIndex,
+    )
+
+    makers["curation"] = (
+        # thresholds don't shape the rewrite cost (every gate is
+        # map-only); the LM pins once at creation and is not part of
+        # the per-batch rewrite
+        lambda root, nb: IncrementalCurationIndex(
+            spark,
+            root,
+            lm_train_docs=doc_corpus(2_000),
+            config=CurationConfig(
+                target_lang="en",
+                min_quality=0.0,
+                min_ttr=0.0,
+                max_tbr=1.0,
+                min_logp=-100.0,
+                gopher_min_words=1,
+                gopher_stopwords=("the", "a"),
+                gopher_min_sw_hits=0,
+            ),
+            n_buckets=nb,
+        ),
         doc_corpus,
         doc_batch,
     )

@@ -603,3 +603,43 @@ def test_r11_corpus_twin_plans_keep_the_family_guarantees(spark):
         _SPECS["token_bigram_collocations_v2"].run(spark, SF_ORACLE)
     )
     assert "BroadcastHashJoin" in col
+
+
+def test_curation_decide_plan_is_map_only_plus_broadcast_lm(spark, tmp_path):
+    """The incremental curation index's decision chain must keep the
+    batch composition's scale shape: the pinned LM joins in as a
+    BROADCAST (it is <= |alphabet|^2 rows — shipping it beats
+    shuffling every doc's bigram rows), the per-doc layers meet in
+    equi-joins, and nothing in the chain is a cartesian product or a
+    row-at-a-time Python UDF."""
+    from worker_spark.streaming.curation_index import (
+        CurationConfig,
+        IncrementalCurationIndex,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("the"), F.concat(F.lit("w"), F.col("id")), F.lit("a")
+        ).alias("text"),
+    )
+    idx = IncrementalCurationIndex(
+        spark,
+        str(tmp_path / "c"),
+        lm_train_docs=docs,
+        config=CurationConfig(
+            target_lang="en",
+            min_quality=0.0,
+            min_ttr=0.0,
+            max_tbr=1.0,
+            min_logp=-100.0,
+            gopher_min_words=1,
+            gopher_stopwords=("the", "a"),
+            gopher_min_sw_hits=0,
+        ),
+    )
+    plan = _physical(idx.decide(docs))
+    assert "BroadcastHashJoin" in plan  # the LM model join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF

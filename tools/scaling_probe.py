@@ -597,9 +597,38 @@ def state_probe() -> None:
     ).localCheckpoint()
     vec_batch = _vec_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.curation_index import (
+        CurationConfig,
+        IncrementalCurationIndex,
+    )
     from worker_spark.streaming.exact_index import IncrementalExactIndex
 
+    # thresholds are irrelevant to the apply-cost shape (every gate is
+    # map-only); the LM trains once at creation on a fixed corpus —
+    # creation is the offline step and is not what the probe times
+    cur_cfg = CurationConfig(
+        target_lang="en",
+        min_quality=0.0,
+        min_ttr=0.0,
+        max_tbr=1.0,
+        min_logp=-100.0,
+        gopher_min_words=1,
+        gopher_stopwords=("the", "a"),
+        gopher_min_sw_hits=0,
+    )
+
     kinds = {
+        "curation": lambda work, nb: (
+            IncrementalCurationIndex(
+                spark,
+                work,
+                lm_train_docs=_doc_corpus(n0),
+                config=cur_cfg,
+                n_buckets=nb,
+            ),
+            _doc_corpus,
+            doc_batch,
+        ),
         "exact": lambda work, nb: (
             IncrementalExactIndex(spark, work, n_buckets=nb),
             _doc_corpus,
