@@ -141,6 +141,8 @@ HEADLINE = [
     "doc_substring_dedup_report_v2",
     "streaming_ivf_recluster",
     "streaming_curation_index",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

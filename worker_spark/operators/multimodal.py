@@ -98,6 +98,154 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("out_payload", T.BinaryType(), False),
+        T.StructField("out_n_bytes", T.LongType(), False),
+        T.StructField("out_checksum", T.LongType(), False),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int, max_dim: int) -> dict:
+    """Deterministic stand-in for the real resampler (PIL thumbnail /
+    libvips): INTEGER-exact scale math — out = max(1, dim*max_dim //
+    max(w,h)) when the image exceeds max_dim, unchanged otherwise — and
+    a pseudo 'resized' payload (the byte prefix sized to the new pixel
+    budget) so the output contract (binary out, derived stats) matches
+    a real codec's. Integer division keeps the oracle engine-exact: no
+    float scale factor to diverge on."""
+    longest = max(width, height)
+    if longest > max_dim:
+        out_w = max(1, width * max_dim // longest)
+        out_h = max(1, height * max_dim // longest)
+    else:
+        out_w, out_h = width, height
+    out = payload[: min(len(payload), out_w * out_h)]
+    return {
+        "out_width": out_w,
+        "out_height": out_h,
+        "out_payload": out,
+        "out_checksum": sum(out) % 1_000_003,
+    }
+
+
+def resize_images(
+    media: DataFrame,
+    max_dim: int = 64,
+    decoder: Callable[[bytes, str], dict] = decode_stub,
+    resizer: Callable[[bytes, int, int, int], dict] | None = None,
+) -> DataFrame:
+    """The resize stage of a multimodal ingest pipeline: image payloads
+    in, bounded-dimension payloads out — Arrow-batched ``mapInPandas``,
+    map-only (no shuffle), payload bytes never leave the partition.
+    ``resizer`` defaults to the env-blocked real-codec stub; pass
+    ``fake_resize`` for the deterministic byte-math stand-in (swap in
+    PIL and nothing else changes — the schema, batch shape and stats
+    contract are the production plumbing)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                feats = decoder(payload, mtype)
+                r = (resizer or (lambda p, w, h, m: decode_stub(p, "")))(
+                    payload, feats["width"], feats["height"], max_dim
+                )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "out_width": r["out_width"],
+                        "out_height": r["out_height"],
+                        "out_payload": r["out_payload"],
+                        "out_n_bytes": len(r["out_payload"]),
+                        "out_checksum": r["out_checksum"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("n_frame_bytes", T.LongType(), False),
+        T.StructField("frame_checksum", T.LongType(), False),
+    ]
+)
+
+
+def fake_frame_sample(payload: bytes, n_frames: int, every_k: int) -> list:
+    """Deterministic stand-in for the real frame extractor (ffmpeg
+    select filter): frame fi's pseudo-payload is the byte stride
+    ``payload[fi::n_frames]`` — every byte belongs to exactly one frame,
+    so the sampled 'frames' are genuinely distinct binaries with a
+    checksum the oracle can replay as a stepped range sum."""
+    return [
+        {
+            "frame_index": fi,
+            "frame_payload": payload[fi::n_frames],
+            "frame_checksum": sum(payload[fi::n_frames]) % 1_000_003,
+        }
+        for fi in range(0, n_frames, every_k)
+    ]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_k: int = 30,
+    decoder: Callable[[bytes, str], dict] = decode_stub,
+    sampler: Callable[[bytes, int, int], list] | None = None,
+) -> DataFrame:
+    """The frame-sampling stage for video payloads (one frame per
+    ``every_k`` — the 1-fps-from-30fps production default): one input
+    row fans out to one row PER SAMPLED FRAME, each carrying a binary
+    frame payload. Arrow-batched ``mapInPandas``, map-only; the fan-out
+    is bounded by n_frames/every_k per video, so output volume is a
+    controlled multiple of input rows — the shape a downstream
+    image-embedding stage consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                feats = decoder(payload, mtype)
+                frames = (sampler or (lambda p, n, k: decode_stub(p, "")))(
+                    payload, feats["n_frames"], every_k
+                )
+                for fr in frames:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": fr["frame_index"],
+                            "frame_payload": fr["frame_payload"],
+                            "n_frame_bytes": len(fr["frame_payload"]),
+                            "frame_checksum": fr["frame_checksum"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the driver testdata: documents.text re-cast as opaque
     binary payloads with metadata — the ingest shape a real multimodal

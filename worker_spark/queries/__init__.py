@@ -101,6 +101,11 @@ _DRIVER_WINDOW = [
     "streaming_curation_index",
     "doc_lm_score",
     "dedup_best_of_cluster",
+    # (a4) Changed/new mid-round-11 continuation: the multimodal
+    # resize + frame-sample stages (the two missing pipeline stages of
+    # the media-column family).
+    "multimodal_resize",
+    "multimodal_frame_sample",
     # (b) The r8-green block (driver row r8, unchanged since — the
     # oldest class): 38 unchanged rows remain after the six changed
     # ones moved into the leads; 35 fit. The three deferred rows sit
@@ -129,14 +134,14 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "doc_quality_filter",
     "doc_lang_id",
-    "doc_fingerprint_dupes",
-    "inline_ref_codes",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r8-green rows displaced by the mid-round leads (IVF recluster +
     # curation index) lead the r12 fill with the rows deferred at
     # rotation time.
+    "doc_fingerprint_dupes",
+    "inline_ref_codes",
     "doc_tfidf_topk",
     "benchmark_contamination",
     "pii_redaction",
