@@ -167,3 +167,45 @@ def test_small_batch_rewrites_only_its_doc_buckets(spark, tmp_path):
         victim.select(F.col("doc_id")), "doc_id"
     )
     assert changed == {f"b{b:05d}" for b in want}
+
+
+def test_curation_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume symmetry with the other five indexes: a second
+    availableNow stream over the same checkpoint processes only files
+    landed after the first drain, and the maintained decisions still
+    equal the batch decision table exactly. The index handle is
+    RECONSTRUCTED for the second stream (bare reopen — pinned config +
+    LM load from state), the restart reality."""
+    import glob
+    import os as _os
+    import shutil
+
+    from worker_spark.streaming.curation_index import (
+        curation_maintenance_stream,
+    )
+
+    docs = _docs(spark).limit(240).localCheckpoint(eager=True)
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+
+    def land(batch, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(_os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, _os.path.join(feed, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    root = str(tmp_path / "c")
+    ckpt = str(tmp_path / "ckpt")
+    land(docs.filter(F.col("doc_id") % 2 == 0), "b0")
+    idx = IncrementalCurationIndex(
+        spark, root, lm_train_docs=docs, config=_cfg()
+    )
+    q = curation_maintenance_stream(spark, feed, idx, ckpt)
+    assert q.awaitTermination(120)
+
+    land(docs.filter(F.col("doc_id") % 2 == 1), "b1")
+    reopened = IncrementalCurationIndex(spark, root)
+    q2 = curation_maintenance_stream(spark, feed, reopened, ckpt)
+    assert q2.awaitTermination(120)
+    assert _rows(reopened.decisions()) == _rows(idx.decide(docs))
