@@ -495,11 +495,15 @@ def test_rewritten_bytes_flat_in_state_size(spark, tmp_path, kind):
     makers["curation"] = (
         # thresholds don't shape the rewrite cost (every gate is
         # map-only); the LM pins once at creation and is not part of
-        # the per-batch rewrite
+        # the per-batch rewrite. The training corpus must COVER the
+        # fixed batch's character bigrams: score_bigram_lm inner-joins
+        # the model, so an uncovered batch would decide nothing and
+        # the probe would measure only the delete path (review
+        # finding)
         lambda root, nb: IncrementalCurationIndex(
             spark,
             root,
-            lm_train_docs=doc_corpus(2_000),
+            lm_train_docs=doc_corpus(2_000).unionByName(doc_batch),
             config=CurationConfig(
                 target_lang="en",
                 min_quality=0.0,

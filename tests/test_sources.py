@@ -317,11 +317,18 @@ def test_multimodal_resize_and_frame_sample_stages(spark):
         assert bytes(x["frame_payload"]) == want
         assert x["n_frame_bytes"] == len(want)
         assert x["frame_checksum"] == sum(want) % 1_000_003
-    # every_k=1 partitions the payload bytes exactly across frames
-    all_fr = sample_frames(
-        media, every_k=1, decoder=fake_decode, sampler=fake_frame_sample
-    ).collect()
-    assert b"".join(
-        sorted((bytes(x["frame_payload"]) for x in all_fr))
-    ) is not None  # smoke: binaries round-trip
+    # every_k=1 partitions the payload bytes exactly across frames:
+    # with n_frames=9 > len(payload)=8 each stride holds at most one
+    # byte, so concatenating frames in index order reassembles the
+    # payload byte-for-byte (content, not just a total byte count —
+    # review finding: the count alone can't catch misplaced bytes)
+    all_fr = sorted(
+        sample_frames(
+            media, every_k=1, decoder=fake_decode, sampler=fake_frame_sample
+        ).collect(),
+        key=lambda x: x["frame_index"],
+    )
+    assert b"".join(bytes(x["frame_payload"]) for x in all_fr) == payload
     assert sum(x["n_frame_bytes"] for x in all_fr) == len(payload)
+    for x in all_fr:
+        assert bytes(x["frame_payload"]) == payload[x["frame_index"] :: 9]

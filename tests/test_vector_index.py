@@ -568,22 +568,31 @@ def test_recluster_auto_stride_retrains_from_state(spark, tmp_path):
     from worker_spark.operators.similarity import auto_centroid_stride
 
     emb = _emb(spark).limit(400).localCheckpoint(eager=True)
+    # seed at stride 200 so the auto retrain (min_stride floor = 100 at
+    # this N) must produce a DIFFERENT, finer centroid set — a default
+    # path that merely carried the old pin over would fail (review
+    # finding: the original %100 seed made the expected set equal the
+    # seed set, discriminating nothing)
     idx = IncrementalVectorIndex(
         spark,
         str(tmp_path / "old"),
-        centroids=emb.filter(F.col("vec_id") % 100 == 0),
+        centroids=emb.filter(F.col("vec_id") % 200 == 0),
         n_buckets=8,
     )
     idx.apply_batch(emb)
     new_idx = idx.recluster(str(tmp_path / "new"))
     n = idx.cells().count()
     stride = auto_centroid_stride(n)
+    assert stride != 200  # the retrain genuinely moves the quantizer
     want = sorted(
         r["vec_id"]
         for r in emb.filter(F.col("vec_id") % stride == 0).collect()
     )
     got = sorted(r["cent_id"] for r in new_idx.centroids().collect())
     assert got == want
+    assert got != sorted(
+        r["cent_id"] for r in idx.centroids().collect()
+    )
     assert new_idx.cells().count() == n  # every vector re-assigned
 
 

@@ -98,6 +98,23 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(payload: bytes, width: int, height: int, max_dim: int) -> dict:
+    """Placeholder for the real resampler (PIL thumbnail / libvips).
+    Not available in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; use fake_resize"
+    )
+
+
+def frame_sample_stub(payload: bytes, n_frames: int, every_k: int) -> list:
+    """Placeholder for the real frame extractor (ffmpeg select filter).
+    Not available in this container."""
+    raise NotImplementedError(
+        "video codecs are not installed in this environment; use "
+        "fake_frame_sample"
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -156,7 +173,7 @@ def resize_images(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 feats = decoder(payload, mtype)
-                r = (resizer or (lambda p, w, h, m: decode_stub(p, "")))(
+                r = (resizer or resize_stub)(
                     payload, feats["width"], feats["height"], max_dim
                 )
                 rows.append(
@@ -226,7 +243,7 @@ def sample_frames(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 feats = decoder(payload, mtype)
-                frames = (sampler or (lambda p, n, k: decode_stub(p, "")))(
+                frames = (sampler or frame_sample_stub)(
                     payload, feats["n_frames"], every_k
                 )
                 for fr in frames:

@@ -848,6 +848,39 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _ivf_maintained_index(spark, emb, feed: str, ckpt: str, state: str, row_name: str):
+    """Build the maintained IVF index through the shared three-file
+    stale-negated feed — batch 0 the even vectors with NEGATED drafts
+    for vec_id%10==0 (same cell geometry flipped, a genuinely different
+    assignment), batch 1 the odds, batch 2 the corrections — against
+    stride-100 pinned medoids, and drain the maintenance stream. ONE
+    definition of the recipe for the streaming_ivf_ann and
+    streaming_ivf_recluster rows (review finding: verbatim copies; the
+    _stage_feed extraction set the precedent)."""
+    from worker_spark.streaming.vector_index import (
+        IncrementalVectorIndex,
+        vector_maintenance_stream,
+    )
+
+    stale = F.col("vec_id") % 10 == 0
+    negated = F.expr("transform(embedding, x -> cast(-x as float))")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.when(stale, negated).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    b2 = emb.filter(stale)
+    _stage_feed((b0, b1, b2), feed)
+    idx = IncrementalVectorIndex(
+        spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
+    )
+    q = vector_maintenance_stream(spark, feed, idx, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{row_name}: availableNow drain exceeded 300s")
+    return idx
+
+
 def _streaming_ivf_oracle() -> str:
     # The post-stream index state is EXACTLY the batch IVF build against
     # the pinned centroid set (streaming/vector_index.py convergence
@@ -877,45 +910,18 @@ def _streaming_ivf_oracle() -> str:
     "streaming_index_bm25.",
 )
 def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-
-    from worker_spark.streaming.vector_index import (
-        IncrementalVectorIndex,
-        vector_maintenance_stream,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    # Three-file feed with a mid-stream update: batch 0 carries the even
-    # vectors but a stale NEGATED draft for vec_id%10==0 (same cell
-    # geometry flipped — a genuinely different assignment); batch 1 the
-    # odd vectors; batch 2 the corrected canonical rows for the drafted
-    # ids. Final state == the canonical corpus iff the manifest-driven
-    # delete-then-insert moves vectors between cells correctly.
-    stale = F.col("vec_id") % 10 == 0
-    negated = F.expr("transform(embedding, x -> cast(-x as float))")
-    b0 = emb.filter(F.col("vec_id") % 2 == 0).select(
-        "vec_id",
-        F.when(stale, negated).otherwise(F.col("embedding")).alias("embedding"),
-    )
-    b1 = emb.filter(F.col("vec_id") % 2 == 1)
-    b2 = emb.filter(stale)
     feed = tempfile.mkdtemp(prefix="vidx_feed_")
     ckpt = tempfile.mkdtemp(prefix="vidx_ckpt_")
     state = tempfile.mkdtemp(prefix="vidx_state_")
     try:
-        _stage_feed((b0, b1, b2), feed)
-        idx = IncrementalVectorIndex(
-            spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
+        idx = _ivf_maintained_index(
+            spark, emb, feed, ckpt, state, "streaming_ivf_ann"
         )
-        q = vector_maintenance_stream(spark, feed, idx, ckpt)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_ivf_ann: availableNow drain exceeded 300s"
-            )
         queries = emb.filter(F.col("vec_id") % 20 == 0)
         return idx.ann_topk(queries, nprobe=2, top_k=5).localCheckpoint(
             eager=True
@@ -956,40 +962,17 @@ def q_streaming_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from worker_spark.streaming.vector_index import (
-        IncrementalVectorIndex,
-        vector_maintenance_stream,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    # the streaming_ivf_ann feed shape: a stale NEGATED draft for
-    # vec_id%10==0 in batch 0, corrected in batch 2 — the maintained
-    # state converges to the canonical corpus before the retrain
-    stale = F.col("vec_id") % 10 == 0
-    negated = F.expr("transform(embedding, x -> cast(-x as float))")
-    b0 = emb.filter(F.col("vec_id") % 2 == 0).select(
-        "vec_id",
-        F.when(stale, negated).otherwise(F.col("embedding")).alias("embedding"),
-    )
-    b1 = emb.filter(F.col("vec_id") % 2 == 1)
-    b2 = emb.filter(stale)
     feed = tempfile.mkdtemp(prefix="rcl_feed_")
     ckpt = tempfile.mkdtemp(prefix="rcl_ckpt_")
     state = tempfile.mkdtemp(prefix="rcl_state_")
     state2 = tempfile.mkdtemp(prefix="rcl_state2_")
     try:
-        _stage_feed((b0, b1, b2), feed)
-        idx = IncrementalVectorIndex(
-            spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
+        idx = _ivf_maintained_index(
+            spark, emb, feed, ckpt, state, "streaming_ivf_recluster"
         )
-        q = vector_maintenance_stream(spark, feed, idx, ckpt)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_ivf_recluster: availableNow drain exceeded 300s"
-            )
         # retrain: medoids drawn from the MAINTAINED state at half the
         # stride (recluster refuses a non-empty target root, so give it
         # a fresh dir under the pre-made tempdir)

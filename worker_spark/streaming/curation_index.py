@@ -110,6 +110,14 @@ class CurationConfig:
     gopher_stopwords: tuple[str, ...]
     gopher_min_sw_hits: int
 
+    def __post_init__(self):
+        # normalize: a caller-supplied LIST round-trips from parquet as
+        # a tuple, and raw dataclass equality would then spuriously
+        # refuse every reopen-with-config (review finding)
+        object.__setattr__(
+            self, "gopher_stopwords", tuple(self.gopher_stopwords)
+        )
+
 
 class IncrementalCurationIndex:
     """Materialized curation decisions with per-batch bucket-scoped

@@ -404,6 +404,7 @@ class IncrementalVectorIndex:
             new_centroids = vectors.filter(
                 F.col(self.id_col) % stride == 0
             )
+        want_buckets = n_buckets or self.store.n_buckets
         new_index = IncrementalVectorIndex(
             self.spark,
             new_root,
@@ -416,10 +417,21 @@ class IncrementalVectorIndex:
                 if self.has_codebook()
                 else None
             ),
-            n_buckets=n_buckets or self.store.n_buckets,
+            n_buckets=want_buckets,
             id_col=self.id_col,
             vec_col=self.vec_col,
         )
+        if new_index.store.n_buckets != want_buckets:
+            # a crashed earlier attempt can leave ONLY the store's
+            # n_buckets meta pin (no table dirs — invisible to the
+            # leftovers probe above); the stored layout wins in the
+            # store constructor, so refuse rather than silently
+            # discard the caller's modulus (review finding)
+            raise ValueError(
+                f"{new_root}: an aborted attempt pinned n_buckets="
+                f"{new_index.store.n_buckets} (requested "
+                f"{want_buckets}); discard the root and rerun"
+            )
         new_index.apply_batch(vectors)
         return new_index
 
