@@ -143,6 +143,7 @@ HEADLINE = [
     "streaming_curation_index",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "streaming_weighted_reservoir",
 ]
 
 

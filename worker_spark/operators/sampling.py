@@ -364,6 +364,25 @@ def weighted_reservoir_sample(
     aes_key_micros = the integer-micros numerator ln(u)*1e6 (exact);
     the ranking divides it by the integer weight.
     """
+    scored = aes_scored(docs, id_col=id_col, weight_col=weight_col)
+    return (
+        scored.orderBy(F.desc("_r"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "weight", "aes_key_micros")
+    )
+
+
+def aes_scored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """(doc_id, weight, aes_key_micros, _r): every document's exact
+    A-ES rank ingredients — the ONE definition of the integer-micros
+    key shared by the batch reservoir and the streaming reservoir
+    (streaming/reservoir.py), so the two cannot drift. Rows with
+    weight <= 0 are filtered here (the w > 0 precondition both
+    consumers rely on)."""
     w = (
         weight_col
         if weight_col is not None
@@ -377,7 +396,7 @@ def weighted_reservoir_sample(
         .cast("long")
         - F.lit(AES_LN_2POW32_MICROS)
     )
-    scored = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         w.alias("weight"),
         ln_u_micros.alias("aes_key_micros"),
@@ -387,11 +406,6 @@ def weighted_reservoir_sample(
             ln_u_micros.cast("double") / w.cast("double")
         ).alias("_r"),
     ).filter(F.col("weight") > 0)
-    return (
-        scored.orderBy(F.desc("_r"), F.asc("doc_id"))
-        .limit(k)
-        .select("doc_id", "weight", "aes_key_micros")
-    )
 
 
 INTERLEAVE_TOP_N = 200

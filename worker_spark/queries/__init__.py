@@ -106,13 +106,16 @@ _DRIVER_WINDOW = [
     # the media-column family).
     "multimodal_resize",
     "multimodal_frame_sample",
+    # (a5) Changed/new mid-round-11 continuation: the streaming A-ES
+    # reservoir (bounded-state sampling as a maintained structure) and
+    # its batch sibling sharing the extracted oracle.
+    "streaming_weighted_reservoir",
+    "doc_weighted_reservoir",
     # (b) The r8-green block (driver row r8, unchanged since — the
-    # oldest class): 38 unchanged rows remain after the six changed
-    # ones moved into the leads; 35 fit. The three deferred rows sit
-    # immediately below the boundary (family coverage in-window:
-    # substring family keeps dup_spans + dedup_cut, the CMS sketch
-    # keeps its streaming row, the mixture family keeps interleave +
-    # report) and lead the r12 fill.
+    # oldest class). The continuation leads above displaced its bottom
+    # seven (doc_tfidf_topk .. multimodal_features, doc_fingerprint_
+    # dupes, inline_ref_codes) below the boundary; they lead the r12
+    # fill together with the three rows deferred at rotation time.
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "bloom_incremental_dedup",
@@ -132,14 +135,14 @@ _DRIVER_WINDOW = [
     "dedup_edit_distance",
     "dedup_simhash",
     "dedup_incremental",
-    "doc_quality_filter",
-    "doc_lang_id",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r8-green rows displaced by the mid-round leads (IVF recluster +
     # curation index) lead the r12 fill with the rows deferred at
     # rotation time.
+    "doc_quality_filter",
+    "doc_lang_id",
     "doc_fingerprint_dupes",
     "inline_ref_codes",
     "doc_tfidf_topk",
@@ -205,7 +208,6 @@ _DRIVER_WINDOW = [
     # class).
     "doc_ngram_novelty",
     "embedding_cluster_balance",
-    "doc_weighted_reservoir",
     "doc_char_entropy_v2",
     "doc_gopher_rules_v2",
     "streaming_topk_window",

@@ -199,9 +199,14 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.weighted_priority_sample(docs)
 
 
-@register(
-    "doc_weighted_reservoir",
-    f"""
+def _weighted_reservoir_oracle() -> str:
+    """The A-ES top-k replay — shared by the batch doc_weighted_reservoir
+    row and streaming_weighted_reservoir: the maintained reservoir
+    provably equals the batch top-k over the union corpus (the A-ES key
+    is a pure per-row expression and top-k is associative), so ONE
+    oracle serves both (the one-oracle-for-both pattern, seventh
+    instance)."""
+    return f"""
     WITH scored AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS weight,
@@ -216,7 +221,12 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY CAST(aes_key_micros AS DOUBLE) / CAST(weight AS DOUBLE) DESC,
              doc_id ASC
     LIMIT {S.WEIGHTED_SAMPLE_K}
-    """,
+    """
+
+
+@register(
+    "doc_weighted_reservoir",
+    _weighted_reservoir_oracle(),
     doc=f"Weighted reservoir sampling (A-ES, Efraimidis-Spirakis'06): "
     f"rank by u^(1/w) — reformulated as ln(u)/w with ln(u) quantized to "
     "integer micros from the exact md5-prefix integer, so the key is one "

@@ -1338,3 +1338,72 @@ def q_streaming_curation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_reservoir_oracle() -> str:
+    # top-k is associative and the A-ES key is a pure per-row
+    # expression, so the reservoir maintained across micro-batches —
+    # including a weight-growing stale-draft correction — equals the
+    # batch top-k over the canonical corpus; the batch oracle serves
+    # verbatim (one-oracle-for-both, seventh instance).
+    from worker_spark.queries.sampleq import _weighted_reservoir_oracle
+
+    return _weighted_reservoir_oracle()
+
+
+@register(
+    "streaming_weighted_reservoir",
+    _streaming_reservoir_oracle(),
+    doc="Continuous weighted (ppswor) sampling as MAINTAINED O(k) "
+    "state: the A-ES reservoir in its original streaming form — "
+    "document batches arrive as files (maxFilesPerTrigger=1, "
+    "availableNow), each trigger scores the batch with the exact "
+    "integer-micros key, merges with the current reservoir and keeps "
+    "the global top-k — including an UPDATE batch whose corrected text "
+    "REPLACES stale truncated drafts (length-weight grows, a monotone "
+    "promotion). The corpus never accumulates anywhere: per-trigger "
+    "cost is O(batch) map-only scoring + a k-row TakeOrdered + an O(k) "
+    "state write. Hash-checked against the batch A-ES oracle verbatim: "
+    "the streamed reservoir must equal the batch sample exactly.",
+)
+def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.reservoir import (
+        StreamingReservoir,
+        reservoir_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the
+    # even documents but only a stale 40-char draft for doc_id%10==0
+    # (a SMALLER length-weight — the correction can only promote, the
+    # monotone case bounded-state sampling converges under); batch 1
+    # the odd documents; batch 2 the corrected full rows.
+    stale = F.col("doc_id") % 10 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale)
+    feed = tempfile.mkdtemp(prefix="resv_feed_")
+    ckpt = tempfile.mkdtemp(prefix="resv_ckpt_")
+    state = tempfile.mkdtemp(prefix="resv_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        res = StreamingReservoir(spark, state)
+        q = reservoir_maintenance_stream(spark, feed, res, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_weighted_reservoir: availableNow drain "
+                "exceeded 300s"
+            )
+        return res.reservoir().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

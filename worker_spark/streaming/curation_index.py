@@ -292,7 +292,14 @@ class IncrementalCurationIndex:
             ),
             ["doc_id"],
         )
-        live = batch.filter(F.length(F.trim(F.col("text"))) > 0)
+        # materialize the deduped batch ONCE: decide()'s five gate
+        # layers are five plan branches over it, and without the
+        # checkpoint each branch re-pays the last_wins shuffle (and the
+        # feed scan) — 5x the batch cost per trigger at scale
+        live = (
+            batch.filter(F.length(F.trim(F.col("text"))) > 0)
+            .localCheckpoint(eager=True)
+        )
         rows = self.decide(live).localCheckpoint(eager=True)
         # batch_ids from the RAW batch: the key set is dedup-invariant,
         # and deriving it from the deduped frame would run the agg twice
