@@ -1,0 +1,98 @@
+"""Snapshot/restore for maintained-index state roots (S12/S13 applied
+to the bucketed store): a published snapshot restores into a fresh root
+that serves EXACTLY the state at publish time — later live maintenance
+does not leak in — with the manifest as the commit witness (no
+manifest, no restore; damaged tree, no restore)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from worker_spark.plans.bucketed_state import (
+    restore_state,
+    snapshot_state,
+)
+from worker_spark.sources import load_table
+from worker_spark.streaming.retrieval_index import IncrementalRetrievalIndex
+
+
+def _docs(spark):
+    return (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .limit(300)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_restores_point_in_time_state(spark, tmp_path):
+    docs = _docs(spark)
+    live = IncrementalRetrievalIndex(spark, str(tmp_path / "live"))
+    live.apply_batch(docs.filter(F.col("doc_id") % 2 == 0))
+
+    snap = str(tmp_path / "snap1")
+    manifest = snapshot_state(live.store, snap)
+    assert manifest["n_buckets"] == live.store.n_buckets
+    assert set(manifest["tables"]) >= {"postings", "doclen"}
+
+    # live keeps moving AFTER the snapshot
+    live.apply_batch(docs.filter(F.col("doc_id") % 2 == 1))
+
+    restored_store = restore_state(spark, snap, str(tmp_path / "restored"))
+    restored = IncrementalRetrievalIndex(spark, restored_store.root)
+    # the restored index is the pre-snapshot build exactly...
+    ref = IncrementalRetrievalIndex(spark, str(tmp_path / "ref"))
+    ref.apply_batch(docs.filter(F.col("doc_id") % 2 == 0))
+    q = ["the data", "fast stream"]
+    assert _rows(restored.bm25_topk(q, k=5)) == _rows(ref.bm25_topk(q, k=5))
+    assert _rows(restored.bm25_topk(q, k=5)) != _rows(live.bm25_topk(q, k=5))
+    restored.fsck()
+    # ...and maintenance continues on the restored root
+    restored.apply_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    assert _rows(restored.bm25_topk(q, k=5)) == _rows(live.bm25_topk(q, k=5))
+
+
+def test_snapshot_and_restore_refusals(spark, tmp_path):
+    docs = _docs(spark).limit(50)
+    live = IncrementalRetrievalIndex(spark, str(tmp_path / "live"))
+    live.apply_batch(docs)
+    snap = str(tmp_path / "snap")
+    snapshot_state(live.store, snap)
+
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_state(live.store, snap)
+
+    # restore target must be empty
+    busy = tmp_path / "busy"
+    busy.mkdir()
+    (busy / "x").write_text("y")
+    with pytest.raises(ValueError, match="not empty"):
+        restore_state(spark, snap, str(busy))
+
+    # a manifest-less dir is a crashed publish: never restorable
+    torn = str(tmp_path / "torn")
+    shutil.copytree(snap, torn)
+    os.remove(os.path.join(torn, "_snapshot_manifest"))
+    with pytest.raises(ValueError, match="no snapshot manifest"):
+        restore_state(spark, torn, str(tmp_path / "r1"))
+
+    # a damaged tree (missing bucket file) fails the manifest totals
+    damaged = str(tmp_path / "damaged")
+    shutil.copytree(snap, damaged)
+    victims = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(damaged, "postings"))
+        for f in fs
+    ]
+    os.remove(victims[0])
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        restore_state(spark, damaged, str(tmp_path / "r2"))

@@ -637,3 +637,106 @@ class BucketedParquetStateStore:
         updates = updates.select(*existing.columns)
         merged = _merge_latest(existing, updates, keys)
         self._write_buckets(table, merged, keys, touched)
+
+
+_SNAP_MANIFEST = "_snapshot_manifest"  # the snapshot's commit witness
+
+
+def _tree_stats(root: str) -> tuple[int, int]:
+    """(n_files, total_bytes) over a root — the integrity figures the
+    snapshot manifest records and restore re-derives."""
+    n, b = 0, 0
+    for _dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            n += 1
+            b += os.path.getsize(os.path.join(_dirpath, f))
+    return n, b
+
+
+def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
+    """Publish a point-in-time copy of a whole state root — S12 for the
+    maintained-index family (the sync tables got snapshot_publish in
+    plans/sync.py; the index roots get the same story here, completing
+    the ops plane next to fsck and clone_rebucketed).
+
+    Crash-safe by the usual stage/rename/witness discipline: every
+    table is recovered first (a torn swap must never be frozen into a
+    backup), the root is copied into ``<snap_path>.stage-*`` with swap
+    artifacts excluded, the stage renames to ``snap_path``, and ONLY
+    then is the manifest written — restore refuses a snapshot without
+    it, so a crash anywhere in between leaves either debris (a .stage
+    dir, swept by the caller) or a manifest-less dir that can never be
+    restored from, never a silently-partial backup. The manifest
+    records file count + total bytes, which restore re-verifies after
+    its own copy. Single-writer contract as everywhere: do not snapshot
+    concurrently with an in-flight MERGE of the same root."""
+    if os.path.exists(snap_path):
+        raise ValueError(
+            f"{snap_path}: snapshot target already exists — snapshots "
+            "are immutable; publish to a fresh path"
+        )
+    for t in store.tables():
+        store._recover(t)
+    stage = f"{snap_path}.stage-{uuid.uuid4().hex[:8]}"
+    shutil.copytree(
+        store.root,
+        stage,
+        ignore=shutil.ignore_patterns(".tmp-*", ".old-*", ".stage-*"),
+    )
+    n_files, n_bytes = _tree_stats(stage)
+    os.rename(stage, snap_path)
+    manifest = {
+        "n_buckets": store.n_buckets,
+        "tables": store.tables(),
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+        "created_at": _now(),
+    }
+    _atomic_write(
+        os.path.join(snap_path, _SNAP_MANIFEST), json.dumps(manifest)
+    )
+    return manifest
+
+
+def restore_state(
+    spark: SparkSession, snap_path: str, new_root: str
+) -> "BucketedParquetStateStore":
+    """S13 for the index family: materialize a snapshot into a FRESH
+    root (blue/green — restoring over live state in place could tear;
+    the caller flips its pointer after this returns, exactly the
+    clone_rebucketed discipline). Refuses a manifest-less snapshot (a
+    crash mid-publish) and a non-empty target; re-verifies the
+    manifest's file-count/byte totals after the copy so a truncated
+    snapshot tree fails loudly instead of serving partial state. The
+    restored root drops the manifest marker — a live root is not a
+    snapshot."""
+    mpath = os.path.join(snap_path, _SNAP_MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"{snap_path}: no snapshot manifest — the publish never "
+            "committed (crash mid-copy); this directory must not be "
+            "restored from"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if os.path.isdir(new_root) and os.listdir(new_root):
+        raise ValueError(
+            f"{new_root}: restore target is not empty — restore is "
+            "blue/green into a fresh root"
+        )
+    stage = f"{new_root}.stage-{uuid.uuid4().hex[:8]}"
+    shutil.copytree(snap_path, stage)
+    os.remove(os.path.join(stage, _SNAP_MANIFEST))
+    n_files, n_bytes = _tree_stats(stage)
+    want_files, want_bytes = manifest["n_files"], manifest["n_bytes"]
+    if (n_files, n_bytes) != (want_files, want_bytes):
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            f"{snap_path}: snapshot tree does not match its manifest "
+            f"(files {n_files} vs {want_files}, bytes {n_bytes} vs "
+            f"{want_bytes}) — the backup is damaged; refuse to restore"
+        )
+    if os.path.isdir(new_root):
+        os.rmdir(new_root)  # empty dir checked above
+    os.rename(stage, new_root)
+    return BucketedParquetStateStore(spark, new_root)
