@@ -96,3 +96,42 @@ def test_snapshot_and_restore_refusals(spark, tmp_path):
     os.remove(victims[0])
     with pytest.raises(ValueError, match="does not match its manifest"):
         restore_state(spark, damaged, str(tmp_path / "r2"))
+
+
+def test_prune_snapshots_retention_and_debris_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """Keep the newest N committed snapshots; sweep manifest-less
+    crashed publishes only past the age gate (a young one may be a
+    publish in flight)."""
+    from worker_spark.plans import bucketed_state as B
+
+    docs = _docs(spark).limit(30)
+    live = IncrementalRetrievalIndex(spark, str(tmp_path / "live"))
+    live.apply_batch(docs)
+    snaps = tmp_path / "snaps"
+    snaps.mkdir()
+    clock = [1_000_000.0]
+    monkeypatch.setattr(B, "_now", lambda: clock[0])
+    for i in range(4):
+        clock[0] += 10
+        snapshot_state(live.store, str(snaps / f"s{i}"))
+
+    # debris: old manifest-less dir is swept, young one survives
+    old_debris = snaps / "crashed_old"
+    young = snaps / "crashed_young"
+    shutil.copytree(str(snaps / "s0"), str(old_debris))
+    shutil.copytree(str(snaps / "s0"), str(young))
+    os.remove(str(old_debris / "_snapshot_manifest"))
+    os.remove(str(young / "_snapshot_manifest"))
+    now = clock[0]
+    os.utime(str(old_debris), (now - 7200, now - 7200))
+    os.utime(str(young), (now, now))
+
+    deleted = B.prune_snapshots(str(snaps), keep_last=2)
+    assert str(old_debris) in deleted
+    assert str(snaps / "s0") in deleted and str(snaps / "s1") in deleted
+    left = sorted(os.listdir(str(snaps)))
+    assert left == ["crashed_young", "s2", "s3"]
+    # the survivors still restore
+    restore_state(spark, str(snaps / "s3"), str(tmp_path / "r"))

@@ -740,3 +740,37 @@ def restore_state(
         os.rmdir(new_root)  # empty dir checked above
     os.rename(stage, new_root)
     return BucketedParquetStateStore(spark, new_root)
+
+
+def prune_snapshots(parent_dir: str, keep_last: int = 3) -> list[str]:
+    """Retention for published state snapshots — S12's retention rule
+    applied to index-state backups: keep the newest ``keep_last``
+    COMMITTED snapshots under ``parent_dir`` (ordered by their
+    manifests' created_at), delete the rest. Debris is swept with the
+    store's age-gate discipline: a manifest-less directory is a
+    crashed publish and is removed only once it is older than
+    _STAGE_SWEEP_AGE_S (the rename-to-manifest window of an in-flight
+    publish is tiny, but the single-writer contract plus the age gate
+    make the sweep safe even against a stalled one); ``.stage-*``
+    orphans get the same gate. Returns the deleted paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    committed: list[tuple[float, str]] = []
+    debris: list[str] = []
+    if not os.path.isdir(parent_dir):
+        return []
+    for name in os.listdir(parent_dir):
+        p = os.path.join(parent_dir, name)
+        if not os.path.isdir(p):
+            continue
+        mpath = os.path.join(p, _SNAP_MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                committed.append((json.load(f)["created_at"], p))
+        elif _now() - os.path.getmtime(p) > _STAGE_SWEEP_AGE_S:
+            debris.append(p)
+    committed.sort(reverse=True)
+    doomed = debris + [p for _ts, p in committed[keep_last:]]
+    for p in doomed:
+        shutil.rmtree(p, ignore_errors=True)
+    return sorted(doomed)
