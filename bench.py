@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "streaming_weighted_reservoir",
+    "streaming_heavy_hitters",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Streaming Misra-Gries summary (streaming/heavy_hitters.py): the
+maintained counters must satisfy the MG error contract against EXACT
+corpus counts — est <= true <= est + total_offset for stored tokens,
+true <= total_offset for dropped ones (deterministic coverage) — with
+state bounded by k rows after every batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from worker_spark.streaming.heavy_hitters import (
+    StreamingHeavyHitters,
+    batch_token_counts,
+)
+
+
+def test_mg_error_and_coverage_guarantees(spark, tmp_path):
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    # the Zipf v2 corpus: vocabulary >> k, so the summary genuinely
+    # decays (the v1 fixture's ~31 tokens never trigger a subtraction)
+    docs = (
+        documents_v2(spark, SF_ORACLE)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "mg"), k=32)
+    for residue in range(3):
+        hh.apply_batch(docs.filter(F.col("doc_id") % 3 == residue))
+        assert hh.counters().count() <= 32  # bounded after EVERY batch
+
+    est = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
+    offset = hh.total_offset()
+    assert offset > 0  # the corpus vocabulary exceeds k, so MG decayed
+    true = {
+        r["token"]: r["est_cnt"]
+        for r in batch_token_counts(docs).collect()
+    }
+    for tok, e in est.items():
+        assert e <= true[tok] <= e + offset, (tok, e, true[tok], offset)
+    # deterministic coverage: anything above the offset MUST be stored
+    for tok, t in true.items():
+        if t > offset:
+            assert tok in est, (tok, t, offset)
+
+
+def test_mg_merge_matches_single_shot_when_vocab_fits(spark, tmp_path):
+    """With vocabulary <= k no subtraction ever fires: the maintained
+    summary is EXACT counts and the offset stays zero regardless of how
+    the stream was batched."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma"[: 5 + (i % 3) * 5]) for i in range(30)],
+        "doc_id long, text string",
+    )
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "mg"), k=32)
+    hh.apply_batch(docs.filter(F.col("doc_id") < 10))
+    hh.apply_batch(docs.filter(F.col("doc_id") >= 10))
+    assert hh.total_offset() == 0
+    est = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
+    true = {
+        r["token"]: r["est_cnt"] for r in batch_token_counts(docs).collect()
+    }
+    assert est == true

@@ -1407,3 +1407,98 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _mg_heavy_hitters_oracle() -> str:
+    """The Misra-Gries fold replayed stage by stage: the maintained
+    summary is deterministic (exact integer counts; the (k+1)-th value
+    taken under the total order cnt DESC, token ASC — engines agree
+    bit-for-bit), so the oracle chains one merge/offset/subtract CTE
+    block per feed batch. Built by a loop so the per-stage SQL exists
+    once. Runs over the Zipf documents_v2 corpus: the v1 fixture's
+    ~31-token vocabulary never exceeds k, so MG would degenerate to
+    exact counting there — no decay, nothing summarized."""
+    from worker_spark.sources.synth_corpus import documents_v2_sql
+    from worker_spark.streaming.heavy_hitters import MG_K
+
+    stages = [documents_v2_sql("docs2")]
+    prev = None
+    for i in range(3):
+        stages.append(f"""t{i} AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM docs2 WHERE doc_id % 3 = {i} AND length(trim(text)) > 0
+        ) u WHERE length(token) > 0 GROUP BY token
+    )""")
+        if prev is None:
+            stages.append(f"m{i} AS (SELECT token, cnt FROM t{i})")
+        else:
+            stages.append(f"""m{i} AS (
+        SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+            SELECT token, cnt FROM {prev}
+            UNION ALL SELECT token, cnt FROM t{i}
+        ) z GROUP BY token
+    )""")
+        stages.append(
+            f"o{i} AS (SELECT coalesce((SELECT cnt FROM m{i} "
+            f"ORDER BY cnt DESC, token ASC LIMIT 1 OFFSET {MG_K}), 0) AS off)"
+        )
+        stages.append(
+            f"s{i} AS (SELECT token, CAST(cnt - off AS BIGINT) AS cnt "
+            f"FROM m{i}, o{i} WHERE cnt - off > 0)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + f"\n    SELECT token, cnt AS est_cnt FROM {prev}"
+    )
+
+
+@register(
+    "streaming_heavy_hitters",
+    _mg_heavy_hitters_oracle(),
+    doc="Deterministic heavy-hitter summary as MAINTAINED O(k) state: "
+    "Misra-Gries under the PODS'12 mergeable-summaries merge rule — "
+    "per trigger, exact batch token counts merge into the stored "
+    "counters, the (k+1)-th largest combined count is subtracted from "
+    "every key and non-positive remainders drop, so the state is "
+    "bounded by k rows with the accumulated offset as the error "
+    "radius (est <= true <= est + offset; anything above the offset "
+    "is GUARANTEED present — the deterministic coverage the CMS "
+    "sketch row cannot give). The fold is deterministic in both "
+    "engines, so the oracle replays it as three chained CTE stages. "
+    "Append-only by construction (documented): replacing a document "
+    "would need evicted history; corrections are a rebuild.",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.heavy_hitters import (
+        StreamingHeavyHitters,
+        heavy_hitter_maintenance_stream,
+    )
+
+    from worker_spark.sources.synth_corpus import documents_v2
+
+    docs = documents_v2(spark, sf_dir).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    feed = tempfile.mkdtemp(prefix="mg_feed_")
+    ckpt = tempfile.mkdtemp(prefix="mg_ckpt_")
+    state = tempfile.mkdtemp(prefix="mg_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        hh = StreamingHeavyHitters(spark, state)
+        q = heavy_hitter_maintenance_stream(spark, feed, hh, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_heavy_hitters: availableNow drain exceeded 300s"
+            )
+        return hh.counters().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

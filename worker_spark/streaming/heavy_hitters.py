@@ -1,0 +1,181 @@
+"""Incrementally-maintained Misra-Gries heavy-hitter summary: the
+DETERMINISTIC mergeable frequency companion to the probabilistic CMS
+sketch family (operators/sketches.py) — the eighth maintained structure
+on the shared state store, and like the reservoir, one whose streaming
+form is the original algorithm (Misra & Gries 1982).
+
+Merge rule (Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable
+Summaries", PODS 2012, public): combine two summaries by summing
+counts per key, then subtract the (k+1)-th LARGEST combined count from
+every key and drop the non-positive remainder. At most k keys can
+exceed the (k+1)-th largest value, so the state is bounded by k rows
+after every batch; the subtracted offsets accumulate into the standard
+MG error bound:
+
+    est(x) <= true(x) <= est(x) + total_offset        for stored x
+    true(x) <= total_offset                           for dropped x
+
+so every token with true count above the accumulated offset is
+GUARANTEED present — the deterministic coverage CMS cannot give
+(test-pinned against exact counts).
+
+Scale shape: each batch costs one bounded groupBy (batch vocabulary),
+a merge with <= k state rows, one (k+1)-th-value lookup (a k-row
+TakeOrdered — the offset scalar is the only driver value), and an O(k)
+state write (the reservoir's full-replace argument verbatim: the table
+IS O(k), so whole-table replace is the touched-bucket optimum). The
+corpus never accumulates anywhere.
+
+Determinism (what lets one SQL oracle replay the maintained state):
+counts are exact integers, and the (k+1)-th value is taken under the
+total order (cnt DESC, token ASC) — both engines agree bit-for-bit, so
+the registered row's oracle replays the same per-batch fold as three
+chained CTE stages. Deletions/updates are NOT supported — an MG
+summary is append-only by construction (subtracting a replaced
+document's counts would need the evicted history); re-deciding a
+corrected corpus is a rebuild, documented rather than faked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from worker_spark.plans.bucketed_state import BucketedParquetStateStore
+
+MG_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("est_cnt", T.LongType(), False),
+    ]
+)
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("meta_id", T.LongType(), False),
+        T.StructField("total_offset", T.LongType(), False),
+    ]
+)
+
+MG_K = 32
+
+
+def batch_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt): exact lowercased whitespace-token counts of one
+    batch — the same tokenization as the CMS heavy-hitter row so the
+    two summaries are comparable over one corpus."""
+    from worker_spark.operators.text import tokens
+
+    return (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("est_cnt"))
+    )
+
+
+class StreamingHeavyHitters:
+    """Misra-Gries summary maintained per micro-batch: bounded k-row
+    state, deterministic estimates with the accumulated-offset bound."""
+
+    TABLE = "counters"
+    META = "mg_meta"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        k: int = MG_K,
+        n_buckets: int = 4,
+    ):
+        self.spark = spark
+        self.k = k
+        self.store = BucketedParquetStateStore(spark, root, n_buckets)
+
+    def apply_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        text_col: str = "text",
+    ) -> None:
+        """The foreachBatch body: exact batch counts (a batch is itself
+        an error-free summary), merge with the stored counters by
+        summing, subtract the (k+1)-th largest combined count, drop the
+        non-positive rest. NOTE replays are NOT no-ops here (counts are
+        additive) — exactly-once delivery comes from the checkpointed
+        file source, the contract every counting aggregation in the
+        repo's streaming layer already relies on."""
+        counts = batch_token_counts(docs, text_col=text_col)
+        merged = (
+            self.counters()
+            .unionByName(counts)
+            .groupBy("token")
+            .agg(F.sum("est_cnt").alias("est_cnt"))
+            .localCheckpoint(eager=True)
+        )
+        kth = (
+            merged.orderBy(F.desc("est_cnt"), F.asc("token"))
+            .offset(self.k)
+            .limit(1)
+            .collect()
+        )
+        offset = kth[0]["est_cnt"] if kth else 0
+        new_state = merged.select(
+            "token", (F.col("est_cnt") - F.lit(offset)).alias("est_cnt")
+        ).filter(F.col("est_cnt") > 0)
+        self.store.write(self.TABLE, new_state, keys=["token"])
+        total = self.total_offset() + int(offset)
+        self.store.write(
+            self.META,
+            self.spark.createDataFrame([(0, total)], META_SCHEMA),
+            keys=["meta_id"],
+        )
+
+    def counters(self) -> DataFrame:
+        if not self.store.exists(self.TABLE):
+            return self.spark.createDataFrame([], MG_SCHEMA)
+        return self.store.read(self.TABLE, MG_SCHEMA)
+
+    def total_offset(self) -> int:
+        """The accumulated subtraction — the summary's error radius:
+        any token's true count exceeds its estimate by at most this,
+        and any token NOT stored has true count at most this."""
+        if not self.store.exists(self.META):
+            return 0
+        rows = self.store.read(self.META, META_SCHEMA).collect()
+        return int(rows[0]["total_offset"]) if rows else 0
+
+
+def heavy_hitter_maintenance_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    hh: StreamingHeavyHitters,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Wire a document directory as the change feed — the same
+    foreachBatch shape as the rest of the maintained-structure family."""
+    from worker_spark.streaming.feed import file_feed_stream
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+    return file_feed_stream(
+        spark,
+        docs_dir,
+        lambda batch, bid: hh.apply_batch(batch, batch_id=bid),
+        checkpoint_dir,
+        schema,
+        "mghh",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
