@@ -62,3 +62,22 @@ def test_mg_merge_matches_single_shot_when_vocab_fits(spark, tmp_path):
         r["token"]: r["est_cnt"] for r in batch_token_counts(docs).collect()
     }
     assert est == true
+
+
+def test_mg_replay_is_skipped_by_batch_id_watermark(spark, tmp_path):
+    """Counts are additive, so replays must be fenced: a re-delivered
+    batch_id at or below the watermark is a no-op (the single-bucket
+    swap commits counters + watermark atomically), while a direct call
+    (batch_id None) always applies."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "mg"), k=8)
+    hh.apply_batch(docs, batch_id=0)
+    once = sorted(tuple(r) for r in hh.counters().collect())
+    assert hh.last_batch_id() == 0
+    hh.apply_batch(docs, batch_id=0)  # replay: skipped
+    assert sorted(tuple(r) for r in hh.counters().collect()) == once
+    hh.apply_batch(docs, batch_id=1)  # genuinely new batch: applies
+    twice = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
+    assert twice["alpha"] == 20

@@ -34,6 +34,18 @@ chained CTE stages. Deletions/updates are NOT supported — an MG
 summary is append-only by construction (subtracting a replaced
 document's counts would need the evicted history); re-deciding a
 corrected corpus is a rebuild, documented rather than faked.
+
+Exactly-once under replays: counts are ADDITIVE, so unlike the rest of
+the family a re-applied batch is NOT naturally a no-op. The whole
+summary therefore lives in ONE single-bucket table whose rows carry
+the applied batch_id and the accumulated offset alongside the
+counters: one bucket swap (the store's atomic unit — tmp/old rename
+discipline, healed by recovery) commits counters, offset and the
+batch_id watermark TOGETHER, and apply_batch skips any batch_id at or
+below the watermark. A crash mid-apply replays into either the full
+old state (guard says re-apply) or the full new state (guard says
+skip) — never a double count. Single-bucket is also simply the right
+layout: the state is O(k) rows by construction.
 """
 
 from __future__ import annotations
@@ -45,16 +57,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from worker_spark.plans.bucketed_state import BucketedParquetStateStore
 
+# one row per stored counter; total_offset and batch_id are the same
+# scalar repeated on every row (k <= 32 rows — the duplication buys a
+# SINGLE-table, single-swap atomic commit of counters + watermark)
 MG_SCHEMA = T.StructType(
     [
         T.StructField("token", T.StringType(), False),
         T.StructField("est_cnt", T.LongType(), False),
-    ]
-)
-META_SCHEMA = T.StructType(
-    [
-        T.StructField("meta_id", T.LongType(), False),
         T.StructField("total_offset", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -81,19 +92,19 @@ class StreamingHeavyHitters:
     """Misra-Gries summary maintained per micro-batch: bounded k-row
     state, deterministic estimates with the accumulated-offset bound."""
 
-    TABLE = "counters"
-    META = "mg_meta"
+    TABLE = "summary"
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         k: int = MG_K,
-        n_buckets: int = 4,
     ):
         self.spark = spark
         self.k = k
-        self.store = BucketedParquetStateStore(spark, root, n_buckets)
+        # ONE bucket: the state is O(k) rows, and the single-bucket swap
+        # is what makes each apply an atomic commit (module docstring)
+        self.store = BucketedParquetStateStore(spark, root, n_buckets=1)
 
     def apply_batch(
         self,
@@ -104,10 +115,12 @@ class StreamingHeavyHitters:
         """The foreachBatch body: exact batch counts (a batch is itself
         an error-free summary), merge with the stored counters by
         summing, subtract the (k+1)-th largest combined count, drop the
-        non-positive rest. NOTE replays are NOT no-ops here (counts are
-        additive) — exactly-once delivery comes from the checkpointed
-        file source, the contract every counting aggregation in the
-        repo's streaming layer already relies on."""
+        non-positive rest, commit counters + offset + batch_id in ONE
+        single-bucket swap. A batch_id at or below the stored watermark
+        is a replay and is skipped — exactly-once without relying on
+        downstream idempotence (counts are additive)."""
+        if batch_id is not None and batch_id <= self.last_batch_id():
+            return
         counts = batch_token_counts(docs, text_col=text_col)
         merged = (
             self.counters()
@@ -123,30 +136,44 @@ class StreamingHeavyHitters:
             .collect()
         )
         offset = kth[0]["est_cnt"] if kth else 0
-        new_state = merged.select(
-            "token", (F.col("est_cnt") - F.lit(offset)).alias("est_cnt")
-        ).filter(F.col("est_cnt") > 0)
-        self.store.write(self.TABLE, new_state, keys=["token"])
         total = self.total_offset() + int(offset)
-        self.store.write(
-            self.META,
-            self.spark.createDataFrame([(0, total)], META_SCHEMA),
-            keys=["meta_id"],
+        bid = -1 if batch_id is None else int(batch_id)
+        new_state = (
+            merged.select(
+                "token", (F.col("est_cnt") - F.lit(offset)).alias("est_cnt")
+            )
+            .filter(F.col("est_cnt") > 0)
+            .select(
+                "token",
+                "est_cnt",
+                F.lit(total).cast("long").alias("total_offset"),
+                F.lit(bid).cast("long").alias("batch_id"),
+            )
         )
+        self.store.write(self.TABLE, new_state, keys=["token"])
 
-    def counters(self) -> DataFrame:
+    def _summary(self) -> DataFrame:
         if not self.store.exists(self.TABLE):
             return self.spark.createDataFrame([], MG_SCHEMA)
         return self.store.read(self.TABLE, MG_SCHEMA)
+
+    def counters(self) -> DataFrame:
+        return self._summary().select("token", "est_cnt")
+
+    def _scalar(self, col: str, default: int) -> int:
+        rows = self._summary().select(col).limit(1).collect()
+        return int(rows[0][col]) if rows else default
 
     def total_offset(self) -> int:
         """The accumulated subtraction — the summary's error radius:
         any token's true count exceeds its estimate by at most this,
         and any token NOT stored has true count at most this."""
-        if not self.store.exists(self.META):
-            return 0
-        rows = self.store.read(self.META, META_SCHEMA).collect()
-        return int(rows[0]["total_offset"]) if rows else 0
+        return self._scalar("total_offset", 0)
+
+    def last_batch_id(self) -> int:
+        """The replay watermark: the highest batch_id committed into
+        the summary (-1 before the first batch / for direct calls)."""
+        return self._scalar("batch_id", -1)
 
 
 def heavy_hitter_maintenance_stream(
