@@ -651,3 +651,43 @@ def test_recluster_carries_codebook_and_adc_serving(spark, tmp_path):
         pq_adc_topk(emb, k=5, codebook_stride=40, query_stride=60)
     )
     assert got == want
+
+
+def test_recluster_advice_flags_corpus_outgrowing_its_codebook(
+    spark, tmp_path
+):
+    """The drift monitor: right-sized at creation -> no advice; the
+    corpus grows past the K ~ sqrt(N) rule by the drift ratio -> a
+    retrain is advised; the auto recluster restores the rule and
+    clears the advice."""
+    from worker_spark.operators.similarity import auto_centroid_stride
+
+    emb = _emb(spark).localCheckpoint(eager=True)  # 500 vectors at sf0.01
+    small = emb.limit(100).localCheckpoint(eager=True)
+    # right-sized for N=100 under the rule (stride floor 100 -> K=1)
+    idx = IncrementalVectorIndex(
+        spark,
+        str(tmp_path / "v"),
+        centroids=small.limit(1),
+        n_buckets=8,
+    )
+    idx.apply_batch(small)
+    a0 = idx.recluster_advice()
+    assert not a0["needs_recluster"], a0
+    assert a0["n_vectors"] == 100 and a0["k"] == 1
+
+    # the corpus grows 5x while K stays pinned
+    idx.apply_batch(emb)
+    a1 = idx.recluster_advice()
+    assert a1["n_vectors"] == 500
+    assert a1["k"] == 1  # pinned
+    assert a1["want_k"] > a1["k"] and a1["needs_recluster"], a1
+    assert a1["max_cell"] >= a1["mean_cell"] > 0
+
+    # the auto retrain restores the sizing rule and clears the advice
+    new_idx = idx.recluster(str(tmp_path / "v2"))
+    a2 = new_idx.recluster_advice()
+    assert not a2["needs_recluster"], a2
+    stride = auto_centroid_stride(a2["n_vectors"])
+    assert a2["k"] == new_idx.centroids().count()
+    assert abs(a2["k"] - a2["n_vectors"] / stride) <= a2["n_vectors"] / stride

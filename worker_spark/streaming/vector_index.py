@@ -435,6 +435,48 @@ class IncrementalVectorIndex:
         new_index.apply_batch(vectors)
         return new_index
 
+    def cell_stats(self) -> DataFrame:
+        """(cell_id, n_vectors): the IVF list-length profile from
+        maintained state — one bounded agg on the bucket key (K rows),
+        no corpus scan. The monitoring table behind recluster_advice
+        and the input a cell-balance dashboard would chart."""
+        return self.cells().groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_vectors")
+        )
+
+    def recluster_advice(self, drift_ratio: float = 4.0) -> dict:
+        """The drift monitor production IVF serving polls to decide
+        WHEN to retrain (recluster is the how): compares the pinned
+        centroid count K against the family's K ~ sqrt(N) sizing rule
+        at the CURRENT corpus size. An index created when the corpus
+        was small keeps its pinned K while N grows — probed fraction
+        nprobe/K stops shrinking and per-cell scan cost grows linearly
+        — until K drifts a factor of ``drift_ratio`` from the rule (in
+        either direction: over-clustering starves cells below the
+        min-cell floor) and a retrain is advised. Cell-size skew
+        (max/mean list length) is reported alongside as the secondary
+        signal. Cost: two counts + one K-row agg — cheap enough to run
+        per maintenance tick."""
+        from worker_spark.operators.similarity import auto_centroid_stride
+
+        n = self.cells().count()
+        k = max(1, self.centroids().count())
+        want_k = max(1, round(n / auto_centroid_stride(n))) if n else 1
+        drift = max(want_k / k, k / want_k)
+        sizes = [r["n_vectors"] for r in self.cell_stats().collect()]
+        mean_cell = (sum(sizes) / len(sizes)) if sizes else 0.0
+        max_cell = max(sizes) if sizes else 0
+        return {
+            "n_vectors": n,
+            "k": k,
+            "want_k": want_k,
+            "k_drift": round(drift, 3),
+            "max_cell": max_cell,
+            "mean_cell": round(mean_cell, 3),
+            "cell_skew": round(max_cell / mean_cell, 3) if mean_cell else 0.0,
+            "needs_recluster": drift >= drift_ratio,
+        }
+
     def fsck(self) -> dict[str, int]:
         """Index-level consistency check (after surgery/migration):
         placement for every table including the pinned sets, then the
