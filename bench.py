@@ -145,6 +145,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "streaming_weighted_reservoir",
     "streaming_heavy_hitters",
+    "streaming_stratified_reservoir",
 ]
 
 

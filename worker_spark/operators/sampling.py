@@ -469,3 +469,44 @@ def mixture_interleave(
             "doc_id", "stratum", "k", F.round("_vt", 10).alias("vtime")
         )
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    k: int,
+    salt_col: Column | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group top-k WITHOUT a hot-key window: a single
+    Window.partitionBy(group) puts every row of a group in one task —
+    the Zipf-skew straggler the ngram-novelty de-weak removed — so the
+    reduction runs in two balanced stages instead. Stage 1 ranks within
+    (group, salt) where the salt is a deterministic row hash spread
+    over ``salt_buckets`` partitions, keeping a local k per salted
+    group; stage 2 ranks the surviving <= salt_buckets*k rows per group
+    — tiny by construction. Every true top-k row survives stage 1 (it
+    is top-k within its own salt a fortiori), so the two-stage result
+    is exact. Deterministic end to end: the salt is a pure function of
+    the row, and ``order_cols`` must already be a total order (the
+    family convention: rank expression, then id)."""
+    from pyspark.sql import Window
+
+    if salt_col is None:
+        salt_col = F.col("doc_id")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_rn2")
+    )

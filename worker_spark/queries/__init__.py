@@ -113,8 +113,10 @@ _DRIVER_WINDOW = [
     "doc_weighted_reservoir",
     # (a6) Changed/new mid-round-11 continuation: the Misra-Gries
     # heavy-hitter summary as maintained O(k) state (the deterministic
-    # mergeable-frequency companion to the CMS sketch rows).
+    # mergeable-frequency companion to the CMS sketch rows) and the
+    # per-stratum reservoir (salted grouped top-k, no hot-key window).
     "streaming_heavy_hitters",
+    "streaming_stratified_reservoir",
     # (b) The r8-green block (driver row r8, unchanged since — the
     # oldest class). The continuation leads above displaced its bottom
     # seven (doc_tfidf_topk .. multimodal_features, doc_fingerprint_
@@ -137,13 +139,13 @@ _DRIVER_WINDOW = [
     "article_search_documents",
     "doc_build_scale",
     "dedup_edit_distance",
-    "dedup_simhash",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r8-green rows displaced by the mid-round leads (IVF recluster +
     # curation index) lead the r12 fill with the rows deferred at
     # rotation time.
+    "dedup_simhash",
     "dedup_incremental",
     "doc_quality_filter",
     "doc_lang_id",

@@ -1502,3 +1502,90 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _strat_reservoir_oracle() -> str:
+    # per-stratum top-k is associative PER STRATUM over the union
+    # corpus, and the A-ES key is the same pure per-row expression the
+    # flat reservoir pins — so the maintained per-stratum reservoirs
+    # equal the batch per-stratum top-k exactly.
+    from worker_spark.operators import sampling as S
+
+    return f"""
+    WITH scored AS (
+        SELECT lang AS stratum, doc_id,
+               CAST(length(text) AS BIGINT) AS weight,
+               CAST(round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) + 1.0) * {S.AES_MICRO}) AS BIGINT)
+                   - {S.AES_LN_2POW32_MICROS} AS aes_key_micros
+        FROM documents
+        WHERE length(text) > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY stratum
+                   ORDER BY CAST(aes_key_micros AS DOUBLE)
+                            / CAST(weight AS DOUBLE) DESC,
+                            doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT stratum, doc_id, weight, aes_key_micros
+    FROM ranked WHERE rn <= 20
+    """
+
+
+@register(
+    "streaming_stratified_reservoir",
+    _strat_reservoir_oracle(),
+    doc="Per-stratum continuous ppswor sampling as maintained state: an "
+    "independent k-row A-ES reservoir PER language stratum (the "
+    "per-source caps a mixture pipeline maintains), kept current per "
+    "trigger — including a weight-growing stale-draft correction — "
+    "with O(k x strata) state. The per-group top-k runs as a SALTED "
+    "two-stage reduction (sampling.grouped_topk) instead of a "
+    "Window over the stratum key, so a mega-stratum batch cannot "
+    "funnel into one task (the hot-key hazard the ngram-novelty "
+    "de-weak removed, pre-empted here). Hash-checked against the "
+    "per-stratum batch top-k oracle: maintained equals batch exactly.",
+)
+def q_streaming_stratified_reservoir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from worker_spark.streaming.reservoir import (
+        StreamingStratifiedReservoir,
+        stratified_reservoir_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("lang").alias("stratum")
+    )
+    stale = F.col("doc_id") % 10 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "stratum",
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale)
+    feed = tempfile.mkdtemp(prefix="sresv_feed_")
+    ckpt = tempfile.mkdtemp(prefix="sresv_ckpt_")
+    state = tempfile.mkdtemp(prefix="sresv_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        res = StreamingStratifiedReservoir(spark, state, k=20)
+        q = stratified_reservoir_maintenance_stream(spark, feed, res, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_stratified_reservoir: availableNow drain "
+                "exceeded 300s"
+            )
+        return res.reservoirs().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

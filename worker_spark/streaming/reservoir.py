@@ -148,3 +148,130 @@ def reservoir_maintenance_stream(
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
     )
+
+
+STRAT_RESERVOIR_SCHEMA = T.StructType(
+    [
+        T.StructField("stratum", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("weight", T.LongType(), False),
+        T.StructField("aes_key_micros", T.LongType(), False),
+    ]
+)
+
+
+class StreamingStratifiedReservoir:
+    """Per-stratum A-ES reservoir: continuous ppswor sampling with an
+    independent k-row reservoir PER STRATUM (the per-source caps a
+    mixture pipeline maintains) — O(k x strata) state on the flat
+    reservoir's core and convergence argument (the key is a pure
+    per-row expression; per-stratum top-k is associative per stratum).
+
+    Scale note: the per-group top-k deliberately avoids a
+    Window.partitionBy(stratum) over the raw batch — a mega-stratum
+    would funnel into one task (the hot-key hazard quota_sample's
+    docstring warns about). sampling.grouped_topk runs the reduction in
+    two balanced stages (salted local top-k, then top-k over the
+    <= salts*k survivors), exact by construction."""
+
+    TABLE = "strat_reservoir"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        k: int = 20,
+        n_buckets: int = 4,
+    ):
+        self.spark = spark
+        self.k = k
+        self.store = BucketedParquetStateStore(spark, root, n_buckets)
+
+    def apply_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        strat_col: str = "stratum",
+    ) -> None:
+        """Score the batch with the exact shared A-ES key, carry each
+        row's stratum through, merge with the current reservoirs
+        (re-arriving ids drop their old entry first — a document that
+        CHANGES stratum moves reservoirs) and keep k per stratum.
+        Replays are no-ops (the flat reservoir's argument per
+        stratum)."""
+        from worker_spark.operators.sampling import grouped_topk
+        from worker_spark.streaming.feed import last_wins
+
+        batch = last_wins(
+            docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.col(strat_col).cast("string").alias("stratum"),
+            ),
+            ["doc_id"],
+        )
+        scored = (
+            aes_scored(batch.select("doc_id", "text"))
+            .join(batch.select("doc_id", "stratum"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        batch_ids = (
+            docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        state = self.reservoirs().join(batch_ids, "doc_id", "left_anti")
+        merged = state.withColumn(
+            "_r",
+            F.col("aes_key_micros").cast("double")
+            / F.col("weight").cast("double"),
+        ).unionByName(scored.select("stratum", "doc_id", "weight",
+                                    "aes_key_micros", "_r"))
+        top = grouped_topk(
+            merged,
+            "stratum",
+            [F.desc("_r"), F.asc("doc_id")],
+            self.k,
+        ).select("stratum", "doc_id", "weight", "aes_key_micros")
+        # full replace: state is O(k x strata) rows by construction
+        self.store.write(self.TABLE, top, keys=["doc_id"])
+
+    def reservoirs(self) -> DataFrame:
+        if not self.store.exists(self.TABLE):
+            return self.spark.createDataFrame([], STRAT_RESERVOIR_SCHEMA)
+        return self.store.read(self.TABLE, STRAT_RESERVOIR_SCHEMA)
+
+
+def stratified_reservoir_maintenance_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    res: StreamingStratifiedReservoir,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Wire a document directory as the change feed — the family's
+    foreachBatch shape, with the stratum column along for the ride."""
+    from worker_spark.streaming.feed import file_feed_stream
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("stratum", T.StringType(), True),
+            ]
+        )
+    return file_feed_stream(
+        spark,
+        docs_dir,
+        lambda batch, bid: res.apply_batch(batch, batch_id=bid),
+        checkpoint_dir,
+        schema,
+        "sresv",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
