@@ -81,3 +81,55 @@ def test_mg_replay_is_skipped_by_batch_id_watermark(spark, tmp_path):
     hh.apply_batch(docs, batch_id=1)  # genuinely new batch: applies
     twice = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
     assert twice["alpha"] == 20
+
+
+def test_mg_scalars_survive_an_all_counters_dropped_merge(spark, tmp_path):
+    """Ties at the (k+1)-th combined count can drop EVERY counter; the
+    sentinel row must still carry the offset and watermark forward (the
+    denormalized-onto-counters design silently erased both here —
+    review finding)."""
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "mg"), k=2)
+    hh.apply_batch(
+        spark.createDataFrame([(0, "a a a a a")], "doc_id long, text string"),
+        batch_id=0,
+    )
+    assert hh.total_offset() == 0 and hh.last_batch_id() == 0
+    # three NEW tokens x5 each: merged = {a:5,b:5,c:5}, (k+1)-th = 5,
+    # everything drops
+    hh.apply_batch(
+        spark.createDataFrame(
+            [(1, "b b b b b c c c c c")], "doc_id long, text string"
+        ),
+        batch_id=1,
+    )
+    assert hh.counters().count() == 0
+    assert hh.total_offset() == 5  # the bound still holds: true(x)=5 <= 5
+    assert hh.last_batch_id() == 1  # the replay fence survives too
+    hh.apply_batch(
+        spark.createDataFrame([(2, "d d")], "doc_id long, text string"),
+        batch_id=2,
+    )
+    est = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
+    assert est == {"d": 2} and hh.total_offset() == 5
+
+
+def test_mg_direct_call_keeps_watermark_and_lineage_mismatch_raises(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, "x y z")], "doc_id long, text string"
+    )
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "mg"), k=8)
+    hh.apply_batch(docs, batch_id=3)
+    assert hh.last_batch_id() == 3
+    # a direct call applies but never REGRESSES the watermark
+    hh.apply_batch(docs)
+    assert hh.last_batch_id() == 3
+    est = {r["token"]: r["est_cnt"] for r in hh.counters().collect()}
+    assert est["x"] == 2  # the direct call genuinely applied
+    # a batch id BELOW the watermark is a fresh-checkpoint wiring
+    # mistake: loud, not a silent skip
+    with _pytest.raises(ValueError, match="below the committed watermark"):
+        hh.apply_batch(docs, batch_id=1)

@@ -681,7 +681,11 @@ def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
     shutil.copytree(
         store.root,
         stage,
-        ignore=shutil.ignore_patterns(".tmp-*", ".old-*", ".stage-*"),
+        # fnmatch is on BASENAMES and the swap artifacts are named
+        # bNNNNN.tmp-*/bNNNNN.old-* (and _atomic_write orphans
+        # _meta.tmp-*), so the patterns need the leading wildcard —
+        # review finding: the dotted forms matched nothing
+        ignore=shutil.ignore_patterns("*.tmp-*", "*.old-*", ".stage-*"),
     )
     n_files, n_bytes = _tree_stats(stage)
     os.rename(stage, snap_path)

@@ -37,15 +37,26 @@ corrected corpus is a rebuild, documented rather than faked.
 
 Exactly-once under replays: counts are ADDITIVE, so unlike the rest of
 the family a re-applied batch is NOT naturally a no-op. The whole
-summary therefore lives in ONE single-bucket table whose rows carry
-the applied batch_id and the accumulated offset alongside the
-counters: one bucket swap (the store's atomic unit — tmp/old rename
-discipline, healed by recovery) commits counters, offset and the
-batch_id watermark TOGETHER, and apply_batch skips any batch_id at or
-below the watermark. A crash mid-apply replays into either the full
-old state (guard says re-apply) or the full new state (guard says
-skip) — never a double count. Single-bucket is also simply the right
-layout: the state is O(k) rows by construction.
+summary therefore lives in ONE single-bucket table — counter rows plus
+a SENTINEL meta row (token = "", unreachable: real tokens are filtered
+non-empty) carrying the accumulated offset and the batch_id
+watermark — so one bucket swap (the store's atomic unit — tmp/old
+rename discipline, healed by recovery) commits counters, offset and
+watermark TOGETHER, and the scalars survive even a merge that drops
+EVERY counter (ties at the (k+1)-th value can empty the summary; the
+review caught the denormalized-onto-counters version silently erasing
+both scalars there). A crash mid-apply replays into either the full
+old state (re-apply) or the full new state (skip) — never a double
+count. Single-bucket is also simply the right layout: the state is
+O(k) rows by construction.
+
+Fencing is per CHECKPOINT LINEAGE: within one checkpoint, foreachBatch
+ids are monotone and only the LAST batch can be re-delivered, so a
+batch_id EQUAL to the watermark is a replay (skipped) while a batch_id
+BELOW it can only mean a fresh checkpoint was wired to an existing
+summary root — batch ids restarted, and silently skipping would lose
+every batch until the counter caught up. That case raises instead:
+rebuild into a fresh root or keep the original checkpoint.
 """
 
 from __future__ import annotations
@@ -57,9 +68,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from worker_spark.plans.bucketed_state import BucketedParquetStateStore
 
-# one row per stored counter; total_offset and batch_id are the same
-# scalar repeated on every row (k <= 32 rows — the duplication buys a
-# SINGLE-table, single-swap atomic commit of counters + watermark)
+# counter rows (token non-empty) + ONE sentinel meta row (token = "")
+# carrying the scalars — a single-table, single-swap atomic commit of
+# counters + offset + watermark that survives an all-counters-dropped
+# merge
 MG_SCHEMA = T.StructType(
     [
         T.StructField("token", T.StringType(), False),
@@ -68,6 +80,7 @@ MG_SCHEMA = T.StructType(
         T.StructField("batch_id", T.LongType(), False),
     ]
 )
+_SENTINEL = ""  # impossible token: batch_token_counts filters length > 0
 
 MG_K = 32
 
@@ -115,16 +128,36 @@ class StreamingHeavyHitters:
         """The foreachBatch body: exact batch counts (a batch is itself
         an error-free summary), merge with the stored counters by
         summing, subtract the (k+1)-th largest combined count, drop the
-        non-positive rest, commit counters + offset + batch_id in ONE
-        single-bucket swap. A batch_id at or below the stored watermark
-        is a replay and is skipped — exactly-once without relying on
-        downstream idempotence (counts are additive)."""
-        if batch_id is not None and batch_id <= self.last_batch_id():
-            return
+        non-positive rest, commit counters + sentinel (offset,
+        watermark) in ONE single-bucket swap. ONE table read per
+        trigger serves the guard, the merge and the offset; a batch_id
+        equal to the watermark is a replay (skipped), below it is a
+        checkpoint-lineage mismatch (raised — silently skipping would
+        lose batches until the fresh checkpoint's counter caught up);
+        a direct call (batch_id None) applies and keeps the watermark
+        where it was (never regresses it)."""
+        summary = self._summary().localCheckpoint(eager=True)
+        meta = summary.filter(F.col("token") == _SENTINEL).collect()
+        watermark = int(meta[0]["batch_id"]) if meta else -1
+        prev_total = int(meta[0]["total_offset"]) if meta else 0
+        if batch_id is not None:
+            if batch_id == watermark:
+                return  # re-delivery of the committed batch
+            if batch_id < watermark:
+                raise ValueError(
+                    f"{self.store.root}: batch_id {batch_id} is below "
+                    f"the committed watermark {watermark} — a fresh "
+                    "checkpoint was wired to an existing summary root "
+                    "(foreachBatch ids restarted); MG state is fenced "
+                    "per checkpoint lineage — rebuild into a fresh "
+                    "root or keep the original checkpoint"
+                )
+        counters = summary.filter(F.col("token") != _SENTINEL).select(
+            "token", "est_cnt"
+        )
         counts = batch_token_counts(docs, text_col=text_col)
         merged = (
-            self.counters()
-            .unionByName(counts)
+            counters.unionByName(counts)
             .groupBy("token")
             .agg(F.sum("est_cnt").alias("est_cnt"))
             .localCheckpoint(eager=True)
@@ -136,20 +169,20 @@ class StreamingHeavyHitters:
             .collect()
         )
         offset = kth[0]["est_cnt"] if kth else 0
-        total = self.total_offset() + int(offset)
-        bid = -1 if batch_id is None else int(batch_id)
-        new_state = (
-            merged.select(
-                "token", (F.col("est_cnt") - F.lit(offset)).alias("est_cnt")
-            )
-            .filter(F.col("est_cnt") > 0)
-            .select(
-                "token",
-                "est_cnt",
-                F.lit(total).cast("long").alias("total_offset"),
-                F.lit(bid).cast("long").alias("batch_id"),
-            )
+        total = prev_total + int(offset)
+        bid = watermark if batch_id is None else int(batch_id)
+        new_counters = merged.select(
+            "token", (F.col("est_cnt") - F.lit(offset)).alias("est_cnt")
+        ).filter(F.col("est_cnt") > 0)
+        sentinel = self.spark.createDataFrame(
+            [(_SENTINEL, 0, total, bid)], MG_SCHEMA
         )
+        new_state = new_counters.select(
+            "token",
+            "est_cnt",
+            F.lit(total).cast("long").alias("total_offset"),
+            F.lit(bid).cast("long").alias("batch_id"),
+        ).unionByName(sentinel)
         self.store.write(self.TABLE, new_state, keys=["token"])
 
     def _summary(self) -> DataFrame:
@@ -158,22 +191,34 @@ class StreamingHeavyHitters:
         return self.store.read(self.TABLE, MG_SCHEMA)
 
     def counters(self) -> DataFrame:
-        return self._summary().select("token", "est_cnt")
+        return (
+            self._summary()
+            .filter(F.col("token") != _SENTINEL)
+            .select("token", "est_cnt")
+        )
 
-    def _scalar(self, col: str, default: int) -> int:
-        rows = self._summary().select(col).limit(1).collect()
+    def _meta(self, col: str, default: int) -> int:
+        rows = (
+            self._summary()
+            .filter(F.col("token") == _SENTINEL)
+            .select(col)
+            .collect()
+        )
         return int(rows[0][col]) if rows else default
 
     def total_offset(self) -> int:
         """The accumulated subtraction — the summary's error radius:
         any token's true count exceeds its estimate by at most this,
-        and any token NOT stored has true count at most this."""
-        return self._scalar("total_offset", 0)
+        and any token NOT stored has true count at most this. Read
+        from the sentinel row, so it survives a merge that drops every
+        counter."""
+        return self._meta("total_offset", 0)
 
     def last_batch_id(self) -> int:
         """The replay watermark: the highest batch_id committed into
-        the summary (-1 before the first batch / for direct calls)."""
-        return self._scalar("batch_id", -1)
+        the summary (-1 before the first batch; direct calls keep it
+        unchanged)."""
+        return self._meta("batch_id", -1)
 
 
 def heavy_hitter_maintenance_stream(

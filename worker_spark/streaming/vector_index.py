@@ -455,15 +455,16 @@ class IncrementalVectorIndex:
         either direction: over-clustering starves cells below the
         min-cell floor) and a retrain is advised. Cell-size skew
         (max/mean list length) is reported alongside as the secondary
-        signal. Cost: two counts + one K-row agg — cheap enough to run
+        signal. Cost: one pass over cells (the K-row profile also
+        yields N as its sum) + a centroid count — cheap enough to run
         per maintenance tick."""
         from worker_spark.operators.similarity import auto_centroid_stride
 
-        n = self.cells().count()
+        sizes = [r["n_vectors"] for r in self.cell_stats().collect()]
+        n = sum(sizes)  # ONE pass over cells serves both n and the profile
         k = max(1, self.centroids().count())
         want_k = max(1, round(n / auto_centroid_stride(n))) if n else 1
         drift = max(want_k / k, k / want_k)
-        sizes = [r["n_vectors"] for r in self.cell_stats().collect()]
         mean_cell = (sum(sizes) / len(sizes)) if sizes else 0.0
         max_cell = max(sizes) if sizes else 0
         return {
