@@ -209,3 +209,68 @@ def test_curation_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q2 = curation_maintenance_stream(spark, feed, reopened, ckpt)
     assert q2.awaitTermination(120)
     assert _rows(reopened.decisions()) == _rows(idx.decide(docs))
+
+
+def test_curation_reason_no_lm_support_branch(spark):
+    """A NULL avg_logp (the LM layer had no row for the doc) resolves
+    to the explicit 'no_lm_support' reject at the LM gate's position —
+    not to a pass-through into the later gates (r11 advice: NULL < x is
+    NULL in Spark, so without the branch a no-LM doc would silently
+    fall through to the Gopher gate or 'kept')."""
+    from pyspark.sql import types as ST
+
+    from worker_spark.operators.text import curation_reason
+
+    schema = ST.StructType(
+        [
+            ST.StructField("pred_lang", ST.StringType()),
+            ST.StructField("quality_score", ST.DoubleType()),
+            ST.StructField("type_token_ratio", ST.DoubleType()),
+            ST.StructField("top_bigram_ratio", ST.DoubleType()),
+            ST.StructField("avg_logp", ST.DoubleType()),
+            ST.StructField("passes_gopher", ST.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("en", 0.9, 0.9, 0.01, None, True),  # passes all pre-LM gates
+            ("en", 0.9, 0.9, 0.01, -5.0, True),  # real LM outlier
+            ("en", 0.9, 0.9, 0.01, -4.0, True),  # kept
+        ],
+        schema,
+    )
+    got = [
+        r["r"]
+        for r in df.select(
+            curation_reason("en", 0.6, 0.85, 0.02, -4.7).alias("r")
+        ).collect()
+    ]
+    assert got == ["no_lm_support", "lm_outlier", "kept"]
+
+
+def test_decide_is_total_over_ingested_docs(spark, tmp_path):
+    """decide() emits a decision row for EVERY non-empty ingested doc —
+    including one whose bigrams fall entirely outside the pinned LM's
+    support (r11 advice: the old inner join dropped it from decisions,
+    indistinguishable from 'never ingested')."""
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    idx = IncrementalCurationIndex(
+        spark, str(tmp_path / "c"), lm_train_docs=train, config=_cfg()
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzzz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in idx.decide(docs).collect()}
+    assert sorted(rows) == [1, 2]
+    no_lm = rows[2]
+    assert no_lm["avg_logp"] is None
+    assert no_lm["keep"] is False
+    assert no_lm["reject_reason"] is not None
+
+    # and the maintained table serves it too
+    idx.apply_batch(docs)
+    served = {r["doc_id"] for r in idx.decisions().collect()}
+    assert served == {1, 2}

@@ -75,3 +75,56 @@ def test_out_of_window_queries_are_transitively_unchanged():
         f"regenerated: {changed_inside}. Run "
         "python tools/query_hashes.py --write and commit the result."
     )
+
+
+def test_write_refuses_unrotated_changes(tmp_path, monkeypatch, capsys):
+    """The NOTES.md 'Gotcha' is now enforced, not documented (r11
+    advice): running --write BEFORE rotating the window regenerated the
+    baseline and blinded the guard to the unrotated window. --write
+    must refuse while changed-or-new queries sit outside
+    _DRIVER_WINDOW[:50]; --allow-unrotated is the deliberate escape
+    hatch; rotate-then-write succeeds."""
+    import pytest
+
+    import query_hashes as QH
+
+    window = [f"q{i}" for i in range(60)]  # q50.. are outside the head
+    baseline = {"q1": "aaaa", "q55": "bbbb"}
+    bl_path = tmp_path / "baseline.json"
+    bl_path.write_text(json.dumps(baseline))
+    monkeypatch.setattr(QH, "BASELINE_PATH", str(bl_path))
+
+    # the pure refusal predicate
+    cur = {"q1": "aaaa", "q55": "CHANGED", "q99_new": "cccc"}
+    assert QH.unrotated_changes(cur, baseline, window) == ["q55", "q99_new"]
+    assert QH.unrotated_changes(
+        cur, baseline, ["q55", "q99_new"] + window
+    ) == []
+
+    # main --write: the write-then-rotate order is refused, baseline
+    # untouched (the gotcha replayed, now failing loudly)
+    monkeypatch.setattr(QH, "compute_hashes", lambda: cur)
+    import worker_spark.queries as WQ
+
+    monkeypatch.setattr(WQ, "_DRIVER_WINDOW", window)
+    monkeypatch.setattr(sys, "argv", ["query_hashes.py", "--write"])
+    with pytest.raises(SystemExit) as ei:
+        QH.main()
+    assert ei.value.code == 2
+    assert json.loads(bl_path.read_text()) == baseline
+    out = json.loads(capsys.readouterr().out)
+    assert out["unrotated"] == ["q55", "q99_new"]
+
+    # --allow-unrotated: the deliberate re-baseline escape hatch
+    monkeypatch.setattr(
+        sys, "argv", ["query_hashes.py", "--write", "--allow-unrotated"]
+    )
+    QH.main()
+    assert json.loads(bl_path.read_text()) == cur
+
+    # rotate-then-write: changed queries lead the window -> write OK
+    bl_path.write_text(json.dumps(baseline))
+    monkeypatch.setattr(WQ, "_DRIVER_WINDOW", ["q55", "q99_new"] + window)
+    monkeypatch.setattr(sys, "argv", ["query_hashes.py", "--write"])
+    QH.main()
+    assert json.loads(bl_path.read_text()) == cur

@@ -332,3 +332,25 @@ def test_multimodal_resize_and_frame_sample_stages(spark):
     assert sum(x["n_frame_bytes"] for x in all_fr) == len(payload)
     for x in all_fr:
         assert bytes(x["frame_payload"]) == payload[x["frame_index"] :: 9]
+
+
+def test_documents_as_media_asserts_ascii_invariant(spark):
+    """The byte/codepoint coupling between the fake codecs and their
+    oracles is enforced at the adapter boundary (r11 advice): non-ASCII
+    text must raise when the payload is materialized, not silently
+    produce features whose width/checksum diverge from the oracle."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, "blåbær", "no", "s", 6)],
+        schema="doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    with _pytest.raises(Exception, match="non-ASCII"):
+        documents_as_media(docs).collect()
+    # ASCII rows still flow through the guard untouched
+    ok = spark.createDataFrame(
+        [(0, "plain", "en", "s", 5)],
+        schema="doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    )
+    (row,) = documents_as_media(ok).collect()
+    assert bytes(row["payload"]) == b"plain" and row["n_bytes"] == 5

@@ -101,9 +101,12 @@ def test_snapshot_and_restore_refusals(spark, tmp_path):
 def test_prune_snapshots_retention_and_debris_sweep(
     spark, tmp_path, monkeypatch
 ):
-    """Keep the newest N committed snapshots; sweep manifest-less
-    crashed publishes only past the age gate (a young one may be a
-    publish in flight)."""
+    """Keep the newest N committed snapshots; sweep crashed publishes
+    (``.stage-*`` dirs — the only debris our own publisher can leave,
+    since the manifest is committed inside the stage before the rename)
+    only past the age gate, and NEVER touch a manifest-less directory
+    that does not match the stage naming: it is not ours (r11 advice —
+    the old sweep rmtree'd any unrecognized dir in the parent)."""
     from worker_spark.plans import bucketed_state as B
 
     docs = _docs(spark).limit(30)
@@ -117,21 +120,63 @@ def test_prune_snapshots_retention_and_debris_sweep(
         clock[0] += 10
         snapshot_state(live.store, str(snaps / f"s{i}"))
 
-    # debris: old manifest-less dir is swept, young one survives
-    old_debris = snaps / "crashed_old"
-    young = snaps / "crashed_young"
+    # debris: old crashed stage is swept, young one survives, and a
+    # FOREIGN manifest-less dir survives regardless of age
+    old_debris = snaps / "s9.stage-deadbeef"
+    young = snaps / "s9.stage-cafef00d"
+    foreign = snaps / "unrelated_backup"
     shutil.copytree(str(snaps / "s0"), str(old_debris))
     shutil.copytree(str(snaps / "s0"), str(young))
+    shutil.copytree(str(snaps / "s0"), str(foreign))
     os.remove(str(old_debris / "_snapshot_manifest"))
     os.remove(str(young / "_snapshot_manifest"))
+    os.remove(str(foreign / "_snapshot_manifest"))
     now = clock[0]
     os.utime(str(old_debris), (now - 7200, now - 7200))
     os.utime(str(young), (now, now))
+    os.utime(str(foreign), (now - 7200, now - 7200))
 
     deleted = B.prune_snapshots(str(snaps), keep_last=2)
     assert str(old_debris) in deleted
     assert str(snaps / "s0") in deleted and str(snaps / "s1") in deleted
     left = sorted(os.listdir(str(snaps)))
-    assert left == ["crashed_young", "s2", "s3"]
+    assert left == ["s2", "s3", "s9.stage-cafef00d", "unrelated_backup"]
     # the survivors still restore
     restore_state(spark, str(snaps / "s3"), str(tmp_path / "r"))
+
+
+def test_snapshot_refuses_concurrent_writer(spark, tmp_path, monkeypatch):
+    """The single-writer contract is enforced, not just documented (r11
+    advice): if any file of the root changes while the copytree runs —
+    here simulated by mutating a bucket file from inside a patched
+    copytree — the publish discards its stage and refuses to commit,
+    leaving no committed snapshot behind."""
+    from worker_spark.plans import bucketed_state as B
+
+    docs = _docs(spark).limit(30)
+    live = IncrementalRetrievalIndex(spark, str(tmp_path / "live"))
+    live.apply_batch(docs)
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(live.store.root, "postings"))
+        for f in fs
+    )
+    real_copytree = shutil.copytree
+
+    def racing_copytree(*args, **kw):
+        # patching shutil.copytree patches its own recursion too —
+        # restore first so only the top-level call races
+        monkeypatch.setattr(B.shutil, "copytree", real_copytree)
+        out = real_copytree(*args, **kw)
+        with open(victim, "ab") as fh:  # the "concurrent MERGE"
+            fh.write(b"\x00")
+        return out
+
+    monkeypatch.setattr(B.shutil, "copytree", racing_copytree)
+    snap = str(tmp_path / "snap")
+    with pytest.raises(RuntimeError, match="changed while the snapshot"):
+        snapshot_state(live.store, snap)
+    assert not os.path.exists(snap)
+    assert not any(
+        ".stage-" in n for n in os.listdir(str(tmp_path))
+    ), "refused publish must not leave its stage behind"

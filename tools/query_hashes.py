@@ -31,6 +31,13 @@ SQL-fragment helpers — is covered.
 Usage:
   python tools/query_hashes.py          # diff current vs baseline
   python tools/query_hashes.py --write  # regenerate the baseline
+
+``--write`` ENFORCES the rotation order (r11 advice — NOTES.md's
+"Gotcha" was a live footgun: regenerating the baseline BEFORE rotating
+the window blinded the guard to the unrotated window). It refuses to
+regenerate while any changed-or-new query sits outside
+``_DRIVER_WINDOW[:50]``; rotate first, write second.
+``--allow-unrotated`` is the escape hatch for a genuine re-baseline.
 """
 
 from __future__ import annotations
@@ -276,9 +283,51 @@ def compute_hashes() -> dict[str, str]:
     return result
 
 
+DRIVER_SLOTS = 50
+
+
+def unrotated_changes(
+    current: dict[str, str],
+    baseline: dict[str, str],
+    window: list[str],
+    slots: int = DRIVER_SLOTS,
+) -> list[str]:
+    """Changed-or-new queries that are NOT inside the driver window's
+    first ``slots`` entries — exactly the set ``--write`` must refuse
+    to bake into a fresh baseline (once written, the guard test can no
+    longer see that they were never rotated in)."""
+    head = set(window[:slots])
+    return sorted(
+        n
+        for n in current
+        if baseline.get(n) != current[n] and n not in head
+    )
+
+
 def main() -> None:
+    from worker_spark.queries import _DRIVER_WINDOW
+
     current = compute_hashes()
     if "--write" in sys.argv:
+        try:
+            with open(BASELINE_PATH) as f:
+                prior = json.load(f)
+        except FileNotFoundError:
+            prior = {}
+        offenders = unrotated_changes(current, prior, _DRIVER_WINDOW)
+        if offenders and "--allow-unrotated" not in sys.argv:
+            print(
+                json.dumps(
+                    {
+                        "refused": "changed-or-new queries sit outside "
+                        f"_DRIVER_WINDOW[:{DRIVER_SLOTS}] — rotate the "
+                        "window first, then --write (or pass "
+                        "--allow-unrotated for a deliberate re-baseline)",
+                        "unrotated": offenders,
+                    }
+                )
+            )
+            sys.exit(2)
         with open(BASELINE_PATH, "w") as f:
             json.dump(current, f, indent=1, sort_keys=True)
         print(f"wrote {len(current)} hashes to {BASELINE_PATH}")

@@ -266,13 +266,40 @@ def sample_frames(
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the driver testdata: documents.text re-cast as opaque
     binary payloads with metadata — the ingest shape a real multimodal
-    table would have (media_type keyed off doc_id for coverage)."""
+    table would have (media_type keyed off doc_id for coverage).
+
+    ASCII invariant, ASSERTED (r11 advice): the fake codec stages
+    operate on UTF-8 BYTES of the payload (a real codec sees bytes)
+    while their DuckDB oracles index CHARACTERS of the source text
+    (strlen / text[i] / unicode) — the two agree only when every
+    character is one byte. The synth corpus is ASCII by construction;
+    this boundary enforces it with a raise_error so a future non-ASCII
+    fixture fails loudly here instead of silently diverging in
+    width/checksum/frame math downstream. octet_length == length is
+    exactly the one-byte-per-codepoint test, no regex needed."""
     mtype = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
-    payload = F.encode(F.col("text"), "UTF-8")
+    ascii_text = F.when(
+        F.octet_length(F.col("text")) == F.length(F.col("text")),
+        F.col("text"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "documents_as_media: non-ASCII text in doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    " — the fake codec oracles assume codepoint==byte; "
+                    "see operators/multimodal.py"
+                ),
+            )
+        )
+    )
+    payload = F.encode(ascii_text, "UTF-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         mtype.alias("media_type"),

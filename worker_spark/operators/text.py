@@ -372,7 +372,15 @@ def curation_reason(
     languages FIRST, then quality / repetition / LM / Gopher, first
     failing gate wins (the FineWeb pipeline order). ONE definition
     shared by the batch curation query and the incremental curation
-    index so the two cannot drift."""
+    index so the two cannot drift.
+
+    The LM layer is the one signal that can be ABSENT for a document
+    (score_bigram_lm scores only over the model's support: a doc too
+    short to carry a bigram, or whose bigrams all fall outside the
+    pinned LM, yields no score row — r11 advice). Callers left-join it
+    and a NULL avg_logp resolves here to an explicit 'no_lm_support'
+    reject at the LM gate's position, so every ingested document gets
+    a decision row instead of silently vanishing from the table."""
     return (
         F.when(
             F.col("pred_lang") != target_lang, F.lit("non_target_lang")
@@ -383,6 +391,7 @@ def curation_reason(
             | (F.col("top_bigram_ratio") > max_tbr),
             F.lit("repetitive"),
         )
+        .when(F.col("avg_logp").isNull(), F.lit("no_lm_support"))
         .when(F.col("avg_logp") < min_logp, F.lit("lm_outlier"))
         .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
         .otherwise(F.lit("kept"))

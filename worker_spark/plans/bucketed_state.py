@@ -662,14 +662,22 @@ def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
     Crash-safe by the usual stage/rename/witness discipline: every
     table is recovered first (a torn swap must never be frozen into a
     backup), the root is copied into ``<snap_path>.stage-*`` with swap
-    artifacts excluded, the stage renames to ``snap_path``, and ONLY
-    then is the manifest written — restore refuses a snapshot without
-    it, so a crash anywhere in between leaves either debris (a .stage
-    dir, swept by the caller) or a manifest-less dir that can never be
-    restored from, never a silently-partial backup. The manifest
-    records file count + total bytes, which restore re-verifies after
-    its own copy. Single-writer contract as everywhere: do not snapshot
-    concurrently with an in-flight MERGE of the same root."""
+    artifacts excluded, the manifest is written INTO the stage, and the
+    stage's rename to ``snap_path`` is the single atomic commit point —
+    a crash anywhere before it leaves only ``.stage-*`` debris (swept by
+    prune_snapshots' age gate), never a committed-looking dir without a
+    manifest, never a silently-partial backup. The manifest records
+    file count + total bytes, which restore re-verifies after its own
+    copy.
+
+    Single-writer contract as everywhere — and ENFORCED here rather
+    than merely documented (r11 advice): the root's full (size, mtime)
+    file witness is captured before the copy and re-compared after it;
+    if any file changed, appeared, or vanished while the copy ran (a
+    MERGE racing the copytree could freeze a cross-table torn state
+    into an internally-consistent-looking backup that the file-count/
+    byte check cannot catch), the stage is discarded and the publish
+    refuses to commit."""
     if os.path.exists(snap_path):
         raise ValueError(
             f"{snap_path}: snapshot target already exists — snapshots "
@@ -677,6 +685,7 @@ def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
         )
     for t in store.tables():
         store._recover(t)
+    witness = tree_bytes(store.root)
     stage = f"{snap_path}.stage-{uuid.uuid4().hex[:8]}"
     shutil.copytree(
         store.root,
@@ -687,8 +696,15 @@ def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
         # review finding: the dotted forms matched nothing
         ignore=shutil.ignore_patterns("*.tmp-*", "*.old-*", ".stage-*"),
     )
+    if tree_bytes(store.root) != witness:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"{store.root}: state changed while the snapshot copy ran "
+            "(a concurrent writer violated the single-writer contract) "
+            "— the stage could be a cross-table torn mixture, refusing "
+            "to commit it as a backup"
+        )
     n_files, n_bytes = _tree_stats(stage)
-    os.rename(stage, snap_path)
     manifest = {
         "n_buckets": store.n_buckets,
         "tables": store.tables(),
@@ -696,9 +712,8 @@ def snapshot_state(store: "BucketedParquetStateStore", snap_path: str) -> dict:
         "n_bytes": n_bytes,
         "created_at": _now(),
     }
-    _atomic_write(
-        os.path.join(snap_path, _SNAP_MANIFEST), json.dumps(manifest)
-    )
+    _atomic_write(os.path.join(stage, _SNAP_MANIFEST), json.dumps(manifest))
+    os.rename(stage, snap_path)
     return manifest
 
 
@@ -751,12 +766,14 @@ def prune_snapshots(parent_dir: str, keep_last: int = 3) -> list[str]:
     applied to index-state backups: keep the newest ``keep_last``
     COMMITTED snapshots under ``parent_dir`` (ordered by their
     manifests' created_at), delete the rest. Debris is swept with the
-    store's age-gate discipline: a manifest-less directory is a
-    crashed publish and is removed only once it is older than
-    _STAGE_SWEEP_AGE_S (the rename-to-manifest window of an in-flight
-    publish is tiny, but the single-writer contract plus the age gate
-    make the sweep safe even against a stalled one); ``.stage-*``
-    orphans get the same gate. Returns the deleted paths."""
+    store's age-gate discipline, and ONLY for directories matching the
+    publisher's own ``.stage-*`` naming (r11 advice): a committed
+    snapshot always carries its manifest (snapshot_state writes it into
+    the stage before the rename, so a crashed publish can only ever
+    leave a ``.stage-*`` dir), which means any other manifest-less
+    directory someone placed under the snapshots parent is NOT ours to
+    judge — it is left untouched rather than destroyed. Returns the
+    deleted paths."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     committed: list[tuple[float, str]] = []
@@ -771,7 +788,10 @@ def prune_snapshots(parent_dir: str, keep_last: int = 3) -> list[str]:
         if os.path.exists(mpath):
             with open(mpath) as f:
                 committed.append((json.load(f)["created_at"], p))
-        elif _now() - os.path.getmtime(p) > _STAGE_SWEEP_AGE_S:
+        elif (
+            ".stage-" in name
+            and _now() - os.path.getmtime(p) > _STAGE_SWEEP_AGE_S
+        ):
             debris.append(p)
     committed.sort(reverse=True)
     doomed = debris + [p for _ts, p in committed[keep_last:]]

@@ -51,100 +51,24 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-11 rotation. ----
-    # (a) Every query transitively CHANGED or NEW this round (verified
-    # by tools/query_hashes.py against the round-10 close): THIRTEEN new
-    # rows — the v2 twins deferred from r10 (token stats + repetition
-    # over documents_v2; exact/jaccard/simhash/minhash lexical dedup
-    # over the PLANTED-duplicate documents_v2_dupes corpus), the
-    # lang-id/quality twins over the language-bearing documents_v2_lang
-    # corpus, the collocations twin over the positional-correlation
-    # documents_v2_colloc corpus (both watch-list skips cleared), the
-    # monolingual curation table doc_curation_decision_v2, and
-    # streaming_exact_index (the fifth maintained index) — plus their
-    # v1 siblings and doc_curation_decision (transitively changed
-    # through the hoisted shared SQL constants / _repetition_frame
-    # refactor) and the four pre-existing streaming-index rows
-    # (r10-advice fixes: feed.last_wins MapType guard, minhash _verify
-    # cache release, clone-target emptiness refusal).
-    "dedup_exact_v2",
-    "dedup_ngram_jaccard_v2",
-    "dedup_cluster_components_v2",
-    "doc_substring_dedup_report_v2",
-    "doc_lang_id_v2",
-    "doc_quality_filter_v2",
-    "token_bigram_collocations_v2",
+    # ---- Round-12 rotation. ----
+    # (a) Every query transitively CHANGED this round (verified by
+    # tools/query_hashes.py against the r11 close): the r11-advice
+    # fixes — the curation family's total-decide/no_lm_support left
+    # join (curation_reason gained the NULL branch, so the batch v1/v2
+    # decisions, the streaming index, and dedup_best_of_cluster all
+    # rehash) and the multimodal ASCII-invariant guard at the
+    # documents_as_media boundary (all three media rows rehash).
     "doc_curation_decision_v2",
-    "streaming_exact_index",
-    "dedup_simhash_v2",
-    "dedup_minhash_lsh_v2",
-    "doc_token_stats_v2",
-    "doc_repetition_scores_v2",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "doc_token_stats",
-    "doc_repetition_scores",
     "doc_curation_decision",
-    "streaming_index_bm25",
-    "streaming_ivf_ann",
-    "streaming_dedup_index",
-    "streaming_minhash_index",
-    # (a') Changed/new mid-round-11 continuation: the IVF centroid
-    # refresh (retrain from maintained state, blue/green migration)
-    # and the two rows sharing its parameterized oracle.
-    "streaming_ivf_recluster",
-    "similarity_ivf_ann",
-    # (a'') Changed/new mid-round-11 continuation: the incremental
-    # CURATION index (sixth maintained index; pinned LM + thresholds)
-    # and the rows transitively changed by the repetition_frame /
-    # bigram_lm_model factoring it shares.
     "streaming_curation_index",
-    "doc_lm_score",
-    "dedup_best_of_cluster",
-    # (a4) Changed/new mid-round-11 continuation: the multimodal
-    # resize + frame-sample stages (the two missing pipeline stages of
-    # the media-column family).
     "multimodal_resize",
     "multimodal_frame_sample",
-    # (a5) Changed/new mid-round-11 continuation: the streaming A-ES
-    # reservoir (bounded-state sampling as a maintained structure) and
-    # its batch sibling sharing the extracted oracle.
-    "streaming_weighted_reservoir",
-    "doc_weighted_reservoir",
-    # (a6) Changed/new mid-round-11 continuation: the Misra-Gries
-    # heavy-hitter summary as maintained O(k) state (the deterministic
-    # mergeable-frequency companion to the CMS sketch rows) and the
-    # per-stratum reservoir (salted grouped top-k, no hot-key window).
-    "streaming_heavy_hitters",
-    "streaming_stratified_reservoir",
-    # (b) The r8-green block (driver row r8, unchanged since — the
-    # oldest class). The continuation leads above displaced its bottom
-    # seven (doc_tfidf_topk .. multimodal_features, doc_fingerprint_
-    # dupes, inline_ref_codes) below the boundary; they lead the r12
-    # fill together with the three rows deferred at rotation time.
-    "doc_hybrid_rrf_topk_v2",
-    "inverted_index_postings_v2",
-    "bloom_incremental_dedup",
-    "contrastive_hard_negatives",
-    "crawl_frontier_schedule",
-    "streaming_cms_window_users",
-    "doc_mixture_interleave",
-    "sync_outbox_tick",
-    "outbox_dashboard",
-    "doc_weighted_sample",
-    "token_bigram_collocations",
-    "doc_substring_dup_spans",
-    "doc_substring_dedup_cut",
-    "search_documents_flat",
-    "article_search_documents",
-    "doc_build_scale",
-    "dedup_edit_distance",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r8-green rows displaced by the mid-round leads (IVF recluster +
-    # curation index) lead the r12 fill with the rows deferred at
-    # rotation time.
+    "multimodal_features",
+    "dedup_best_of_cluster",
+    # (b) The stale r8-green block (VERDICT r12 item 1 — last driver
+    # row r8, re-verified by the r11 parity sweep but 4 rounds without
+    # a DRIVER row; the whole block gets r12 rows).
     "dedup_simhash",
     "dedup_incremental",
     "doc_quality_filter",
@@ -155,7 +79,6 @@ _DRIVER_WINDOW = [
     "benchmark_contamination",
     "pii_redaction",
     "article_analysis",
-    "multimodal_features",
     "doc_length_quantiles",
     "kmv_distinct_users",
     "event_value_percentiles",
@@ -166,8 +89,8 @@ _DRIVER_WINDOW = [
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",
-    # r9-green block (driver row r9, unchanged since; fills r12 after
-    # the deferred r8 rows).
+    # (c) r9-green fill: the oldest remaining class, in its standing
+    # order, up to the 50-slot boundary.
     "doc_tfidf_topk_v2",
     "doc_bm25_topk_v2",
     "doc_bm25f_topk",
@@ -191,6 +114,10 @@ _DRIVER_WINDOW = [
     "event_journey",
     "dedup_minhash_lsh",
     "positional_list_parse",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r9-green remainder (leads the r13 fill).
     "recent_event_stats",
     "code_first_id_wins",
     "name_fallback_resolution",
@@ -210,8 +137,7 @@ _DRIVER_WINDOW = [
     "dedup_embedding_blocked",
     "similarity_graph_ann",
     "graph_nn_descent_stats",
-    # r10-green block (driver row r10, unchanged since — the youngest
-    # class).
+    # r10-green block (driver row r10, unchanged since).
     "doc_ngram_novelty",
     "embedding_cluster_balance",
     "doc_char_entropy_v2",
@@ -256,6 +182,51 @@ _DRIVER_WINDOW = [
     "bloom_membership_audit",
     "semdedup_prune",
     "streaming_hll_window_users",
+    # r11-green block (driver row r11 — the youngest class; fills last).
+    "dedup_exact_v2",
+    "dedup_ngram_jaccard_v2",
+    "dedup_cluster_components_v2",
+    "doc_substring_dedup_report_v2",
+    "doc_lang_id_v2",
+    "doc_quality_filter_v2",
+    "token_bigram_collocations_v2",
+    "streaming_exact_index",
+    "dedup_simhash_v2",
+    "dedup_minhash_lsh_v2",
+    "doc_token_stats_v2",
+    "doc_repetition_scores_v2",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_token_stats",
+    "doc_repetition_scores",
+    "streaming_index_bm25",
+    "streaming_ivf_ann",
+    "streaming_dedup_index",
+    "streaming_minhash_index",
+    "streaming_ivf_recluster",
+    "similarity_ivf_ann",
+    "doc_lm_score",
+    "streaming_weighted_reservoir",
+    "doc_weighted_reservoir",
+    "streaming_heavy_hitters",
+    "streaming_stratified_reservoir",
+    "doc_hybrid_rrf_topk_v2",
+    "inverted_index_postings_v2",
+    "bloom_incremental_dedup",
+    "contrastive_hard_negatives",
+    "crawl_frontier_schedule",
+    "streaming_cms_window_users",
+    "doc_mixture_interleave",
+    "sync_outbox_tick",
+    "outbox_dashboard",
+    "doc_weighted_sample",
+    "token_bigram_collocations",
+    "doc_substring_dup_spans",
+    "doc_substring_dedup_cut",
+    "search_documents_flat",
+    "article_search_documents",
+    "doc_build_scale",
+    "dedup_edit_distance",
 ]
 
 

@@ -793,6 +793,7 @@ def _curation_oracle() -> str:
         WHEN q.quality_score < {CURATION_MIN_QUALITY} THEN 'low_quality'
         WHEN r.type_token_ratio < {CURATION_MIN_TTR}
              OR r.top_bigram_ratio > {CURATION_MAX_TBR} THEN 'repetitive'
+        WHEN m.avg_logp IS NULL THEN 'no_lm_support'
         WHEN m.avg_logp < {CURATION_MIN_LOGP} THEN 'lm_outlier'
         WHEN NOT g.passes_gopher THEN 'gopher_fail'
         ELSE 'kept' END"""
@@ -806,7 +807,7 @@ def _curation_oracle() -> str:
     JOIN ({lang_sql}) l USING (doc_id)
     JOIN ({qual_sql}) q USING (doc_id)
     JOIN ({rep_sql}) r USING (doc_id)
-    JOIN ({lm_sql}) m USING (doc_id)
+    LEFT JOIN ({lm_sql}) m USING (doc_id)
     JOIN ({gopher_sql}) g USING (doc_id)
     """
 
@@ -838,7 +839,7 @@ def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lang, "doc_id")
         .join(qual, "doc_id")
         .join(rep, "doc_id")
-        .join(lm, "doc_id")
+        .join(lm, "doc_id", "left")
         .join(gopher, "doc_id")
     )
     reason = (
@@ -851,6 +852,7 @@ def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("top_bigram_ratio") > CURATION_MAX_TBR),
             F.lit("repetitive"),
         )
+        .when(F.col("avg_logp").isNull(), F.lit("no_lm_support"))
         .when(F.col("avg_logp") < CURATION_MIN_LOGP, F.lit("lm_outlier"))
         .when(~F.col("passes_gopher"), F.lit("gopher_fail"))
         .otherwise(F.lit("kept"))
@@ -903,6 +905,7 @@ def _curation_v2_oracle() -> str:
         WHEN q.quality_score < {CURATION2_MIN_QUALITY} THEN 'low_quality'
         WHEN r.type_token_ratio < {CURATION2_MIN_TTR}
              OR r.top_bigram_ratio > {CURATION2_MAX_TBR} THEN 'repetitive'
+        WHEN m.avg_logp IS NULL THEN 'no_lm_support'
         WHEN m.avg_logp < {CURATION2_MIN_LOGP} THEN 'lm_outlier'
         WHEN NOT g.passes_gopher THEN 'gopher_fail'
         ELSE 'kept' END"""
@@ -915,7 +918,7 @@ def _curation_v2_oracle() -> str:
     FROM ({lang_sql}) l
     JOIN ({qual_sql}) q USING (doc_id)
     JOIN ({rep_sql}) r USING (doc_id)
-    JOIN ({lm_sql}) m USING (doc_id)
+    LEFT JOIN ({lm_sql}) m USING (doc_id)
     JOIN ({gopher_sql}) g USING (doc_id)
     """
 
@@ -949,7 +952,7 @@ def q_doc_curation_decision_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         lang.join(qual, "doc_id")
         .join(rep, "doc_id")
-        .join(lm, "doc_id")
+        .join(lm, "doc_id", "left")
         .join(gopher, "doc_id")
     )
     reason = T.curation_reason(

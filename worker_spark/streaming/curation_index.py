@@ -223,9 +223,13 @@ class IncrementalCurationIndex:
         """The decision chain over any (doc_id, text) frame, scored
         against the PINNED model and thresholds — map-only gates plus
         one broadcast LM join; per-doc layers meet in equi-joins on
-        doc_id (inner, matching the batch composition: a document that
-        yields no layer row — e.g. too short to carry a bigram — gets
-        no decision row)."""
+        doc_id. The LM layer is LEFT-joined (r11 advice): it is the one
+        layer that can miss a document (no bigram, or bigrams entirely
+        outside the pinned LM's support), and an inner join silently
+        dropped such docs from decisions() — indistinguishable from
+        'never ingested' downstream. A NULL avg_logp now resolves to an
+        explicit 'no_lm_support' reject (curation_reason), so decide()
+        is TOTAL over its input: every ingested doc_id gets a row."""
         cfg = self.config
         lang = with_lang_id(docs).select("doc_id", "pred_lang")
         qual = with_quality_score(docs).select("doc_id", "quality_score")
@@ -251,7 +255,7 @@ class IncrementalCurationIndex:
         return (
             lang.join(qual, "doc_id")
             .join(rep, "doc_id")
-            .join(lm, "doc_id")
+            .join(lm, "doc_id", "left")
             .join(gopher, "doc_id")
             .select(
                 "doc_id",
