@@ -111,6 +111,24 @@ def test_ann_recall_floors_and_cost_shape(spark):
     assert hh2["recall_at_k"] >= 0.9
     assert hh2["exact_pairs"] < hb2["exact_pairs"]
 
+    # contrastive hard negatives (r12, VERDICT r11 item 2): the exact
+    # row is the 1.0 anchor; the blocked binary-code scan (the arm the
+    # registered v2 row runs) must clear a production recall floor at a
+    # bounded exact-scan fraction AND decisively beat the IVF probe arm
+    # on this weakly-clustered corpus — the measurement that justified
+    # choosing the code scan over the locality arms (at sf0.01 N=500
+    # the 300 shortlist is ~60% of the corpus; the fraction falls as
+    # 1/N — 15% at sf0.1, see ANN_EVAL.md)
+    cex = rows["contrastive_exact"]
+    ch3 = rows["contrastive_hamming_300"]
+    ch2 = rows["contrastive_hamming_200"]
+    civ = rows["contrastive_ivf_nprobe2"]
+    assert cex["recall_at_k"] == 1.0 and cex["scan_frac"] == 1.0
+    assert ch3["recall_at_k"] >= 0.9
+    assert ch3["recall_at_k"] >= ch2["recall_at_k"]
+    assert ch2["exact_pairs"] < ch3["exact_pairs"] < cex["exact_pairs"]
+    assert ch3["recall_at_k"] > civ["recall_at_k"]
+
     # the table renders (tools/ann_eval.py commits it as ANN_EVAL.md)
     md = markdown_table(list(rows.values()))
     assert md.count("\n") == len(rows) + 1

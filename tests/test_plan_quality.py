@@ -166,6 +166,49 @@ def test_ivf_candidate_generation_is_equi_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contrastive_v2_no_corpus_fraction_broadcast(spark):
+    """The r11 de-weak contract for contrastive_hard_negatives_v2: the
+    anchor side is a corpus FRACTION (N/20) and must never carry a
+    broadcast — the logical plan holds ZERO broadcast hints (static-
+    estimate BroadcastHashJoins at demo SF are fine: hint-free, so at
+    100 TB sizes CBO/AQE plans them as shuffle joins), the coarse code
+    scan is the block EQUI-join with the anti-label predicate inside,
+    and no cartesian / nested-loop shape exists anywhere. Under the
+    scale plan (auto-broadcast off) the per-(anchor, block) shortlist
+    prune must REUSE the coarse join's block partitioning — no exchange
+    between the join and the first WindowGroupLimit."""
+    df = _SPECS["contrastive_hard_negatives_v2"].run(spark, SF_ORACLE)
+    phys = _physical(df)
+    opt = _optimized(df)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "strategy=broadcast" not in opt
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale = _physical(
+            _SPECS["contrastive_hard_negatives_v2"].run(spark, SF_ORACLE)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin [block" in scale or "ShuffledHashJoin [block" in scale
+    assert "BroadcastExchange" not in scale
+    # join -> per-(q_id, block) prune with NO exchange in between: the
+    # segment of the plan between the block join and the first
+    # WindowGroupLimit above it must be exchange-free
+    lines = scale.splitlines()
+    join_i = next(
+        i for i, l in enumerate(lines)
+        if "Join [block" in l or "Join [cast(block" in l
+    )
+    prune_i = max(
+        i for i, l in enumerate(lines)
+        if i < join_i and "WindowGroupLimit" in l and "block" in l
+    )
+    segment = lines[prune_i:join_i]
+    assert not any("Exchange" in l for l in segment), segment
+
+
 def test_ngram_df_cap_anti_join_planned(spark):
     """The stop-shingle cap must plan as a (broadcastable) LeftAnti join,
     not any nested-loop shape."""

@@ -169,7 +169,8 @@ def evaluate_ann(
 
     rows: list[dict] = []
 
-    def record(method, metric, pairs_df, truth, cand_pairs, exact_pairs, secs):
+    def record(method, metric, pairs_df, truth, cand_pairs, exact_pairs,
+               secs, scan_denom=None):
         rows.append(
             {
                 "method": method,
@@ -177,7 +178,7 @@ def evaluate_ann(
                 "recall_at_k": round(_recall(_pairs(pairs_df), truth), 4),
                 "cand_pairs": int(cand_pairs),
                 "exact_pairs": int(exact_pairs),
-                "scan_frac": round(exact_pairs / denom, 4),
+                "scan_frac": round(exact_pairs / (scan_denom or denom), 4),
                 "secs": round(secs, 2),
             }
         )
@@ -497,6 +498,71 @@ def evaluate_ann(
         nq * min(RRF_HAMMING_SHORTLIST, n - 1),
         time.perf_counter() - t0,
     )
+
+    # contrastive hard negatives (r12, VERDICT r11 item 2): truth is the
+    # exact different-label top-3 over the % 20 anchor FRACTION (the
+    # registered small-N baseline row); the scale path mines candidates
+    # from the IVF arm (contrastive_hard_negatives_ann — equi-joins only,
+    # broadcast = bounded centroids). Own denominator: na anchors, not
+    # the harness's nq queries.
+    embl = _lt(spark, sf_dir, "embeddings")
+    anchors = embl.filter(F.col("vec_id") % 20 == 0)
+    na = anchors.count()
+    cdenom = na * (n - 1)
+    qlab = embl.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    clab = embl.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+    )
+    t0 = time.perf_counter()
+    ex = (
+        S.cosine_neighbors(anchors, emb, threshold=-2.0)
+        .join(F.broadcast(qlab), "q_id")
+        .join(clab, "c_id")
+        .filter(F.col("q_label") != F.col("c_label"))
+    )
+    w3 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    ex_top = (
+        ex.withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id")
+    )
+    truth_contrastive = _pairs(ex_top)
+    record(
+        "contrastive_exact", "cosine", ex_top, truth_contrastive, cdenom,
+        cdenom, time.perf_counter() - t0, scan_denom=cdenom,
+    )
+    for cnp in (ivf_nprobe, 2 * ivf_nprobe):
+        t0 = time.perf_counter()
+        civf = S.contrastive_hard_negatives_ann(
+            embl, anchor_mod=20, centroid_every=ivf_centroid_every,
+            nprobe=cnp, k=3,
+        ).select("q_id", "c_id")
+        civf.collect()  # collect BEFORE reading the clock (r6 gotcha)
+        csecs = time.perf_counter() - t0
+        ccand = _ivf_candidate_count(anchors, emb, ivf_centroid_every, cnp)
+        record(
+            f"contrastive_ivf_nprobe{cnp}", "cosine", civf,
+            truth_contrastive, ccand, ccand, csecs, scan_denom=cdenom,
+        )
+    # the blocked binary-code scan (the arm the registered v2 row runs):
+    # cand_pairs = every pair (coarse integer Hamming over 1-bit codes,
+    # the ADC-style code-scan cost class), exact_pairs = na * shortlist
+    # (float re-rank only) — the binary_hamming_refined accounting. On
+    # this weakly-clustered corpus the code scan tracks cosine directly
+    # and beats both locality arms decisively.
+    for csl in (200, 300):
+        t0 = time.perf_counter()
+        chs = S.contrastive_hard_negatives_hamming(
+            embl, anchor_mod=20, shortlist=csl, k=3
+        ).select("q_id", "c_id")
+        chs.collect()  # collect BEFORE reading the clock (r6 gotcha)
+        record(
+            f"contrastive_hamming_{csl}", "cosine", chs,
+            truth_contrastive, cdenom, na * min(csl, n - 1),
+            time.perf_counter() - t0, scan_denom=cdenom,
+        )
 
     emb.unpersist()
     return rows
