@@ -597,6 +597,25 @@ def state_probe() -> None:
     ).localCheckpoint()
     vec_batch = _vec_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.components_index import (
+        IncrementalComponentsIndex,
+    )
+    from worker_spark.streaming.substring_index import (
+        IncrementalSubstringIndex,
+    )
+
+    def _edge_corpus(n: int, id0: int = 0):
+        # pair-feed shape (doc_id, nbr): consecutive ids chained within
+        # blocks of 4 -> n/4 components of size 4, every node announced
+        return spark.range(n).select(
+            (F.col("id") + F.lit(id0)).alias("doc_id"),
+            F.when(
+                F.col("id") % 4 != 3, F.col("id") + F.lit(id0 + 1)
+            ).alias("nbr"),
+        ).localCheckpoint()
+
+    edge_batch = _edge_corpus(20, id0=900_000_000)
+
     from worker_spark.streaming.curation_index import (
         CurationConfig,
         IncrementalCurationIndex,
@@ -653,6 +672,16 @@ def state_probe() -> None:
             ),
             _vec_corpus,
             vec_batch,
+        ),
+        "substring": lambda work, nb: (
+            IncrementalSubstringIndex(spark, work, n_buckets=nb),
+            _doc_corpus,
+            doc_batch,
+        ),
+        "components": lambda work, nb: (
+            IncrementalComponentsIndex(spark, work, n_buckets=nb),
+            _edge_corpus,
+            edge_batch,
         ),
     }
     fam_rows = []

@@ -59,6 +59,14 @@ _DRIVER_WINDOW = [
     # decisions, the streaming index, and dedup_best_of_cluster all
     # rehash) and the multimodal ASCII-invariant guard at the
     # documents_as_media boundary (all three media rows rehash).
+    # r12 build items (VERDICT r11 items 2 and 4): the de-weaked
+    # contrastive pair (v2 = blocked binary-code scan, NEW; v1 re-doc'd
+    # as the exact small-N baseline) and the tenth maintained
+    # structure's registered row.
+    "contrastive_hard_negatives_v2",
+    "contrastive_hard_negatives",
+    "streaming_substring_index",
+    "streaming_components_index",
     "doc_curation_decision_v2",
     "doc_curation_decision",
     "streaming_curation_index",
@@ -110,14 +118,15 @@ _DRIVER_WINDOW = [
     "pricing_summary",
     "status_counts",
     "key_roundtrip",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r9-green remainder (leads the r13 fill; the first four were
+    # displaced from the r12 window by the four r12 build rows).
     "orders_per_customer_list",
     "event_journey",
     "dedup_minhash_lsh",
     "positional_list_parse",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r9-green remainder (leads the r13 fill).
     "recent_event_stats",
     "code_first_id_wins",
     "name_fallback_resolution",

@@ -1589,3 +1589,214 @@ def q_streaming_stratified_reservoir(
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_substring_oracle() -> str:
+    # The post-stream fingerprint state is EXACTLY the batch winnowing
+    # build over the canonical shared-substring corpus
+    # (streaming/substring_index.py convergence contract, pinned by
+    # tests/test_substring_index.py), so the coverage report served
+    # from the maintained state equals substring_dedup_report over the
+    # same corpus — the batch v2 report oracle serves unchanged (the
+    # one-oracle-for-both argument, sixth instance).
+    from worker_spark.queries.substrq import _report_v2_oracle
+
+    return _report_v2_oracle()
+
+
+@register(
+    "streaming_substring_index",
+    _streaming_substring_oracle(),
+    doc="Incrementally-maintained SUBSTRING dedup index (winnowing "
+    "fingerprints) driven end-to-end through Structured Streaming — "
+    "the tenth maintained structure, closing the one dedup family "
+    "still recomputed per run (VERDICT r11 item 4): document batches "
+    "arrive as files (maxFilesPerTrigger=1, availableNow), a "
+    "foreachBatch MERGE winnows ONLY the batch (O(batch chars)) and "
+    "keeps the fingerprint state current on hash-bucketed parquet — "
+    "including an UPDATE batch whose corrected text REPLACES stale "
+    "drafts, moving their fingerprint rows between hash buckets via "
+    "the per-doc manifest — and the duplicated-substring coverage "
+    "report is served from the MAINTAINED state alone (corpus text "
+    "never re-read, never re-winnowed on the serving path). "
+    "Hash-checked against the batch planted-shared-block report "
+    "oracle (doc_substring_dedup_report_v2).",
+)
+def q_streaming_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.sources.synth_corpus import documents_v2_substr
+    from worker_spark.streaming.substring_index import (
+        IncrementalSubstringIndex,
+        substring_maintenance_stream,
+    )
+
+    docs = documents_v2_substr(spark, sf_dir).select("doc_id", "text")
+    # Three-file feed with a mid-stream update: batch 0 carries the
+    # even docs but a stale 40-char draft for doc_id%7==0 (different
+    # text -> different winnowing fingerprints in different hash
+    # buckets); batch 1 the odd docs; batch 2 the corrected full rows.
+    # Final state == the canonical corpus iff the manifest-driven
+    # delete-then-insert moves fingerprint rows between buckets
+    # correctly, which the batch report oracle checks per document.
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="subidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="subidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="subidx_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalSubstringIndex(spark, state)
+        q = substring_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_substring_index: availableNow drain exceeded 300s"
+            )
+        return idx.dedup_report().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_components_oracle() -> str:
+    # The post-stream label state is EXACTLY the batch min-label
+    # propagation over the live pair graph (streaming/components_index
+    # convergence contract, pinned by tests/test_components_index.py
+    # through merges, splits and deletes), and the feed below converges
+    # to the v2 planted-dup corpus's full Jaccard pair set — so the
+    # clusters served from maintained state equal cluster_assignments
+    # over that corpus and the batch v2 cluster oracle serves unchanged
+    # (the one-oracle-for-both argument, seventh instance).
+    from worker_spark.queries.dedupq import _cluster_oracle, _on_dupes
+
+    return _on_dupes(_cluster_oracle(), exact=False)
+
+
+@register(
+    "streaming_components_index",
+    _streaming_components_oracle(),
+    doc="Incrementally-maintained CONNECTED-COMPONENTS cluster labels "
+    "driven end-to-end through Structured Streaming — the eleventh "
+    "maintained structure (VERDICT r11 item 5): candidate-pair batches "
+    "(the screening indexes' output shape) arrive as files, a "
+    "foreachBatch MERGE replaces each announced document's edges and "
+    "re-runs min-label propagation ONLY inside the components the "
+    "batch touches (merge + SPLIT both exercised: batch 0 chains the "
+    "stale drafts into one bogus component that the correction batch "
+    "must tear apart into the true planted groups), and cluster "
+    "assignments are served from the MAINTAINED label state alone — "
+    "the pair graph is never regenerated and the corpus text never "
+    "read on the serving path. Hash-checked against the batch "
+    "dedup_cluster_components_v2 oracle.",
+)
+def q_streaming_components_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window
+
+    from worker_spark.operators import dedup as D
+    from worker_spark.queries.dedupq import _NGRAM_DF_CAP
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+    from worker_spark.streaming.components_index import (
+        IncrementalComponentsIndex,
+        components_maintenance_stream,
+    )
+
+    docs2 = documents_v2_dupes(spark, sf_dir, exact=False)
+    pairs = (
+        D.ngram_jaccard_pairs(
+            docs2, threshold=0.2, shingle_df_cap=_NGRAM_DF_CAP
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    ids = docs2.select(F.col("doc_id").cast("long").alias("doc_id"))
+    stale = F.col("doc_id") % 7 == 0
+    even = F.col("doc_id") % 2 == 0
+    null_nbr = F.lit(None).cast("long")
+    # batch 0: even docs; stale evens arrive as DRAFTS — their true
+    # pairs are withheld and a bogus chain links consecutive stale
+    # drafts into one giant wrong component (the correction batch must
+    # split it back into the true planted groups)
+    ann0 = ids.filter(even).select("doc_id", null_nbr.alias("nbr"))
+    a_even = (F.col("id_a") % 2 == 0) & (F.col("id_a") % 7 != 0)
+    b_even = (F.col("id_b") % 2 == 0) & (F.col("id_b") % 7 != 0)
+    e0 = pairs.filter(a_even & b_even).select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+    )
+    w = Window.orderBy("doc_id")
+    stale_evens = ids.filter(stale & even).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    # chain SEGMENTS of 8 drafts, not one global chain: a corpus-long
+    # chain has corpus-scale diameter and forces min-label propagation
+    # into its star fallback — bogus 8-node components keep the wrong-
+    # merge/split choreography while converging in <8 rounds
+    chain = (
+        stale_evens.alias("x")
+        .join(
+            stale_evens.alias("y"),
+            (F.col("y.rn") == F.col("x.rn") + 1)
+            & (
+                F.expr("(x.rn - 1) div 8") == F.expr("(y.rn - 1) div 8")
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("nbr")
+        )
+    )
+    b0 = ann0.unionByName(e0).unionByName(chain)
+    # batch 1: odd docs; their pairs to anything non-stale
+    ann1 = ids.filter(~even).select("doc_id", null_nbr.alias("nbr"))
+    a_odd = F.col("id_a") % 2 == 1
+    b_odd = F.col("id_b") % 2 == 1
+    not_stale_a = F.col("id_a") % 7 != 0
+    not_stale_b = F.col("id_b") % 7 != 0
+    e1 = pairs.filter(a_odd & not_stale_b).select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.filter(b_odd & ~a_odd & not_stale_a).select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+        )
+    )
+    b1 = ann1.unionByName(e1)
+    # batch 2: the corrections — stale docs re-announced with their
+    # FULL true pair sets (replacing the bogus chain and the withheld
+    # draft state)
+    ann2 = ids.filter(stale).select("doc_id", null_nbr.alias("nbr"))
+    stale_a = F.col("id_a") % 7 == 0
+    stale_b = F.col("id_b") % 7 == 0
+    e2 = pairs.filter(stale_a).select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.filter(stale_b & ~stale_a).select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+        )
+    )
+    b2 = ann2.unionByName(e2)
+    feed = tempfile.mkdtemp(prefix="cidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="cidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="cidx_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        idx = IncrementalComponentsIndex(spark, state)
+        q = components_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_components_index: availableNow drain exceeded 300s"
+            )
+        return idx.cluster_assignments().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
