@@ -152,6 +152,7 @@ HEADLINE = [
     "contrastive_hard_negatives_v2",
     "streaming_substring_index",
     "streaming_components_index",
+    "streaming_dedup_pipeline",
 ]
 
 

@@ -206,6 +206,41 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     )
 
 
+def test_torn_split_batch_replays_to_convergence(spark, tmp_path, monkeypatch):
+    """The torn-batch completion journal (self-review finding): cluster
+    identity RENAMES on split, so a batch torn between the members and
+    labels swaps leaves the split-off nodes unreachable from the stale
+    label manifest — without the journal, replay converges adj+members
+    but strands their stale labels forever. Inject a crash before the
+    labels swap, verify fsck refuses the torn state, and verify the
+    SAME-batch_id replay converges bit-for-bit."""
+    idx = IncrementalComponentsIndex(spark, str(tmp_path / "x"))
+    idx.apply_batch(_feed(spark, [(1, 2), (1, 3)]), batch_id=0)
+
+    orig = idx.store.delete_then_insert
+
+    def failing(table, *a, **k):
+        if table == idx.LABELS:
+            raise RuntimeError("injected crash before the labels swap")
+        return orig(table, *a, **k)
+
+    monkeypatch.setattr(idx.store, "delete_then_insert", failing)
+    batch = _feed(spark, [(1, 2)])  # 1 re-announced: {3} splits away
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.apply_batch(batch, batch_id=1)
+    monkeypatch.undo()
+    # torn: members re-keyed, labels stale — fsck must refuse
+    with pytest.raises(RuntimeError):
+        idx.fsck()
+    # foreachBatch re-delivery of the SAME batch id
+    idx.apply_batch(batch, batch_id=1)
+    assert _rows(idx.cluster_assignments()) == _rows(
+        _batch_truth(spark, [(1, 2)])
+    )
+    assert idx.labels().filter(F.col("doc_id") == 3).count() == 0
+    idx.fsck()
+
+
 def test_fsck_catches_injected_corruption(spark, tmp_path):
     idx = IncrementalComponentsIndex(spark, str(tmp_path / "x"))
     idx.apply_batch(_feed(spark, [(1, 2), (2, 3)]))

@@ -1800,3 +1800,89 @@ def q_streaming_components_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_pipeline_oracle() -> str:
+    # Exact equality is transitive, so the duplicate-pair graph of one
+    # content hash is a clique and its min-label component IS the hash
+    # group with the min doc id canonical: the composed pipeline's
+    # served labels equal the md5 grouping of the live corpus
+    # restricted to multi-member groups, in the components output
+    # shape. One SQL grouping replays both maintained structures.
+    from worker_spark.sources.synth_corpus import documents_v2_dupes_sql
+
+    cte = documents_v2_dupes_sql("docs2d", exact=True)
+    return f"""
+    WITH {cte},
+    h AS (
+        SELECT doc_id, md5(text) AS ch FROM docs2d
+        WHERE length(trim(text)) > 0
+    ),
+    g AS (
+        SELECT ch, CAST(min(doc_id) AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM h GROUP BY ch HAVING count(*) > 1
+    )
+    SELECT h.doc_id, g.cluster_id, g.cluster_size,
+           (h.doc_id = g.cluster_id) AS is_survivor
+    FROM h JOIN g USING (ch)
+    """
+
+
+@register(
+    "streaming_dedup_pipeline",
+    _streaming_pipeline_oracle(),
+    doc="COMPOSED maintained-dedup pipeline driven end-to-end through "
+    "Structured Streaming: one document stream drives the exact "
+    "content-hash index AND the connected-components label index "
+    "through a single apply_batch — ingest batch -> hash-state MERGE "
+    "-> bucket-pruned screen against the post-batch state -> screen "
+    "hits feed the label index, which relabels only the touched "
+    "components. Per batch O(batch + touched buckets + touched "
+    "components); the corpus is never re-hashed, re-screened or "
+    "re-clustered. The update batch moves a corrected document between "
+    "hash groups, which the composition must propagate through BOTH "
+    "structures (hash rows move buckets; labels move components). "
+    "Served cluster assignments hash-check against the one-grouping "
+    "SQL replay of the whole composition (exact-dup cliques: min-label "
+    "component == min-id hash group). Any other screening index "
+    "(SimHash/MinHash/substring) plugs into the same seam.",
+)
+def q_streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+    from worker_spark.streaming.dedup_pipeline import (
+        StreamingDedupPipeline,
+        dedup_pipeline_stream,
+    )
+
+    docs = documents_v2_dupes(spark, sf_dir, exact=True).select(
+        "doc_id", "text"
+    )
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="dpipe_feed_")
+    ckpt = tempfile.mkdtemp(prefix="dpipe_ckpt_")
+    state = tempfile.mkdtemp(prefix="dpipe_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        pipe = StreamingDedupPipeline(spark, state)
+        q = dedup_pipeline_stream(spark, feed, pipe, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_pipeline: availableNow drain exceeded 300s"
+            )
+        return pipe.cluster_assignments().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -97,6 +97,24 @@ FEED_SCHEMA = T.StructType(
     ]
 )
 
+# The torn-batch completion journal (single-bucket, one atomic swap —
+# the Misra-Gries commit device): cluster IDENTITY renames on merge and
+# split, so a batch torn between the members and labels swaps leaves a
+# renamed component's rows unreachable from the STALE label manifest
+# alone (e.g. a split's new-id half: stale labels still say the old id,
+# but the members rows were already re-keyed). The journal records the
+# batch's full relabel scope BEFORE any swap; a replay of the SAME
+# batch_id unions it back in, so the replay recomputes exactly the
+# crashed run's component set over the (idempotently converged)
+# adjacency and every write repeats verbatim.
+JOURNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("jkey", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
 
 class IncrementalComponentsIndex:
     """Cluster-label state with per-batch component-scoped recompute and
@@ -105,6 +123,7 @@ class IncrementalComponentsIndex:
     ADJ = "adj"
     MEMBERS = "members"
     LABELS = "labels"
+    JOURNAL = "journal"
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
         self.spark = spark
@@ -148,12 +167,16 @@ class IncrementalComponentsIndex:
         ).join(batch_ids.withColumnRenamed("doc_id", "node"), "node", "left_semi")
         old_nbrs = old_node_side.select(F.col("nbr").alias("doc_id"))
         endpoints = new_sym.select(F.col("node").alias("doc_id"))
-        touched_nodes = (
-            batch_ids.unionByName(old_nbrs)
-            .unionByName(endpoints)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        touched_nodes = batch_ids.unionByName(old_nbrs).unionByName(endpoints)
+        # replay of a torn batch: union the journaled scope back in (its
+        # nodes' member rows may already sit under RENAMED cluster ids
+        # that the stale labels cannot reach — module docstring)
+        if batch_id is not None and store.has_schema_witness(self.JOURNAL):
+            prior = store.read(self.JOURNAL, JOURNAL_SCHEMA).filter(
+                F.col("batch_id") == int(batch_id)
+            )
+            touched_nodes = touched_nodes.unionByName(prior.select("doc_id"))
+        touched_nodes = touched_nodes.distinct().localCheckpoint(eager=True)
 
         # affected components: stored labels of every touched node (the
         # stale manifest covers every node the old edges could link)
@@ -177,6 +200,18 @@ class IncrementalComponentsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # journal the scope BEFORE any swap (one single-bucket atomic
+        # write): from here on, any torn state replays to convergence
+        if batch_id is not None:
+            store.write(
+                self.JOURNAL,
+                scope.select(
+                    F.lit(0).cast("long").alias("jkey"),
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "doc_id",
+                ),
+                keys=["jkey"],
+            )
 
         # the scoped subgraph: stored edges of scope nodes, minus every
         # edge incident to a batch doc, plus the batch's new edges
