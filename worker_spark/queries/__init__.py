@@ -223,7 +223,6 @@ _DRIVER_WINDOW = [
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "bloom_incremental_dedup",
-    "contrastive_hard_negatives",
     "crawl_frontier_schedule",
     "streaming_cms_window_users",
     "doc_mixture_interleave",
