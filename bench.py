@@ -153,6 +153,7 @@ HEADLINE = [
     "streaming_substring_index",
     "streaming_components_index",
     "streaming_dedup_pipeline",
+    "streaming_neardup_pipeline",
 ]
 
 

@@ -162,3 +162,80 @@ def test_pipeline_stream_end_to_end(spark, tmp_path):
         _exact_cluster_truth(spark, docs)
     )
     pipe.fsck()
+
+
+def _neardup_truth(spark, docs):
+    from worker_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    return cluster_assignments(
+        minhash_lsh_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
+
+
+def test_neardup_pipeline_tracks_batch_minhash_clusters(spark, tmp_path):
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+    from worker_spark.streaming.dedup_pipeline import StreamingNearDupPipeline
+
+    docs = documents_v2_dupes(spark, SF_ORACLE, exact=False).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    pipe = StreamingNearDupPipeline(spark, str(tmp_path / "p"), threshold=0.5)
+    for residue in range(3):
+        pipe.apply_batch(docs.filter(F.col("doc_id") % 3 == residue))
+    assert _rows(pipe.cluster_assignments()) == _rows(
+        _neardup_truth(spark, docs)
+    )
+    pipe.fsck()
+
+
+def test_neardup_update_replaces_draft_era_edges_and_delete(spark, tmp_path):
+    """A draft verified against superseded text must NOT survive the
+    correction: the corrected announcement re-screens against the
+    maintained band state and replaces the whole edge set; a delete
+    (empty text) removes the doc from bands, texts and labels."""
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+    from worker_spark.streaming.dedup_pipeline import StreamingNearDupPipeline
+
+    docs = documents_v2_dupes(spark, SF_ORACLE, exact=False).select(
+        "doc_id", "text"
+    ).limit(100).localCheckpoint(eager=True)
+    pipe = StreamingNearDupPipeline(spark, str(tmp_path / "p"), threshold=0.5)
+    stale = F.col("doc_id") % 7 == 0
+    drafts = docs.select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pipe.apply_batch(drafts)
+    # corrections arrive; final state == the canonical corpus clusters
+    pipe.apply_batch(docs.filter(stale))
+    assert _rows(pipe.cluster_assignments()) == _rows(
+        _neardup_truth(spark, docs)
+    )
+    pipe.fsck()
+
+    # delete one clustered doc: it leaves bands, texts and labels, and
+    # the remaining labels equal the batch truth over the shrunk corpus
+    victim = (
+        pipe.cluster_assignments().orderBy("doc_id").limit(1).collect()[0][
+            "doc_id"
+        ]
+    )
+    pipe.apply_batch(
+        spark.createDataFrame([(int(victim), "")], "doc_id long, text string")
+    )
+    remaining = docs.filter(F.col("doc_id") != int(victim))
+    assert _rows(pipe.cluster_assignments()) == _rows(
+        _neardup_truth(spark, remaining)
+    )
+    assert (
+        pipe.minhash.sigs().filter(F.col("doc_id") == victim).count() == 0
+    )
+    assert (
+        pipe.docstore.read("docs", None)
+        .filter(F.col("doc_id") == victim)
+        .count()
+        == 0
+    )
+    pipe.fsck()

@@ -68,6 +68,7 @@ _DRIVER_WINDOW = [
     "streaming_substring_index",
     "streaming_components_index",
     "streaming_dedup_pipeline",
+    "streaming_neardup_pipeline",
     "doc_curation_decision_v2",
     "doc_curation_decision",
     "streaming_curation_index",
@@ -117,12 +118,12 @@ _DRIVER_WINDOW = [
     "order_rollup",
     "cheapest_supplier_per_part",
     "pricing_summary",
-    "status_counts",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
-    # r9-green remainder (leads the r13 fill; the first five were
-    # displaced from the r12 window by the five r12 build rows).
+    # r9-green remainder (leads the r13 fill; the first six were
+    # displaced from the r12 window by the six r12 build rows).
+    "status_counts",
     "key_roundtrip",
     "orders_per_customer_list",
     "event_journey",

@@ -1886,3 +1886,117 @@ def q_streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_neardup_oracle() -> str:
+    # The composed near-dup pipeline converges to the batch MinHash
+    # pair set over the live corpus (a corrected doc's announcement
+    # re-screens it against the maintained band state and replaces its
+    # edge set), so the oracle is the batch MinHash chain (sigs ->
+    # bands -> candidates -> exact-Jaccard verify) extended by the
+    # recursive reachability closure + min-label grouping — the
+    # dedup_cluster_components tail over the verified MinHash pairs,
+    # re-sourced onto the planted near-dup corpus.
+    from worker_spark.queries.dedupq import _minhash_cands_cte, _on_dupes
+
+    body = _minhash_cands_cte()
+    if body.count("WITH ") != 1:
+        raise RuntimeError(
+            "_streaming_neardup_oracle: expected exactly one WITH in "
+            "the minhash candidate chain — update the RECURSIVE splice"
+        )
+    oracle = body.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    vpairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM vpairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM vpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+        SELECT id, id AS comp FROM verts
+        UNION
+        SELECT e.s AS id, r.comp FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    comp AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+           (c.id = c.cluster_id) AS is_survivor
+    FROM comp c JOIN sized s USING (cluster_id)
+    """
+    return _on_dupes(oracle, exact=False)
+
+
+@register(
+    "streaming_neardup_pipeline",
+    _streaming_neardup_oracle(),
+    doc="COMPOSED maintained NEAR-dup pipeline (the second instance of "
+    "the composition seam, with a real banded screen): one document "
+    "stream drives a doc-text store, the MinHash-LSH band index and "
+    "the connected-components label index through a single apply_batch "
+    "— texts MERGE, band-state MERGE, band-bucket-pruned candidate "
+    "screen, exact-Jaccard verify re-shingling only the batch + its "
+    "candidate PARTNERS (fetched by bucket-pruned id lookup from the "
+    "text store — the corpus is never re-shingled), verified pairs "
+    "relabel the touched components. The update batch replaces a "
+    "corrected document's edge set wholesale, tearing out draft-era "
+    "pairs verified against superseded text. Served cluster "
+    "assignments hash-check against the batch MinHash chain extended "
+    "by the recursive closure + min-label grouping over the planted "
+    "near-dup corpus.",
+)
+def q_streaming_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.sources.synth_corpus import documents_v2_dupes
+    from worker_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+        dedup_pipeline_stream,
+    )
+
+    docs = documents_v2_dupes(spark, sf_dir, exact=False).select(
+        "doc_id", "text"
+    )
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="ndpipe_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ndpipe_ckpt_")
+    state = tempfile.mkdtemp(prefix="ndpipe_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        pipe = StreamingNearDupPipeline(spark, state, threshold=0.5)
+        q = dedup_pipeline_stream(
+            spark, feed, pipe, ckpt, checkpoint_name="ndpipe"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_neardup_pipeline: availableNow drain exceeded 300s"
+            )
+        return pipe.cluster_assignments().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from worker_spark.plans.bucketed_state import BucketedParquetStateStore
 from worker_spark.streaming.components_index import IncrementalComponentsIndex
 from worker_spark.streaming.exact_index import IncrementalExactIndex
 
@@ -106,17 +107,138 @@ class StreamingDedupPipeline:
         return self.exact.dedup_clusters()
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+class StreamingNearDupPipeline:
+    """The NEAR-dup composition on the same seam: the MinHash-LSH index
+    screens each batch, verified pairs feed the components index. One
+    extra maintained piece the exact pipeline doesn't need: a doc-text
+    store (doc_id-bucketed), because the exact-Jaccard verify of a
+    (batch doc, corpus doc) candidate needs the PARTNER's text — at
+    100 TB the corpus rows live in a table and the verify fetches only
+    the few candidate partners, which the bucket-pruned read below
+    reproduces (partner ids -> their buckets -> semi-join).
+
+    Per batch: texts MERGE -> band-state MERGE -> band-bucket-pruned
+    candidate screen -> exact-Jaccard verify re-shingling the batch +
+    partner docs only -> verified pairs relabel the touched components.
+    Convergence: a corrected document's announcement re-screens it
+    against the whole maintained band state and REPLACES its edge set,
+    so draft-era pairs (verified against superseded text) are torn out
+    with the update — the served labels equal the batch
+    cluster_assignments(minhash_lsh_dedup_pairs(live corpus)) exactly.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        threshold: float = 0.5,
+    ):
+        from worker_spark.streaming.minhash_index import (
+            IncrementalMinHashIndex,
+        )
+
+        self.spark = spark
+        self.threshold = threshold
+        self.docstore = BucketedParquetStateStore(
+            spark, os.path.join(root, "docs"), n_buckets
+        )
+        self.minhash = IncrementalMinHashIndex(
+            spark, os.path.join(root, "minhash"), n_buckets=n_buckets
+        )
+        self.components = IncrementalComponentsIndex(
+            spark, os.path.join(root, "components"), n_buckets=n_buckets
+        )
+
+    DOCS = "docs"
+
+    def apply_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        from worker_spark.operators.dedup import word_shingles
+        from worker_spark.streaming.feed import last_wins
+
+        batch = last_wins(docs, [id_col]).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).localCheckpoint(eager=True)
+        batch_ids = batch.select("doc_id").distinct()
+        live = batch.filter(F.length(F.trim(F.col("text"))) > 0)
+        # texts first: the verify below must see the batch's own
+        # versions if a later batch screens against them
+        self.docstore.delete_then_insert(
+            self.DOCS,
+            delete_keys=batch_ids,
+            inserts=live,
+            schema=DOCS_SCHEMA,
+            bucket_col="doc_id",
+        )
+        self.minhash.apply_batch(batch, batch_id=batch_id)
+        # screen AFTER apply: the batch's own bands are in state, so
+        # within-batch pairs fall out of the same band equi-join
+        cands = self.minhash.screen_candidates(live).localCheckpoint(
+            eager=True
+        )
+        partner_ids = (
+            cands.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .join(batch_ids, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        pbuckets = self.docstore.touched_buckets(partner_ids, "doc_id")
+        partners = self.docstore.read(
+            self.DOCS, DOCS_SCHEMA, buckets=pbuckets
+        ).join(partner_ids, "doc_id", "left_semi")
+        sh = word_shingles(live).unionByName(word_shingles(partners))
+        verified = self.minhash._verify(cands, sh, self.threshold)
+        announcements = batch_ids.select(
+            "doc_id", F.lit(None).cast("long").alias("nbr")
+        )
+        edges = verified.select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+        )
+        self.components.apply_batch(
+            announcements.unionByName(edges), batch_id=batch_id
+        )
+
+    def fsck(self) -> dict[str, int]:
+        counts = {self.DOCS: self.docstore.verify_layout(self.DOCS)}
+        counts.update(self.minhash.fsck())
+        counts.update(self.components.fsck())
+        return counts
+
+    # --- read side ------------------------------------------------------
+
+    def cluster_assignments(self) -> DataFrame:
+        return self.components.cluster_assignments()
+
+
 def dedup_pipeline_stream(
     spark: SparkSession,
     docs_dir: str,
-    pipeline: StreamingDedupPipeline,
+    pipeline: "StreamingDedupPipeline | StreamingNearDupPipeline",
     checkpoint_dir: str,
     schema: T.StructType | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = 1,
+    checkpoint_name: str = "dpipe",
 ) -> StreamingQuery:
     """Wire a document directory as the change feed — one stream drives
-    BOTH maintained structures through the composed apply_batch."""
+    ALL of a composed pipeline's maintained structures through its
+    apply_batch (works for either pipeline; give each its own
+    checkpoint_name when both run under one checkpoint dir)."""
     from worker_spark.streaming.feed import file_feed_stream
 
     if schema is None:
@@ -132,7 +254,7 @@ def dedup_pipeline_stream(
         lambda batch, bid: pipeline.apply_batch(batch, batch_id=bid),
         checkpoint_dir,
         schema,
-        "dpipe",
+        checkpoint_name,
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
     )
