@@ -44,7 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full oracle-paired inventory: every SURVEY.md §2 operator
     with a natural single-SQL oracle, plus the LLM-data-pipeline
     families (dedup, similarity/ANN, retrieval, text quality, sampling,
-    selection, sketches, chunking, streaming indexes) — ~157 entries,
+    selection, sketches, chunking, streaming indexes) — ~162 entries,
     ordered by the driver-window rotation policy (worker_spark/queries/
     __init__.py)."""
     from worker_spark.queries import all_queries

@@ -239,3 +239,26 @@ def test_neardup_update_replaces_draft_era_edges_and_delete(spark, tmp_path):
         == 0
     )
     pipe.fsck()
+
+
+def test_neardup_threshold_pins_at_creation(spark, tmp_path):
+    """The Jaccard threshold decides which edges exist in state — a
+    reopen with a different value must refuse loudly (the curation
+    index's pinned-config discipline)."""
+    import pytest
+
+    from worker_spark.streaming.dedup_pipeline import StreamingNearDupPipeline
+
+    root = str(tmp_path / "p")
+    pipe = StreamingNearDupPipeline(spark, root, threshold=0.5)
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+    )
+    # same threshold reopens fine and serves the same state
+    again = StreamingNearDupPipeline(spark, root, threshold=0.5)
+    assert again.cluster_assignments().count() == 0
+    with pytest.raises(ValueError, match="threshold"):
+        StreamingNearDupPipeline(spark, root, threshold=0.3)

@@ -114,6 +114,17 @@ DOCS_SCHEMA = T.StructType(
     ]
 )
 
+# The near-dup pipeline's Jaccard threshold decides WHICH edges exist in
+# state, so it pins at creation like the curation index's thresholds —
+# reopening with a different value would silently mix edge sets verified
+# under different contracts (single-bucket table, loud refusal).
+NDP_CONFIG_SCHEMA = T.StructType(
+    [
+        T.StructField("ckey", T.LongType(), False),
+        T.StructField("threshold", T.DoubleType(), False),
+    ]
+)
+
 
 class StreamingNearDupPipeline:
     """The NEAR-dup composition on the same seam: the MinHash-LSH index
@@ -147,7 +158,7 @@ class StreamingNearDupPipeline:
         )
 
         self.spark = spark
-        self.threshold = threshold
+        self.threshold = float(threshold)
         self.docstore = BucketedParquetStateStore(
             spark, os.path.join(root, "docs"), n_buckets
         )
@@ -157,8 +168,30 @@ class StreamingNearDupPipeline:
         self.components = IncrementalComponentsIndex(
             spark, os.path.join(root, "components"), n_buckets=n_buckets
         )
+        # pin the edge contract (module constant NDP_CONFIG_SCHEMA doc)
+        if self.docstore.has_schema_witness(self.CONFIG):
+            stored = float(
+                self.docstore.read(self.CONFIG, NDP_CONFIG_SCHEMA)
+                .collect()[0]["threshold"]
+            )
+            if abs(stored - self.threshold) > 1e-12:
+                raise ValueError(
+                    f"{root}: near-dup state was built with threshold "
+                    f"{stored}, reopened with {self.threshold} — the edge "
+                    "set is contract-bound; rebuild into a fresh root to "
+                    "change it"
+                )
+        else:
+            self.docstore.write(
+                self.CONFIG,
+                spark.createDataFrame(
+                    [(0, self.threshold)], NDP_CONFIG_SCHEMA
+                ),
+                keys=["ckey"],
+            )
 
     DOCS = "docs"
+    CONFIG = "ndp_config"
 
     def apply_batch(
         self,
