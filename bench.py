@@ -732,6 +732,108 @@ R11_ANCHOR: dict[str, float] = {
 }
 
 
+# Round-12 anchor: recorded by tools/record_anchor.py from the SECOND of
+# two back-to-back serialized sf0.1 runs at round-12 close (VERDICT r11
+# item 7: covers the FULL headline set — the 10 r11 late rows and the 6
+# r12 rows included, so r13's adjusted comparison has no gap).
+R12_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.476,
+    "top_revenue_orders": 1.211,
+    "revenue_by_nation": 0.89,
+    "orders_with_returns": 0.524,
+    "customer_any_return": 0.599,
+    "sync_diff_classify": 0.693,
+    "event_journey": 0.219,
+    "outbox_drain_cap": 0.34,
+    "doc_token_stats": 0.194,
+    "dedup_minhash_lsh": 3.795,
+    "dedup_simhash": 3.219,
+    "similarity_cosine_topk": 1.612,
+    "similarity_lsh_ann": 2.36,
+    "dedup_embedding_blocked": 1.872,
+    "multimodal_features": 0.453,
+    "event_value_percentiles": 0.201,
+    "reverse_invalidation": 0.602,
+    "doc_build_scale": 1.685,
+    "dedup_cluster_components": 5.668,
+    "doc_sequence_pack": 0.445,
+    "doc_stratified_sample": 0.189,
+    "similarity_quantized_topk": 0.562,
+    "benchmark_contamination": 2.467,
+    "similarity_pq_refined_topk": 4.13,
+    "similarity_pq_kmeans_topk": 4.934,
+    "doc_cdc_chunks": 1.872,
+    "dedup_translit_shingles": 4.595,
+    "doc_substring_dedup_report": 0.495,
+    "hll_distinct_users": 0.365,
+    "token_cms_heavy_hitters": 1.796,
+    "bpe_train_merges": 2.26,
+    "dedup_edit_distance": 2.059,
+    "token_bigram_collocations": 0.727,
+    "similarity_opq_kmeans_topk": 6.469,
+    "search_documents_flat": 1.231,
+    "bloom_membership_audit": 0.472,
+    "doc_dsir_selection": 2.054,
+    "semdedup_prune": 1.048,
+    "doc_curation_decision": 1.582,
+    "event_quantile_sketch": 0.88,
+    "similarity_graph_ann": 6.118,
+    "event_audience_overlap": 0.52,
+    "lang_shingle_overlap": 1.527,
+    "join_skew_profile": 0.446,
+    "doc_rag_chunks": 0.233,
+    "events_zorder_layout": 0.752,
+    "similarity_binary_topk": 2.271,
+    "event_funnel_conversion": 0.629,
+    "event_retention_cohorts": 0.4,
+    "event_rate_anomalies": 0.309,
+    "similarity_multiprobe_lsh": 1.72,
+    "similarity_margin_probe_lsh": 1.85,
+    "similarity_ivfpq_residual_topk": 5.637,
+    "similarity_ivfpq_refined_topk": 6.217,
+    "streaming_index_bm25": 9.31,
+    "streaming_topk_window": 2.301,
+    "doc_bm25_topk_v2": 2.336,
+    "inverted_index_postings_v2": 1.019,
+    "doc_hybrid_rrf_topk_v2": 4.215,
+    "doc_bm25f_topk": 2.862,
+    "doc_weighted_reservoir": 0.159,
+    "embedding_cluster_balance": 0.723,
+    "doc_ngram_novelty": 1.102,
+    "doc_tfidf_topk_v2": 2.048,
+    "streaming_ivf_ann": 7.256,
+    "streaming_dedup_index": 10.803,
+    "streaming_minhash_index": 8.083,
+    "doc_char_entropy_v2": 0.476,
+    "doc_gopher_rules_v2": 0.507,
+    "doc_token_stats_v2": 0.535,
+    "doc_repetition_scores_v2": 0.609,
+    "dedup_exact_v2": 0.541,
+    "dedup_ngram_jaccard_v2": 3.266,
+    "dedup_simhash_v2": 3.165,
+    "dedup_minhash_lsh_v2": 3.066,
+    "doc_lang_id_v2": 0.471,
+    "doc_quality_filter_v2": 0.507,
+    "token_bigram_collocations_v2": 1.402,
+    "doc_curation_decision_v2": 1.659,
+    "streaming_exact_index": 5.918,
+    "dedup_cluster_components_v2": 4.288,
+    "doc_substring_dedup_report_v2": 1.507,
+    "streaming_ivf_recluster": 10.525,
+    "streaming_curation_index": 12.307,
+    "multimodal_resize": 0.373,
+    "multimodal_frame_sample": 0.372,
+    "streaming_weighted_reservoir": 3.779,
+    "streaming_heavy_hitters": 5.356,
+    "streaming_stratified_reservoir": 4.344,
+    "contrastive_hard_negatives_v2": 5.5,
+    "streaming_substring_index": 15.298,
+    "streaming_components_index": 24.662,
+    "streaming_dedup_pipeline": 29.615,
+    "streaming_neardup_pipeline": 47.93,
+}
+
+
 ANCHOR_CALIBRATION: dict[str, float] = {
     "r6": 0.207,
     "r8": 0.210,
@@ -746,6 +848,11 @@ ANCHOR_CALIBRATION: dict[str, float] = {
     # two back-to-back serialized sf0.1 runs at round-11 close (sibling
     # first run: 193.3s at calibration 0.245)
     "r11": 0.216,
+    # pinned by the R12 anchor-recording run (same rule): the second of
+    # two back-to-back serialized sf0.1 runs at round-12 close (sibling
+    # first run: 333.3s at calibration 0.181; totals within 1%, flag
+    # sets disjoint — the ±30% host swing, not regressions)
+    "r12": 0.231,
 }
 ADJ_REGRESSION_FLAG = 1.3
 
@@ -861,6 +968,7 @@ def main() -> None:
             ("r9", R9_ANCHOR),
             ("r10", R10_ANCHOR),
             ("r11", R11_ANCHOR),
+            ("r12", R12_ANCHOR),
         ):
             anchored = [n for n in timings if n in anchor]
             if not anchored:
