@@ -191,19 +191,20 @@ def test_contrastive_v2_no_corpus_fraction_broadcast(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert "SortMergeJoin [block" in scale or "ShuffledHashJoin [block" in scale
+    assert "SortMergeJoin [ab" in scale or "ShuffledHashJoin [ab" in scale
     assert "BroadcastExchange" not in scale
-    # join -> per-(q_id, block) prune with NO exchange in between: the
-    # segment of the plan between the block join and the first
-    # WindowGroupLimit above it must be exchange-free
+    # join -> per-(anchor, cell) prune with NO exchange in between: the
+    # segment of the plan between the grid join and the first
+    # WindowGroupLimit above it must be exchange-free (the prune
+    # inherits the grid clustering because both join keys stay in its
+    # partition spec)
     lines = scale.splitlines()
     join_i = next(
-        i for i, l in enumerate(lines)
-        if "Join [block" in l or "Join [cast(block" in l
+        i for i, l in enumerate(lines) if "Join [ab" in l
     )
     prune_i = max(
         i for i, l in enumerate(lines)
-        if i < join_i and "WindowGroupLimit" in l and "block" in l
+        if i < join_i and "WindowGroupLimit" in l and "cb" in l
     )
     segment = lines[prune_i:join_i]
     assert not any("Exchange" in l for l in segment), segment

@@ -713,6 +713,7 @@ def contrastive_hard_negatives_hamming(
     shortlist: int = 300,
     k: int = 3,
     n_blocks: int = 32,
+    anchor_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -738,21 +739,26 @@ def contrastive_hard_negatives_hamming(
     but the anchor side here is a corpus fraction — the exact flaw the
     r11 verdict flagged):
 
-    * candidates: sign codes (map-only, 8 bytes/vector) partitioned by
-      a bounded block key ``pmod(id, n_blocks)``;
-    * anchors: codes replicated once per block (explode over the
-      ``n_blocks`` literals — a x32 replication of the SMALL side, not
-      an every-executor broadcast) and equi-joined on the block id, so
-      every (anchor, candidate) pair arises exactly once and the
-      N*nA/20 integer Hamming ops spread evenly over block partitions;
+    * the coarse scan distributes as the THETA-JOIN GRID (Okcan &
+      Riedewald '11): anchors hash into ``anchor_blocks`` row-groups
+      and replicate once per candidate block; candidates hash into
+      ``n_blocks`` column-groups and replicate once per anchor group;
+      the equi-join on BOTH grid ids gives every (anchor, candidate)
+      pair exactly one cell, join parallelism = anchor_blocks *
+      n_blocks (a single-sided block key caps parallelism at its
+      distinct-value count — 32 tasks on a 1000-executor cluster — the
+      reason for the grid), anchor replication x n_blocks and
+      candidate replication x anchor_blocks, all slim 8-byte code
+      rows, no broadcast anywhere;
     * the different-label predicate rides inside the coarse join, so
       same-label pairs never shortlist (recall goes to the task);
-    * two-stage top-``shortlist`` per anchor: per-(anchor, block) prune
-      first — the join output is already partitioned by block, so this
-      window re-uses the join's clustering without an extra exchange —
-      then a global per-anchor selection over <= n_blocks * shortlist
-      survivors. Deterministic total order (hamming ASC, id ASC) makes
-      the two-stage split EXACTLY the one-stage top-k.
+    * two-stage top-``shortlist`` per anchor: per-(anchor, cell) prune
+      first — an anchor's grid row is fixed, so the cell key adds only
+      the candidate block, and the window re-uses the join's grid
+      clustering without an extra exchange — then a global per-anchor
+      selection over <= n_blocks * shortlist survivors. Deterministic
+      total order (hamming ASC, id ASC) makes the two-stage split
+      EXACTLY the one-stage top-k, independent of either grid axis.
     * exact cosine re-rank: float vectors join the nA * shortlist
       survivors by id (equi-joins) — exact_pairs = nA * shortlist,
       scan_frac = shortlist/N, the PQ-refine accounting.
@@ -762,39 +768,50 @@ def contrastive_hard_negatives_hamming(
     """
     from pyspark.sql import Window
 
+    # LONG grid ids on both sides: a type mismatch puts a cast on the
+    # join keys and the per-cell window can no longer reuse the join's
+    # grid partitioning
     c = emb.select(
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("block"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(anchor_blocks - 1).cast("long")
+            )
+        ).alias("ab"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("long").alias("cb"),
         F.col(id_col).alias("c_id"),
         F.col(label_col).alias("c_label"),
         binary_sign_code(F.col(vec_col)).alias("c_code"),
     )
     q = emb.filter(F.col(id_col) % anchor_mod == 0).select(
+        F.pmod(F.col(id_col), F.lit(anchor_blocks)).cast("long").alias("ab"),
         F.col(id_col).alias("q_id"),
         F.col(label_col).alias("q_label"),
         binary_sign_code(F.col(vec_col)).alias("q_code"),
-        # LONG to match pmod(long, int) on the candidate side: a type
-        # mismatch puts a cast on the join key and the per-block window
-        # can no longer reuse the join's block partitioning
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.lit(n_blocks - 1).cast("long"))
-        ).alias("block"),
+        ).alias("cb"),
     )
     coarse = q.join(
         c,
         on=[
-            q["block"] == c["block"],
+            q["ab"] == c["ab"],
+            q["cb"] == c["cb"],
             q["q_id"] != c["c_id"],
             q["q_label"] != c["c_label"],
         ],
     ).select(
         "q_id",
         "q_label",
-        q["block"].alias("block"),
+        q["ab"].alias("ab"),
+        q["cb"].alias("cb"),
         "c_id",
         "c_label",
         binary_hamming(F.col("q_code"), F.col("c_code")).alias("hamming"),
     )
-    wb = Window.partitionBy("q_id", "block").orderBy(
+    # an anchor's grid row (ab) is a function of q_id, so these groups
+    # ARE the per-(anchor, candidate-block) groups; both join keys stay
+    # in the partition spec so the window inherits the grid clustering
+    wb = Window.partitionBy("q_id", "ab", "cb").orderBy(
         F.asc("hamming"), F.asc("c_id")
     )
     per_block = coarse.withColumn("_rb", F.row_number().over(wb)).filter(
