@@ -154,6 +154,10 @@ HEADLINE = [
     "streaming_components_index",
     "streaming_dedup_pipeline",
     "streaming_neardup_pipeline",
+    # round-12 LATE addition (after R12_ANCHOR was recorded) — no prior
+    # anchor; it joins the anchor set in r13 (the r6/r8/r9/r11
+    # precedent)
+    "streaming_semdedup_prune",
 ]
 
 

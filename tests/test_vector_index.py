@@ -691,3 +691,45 @@ def test_recluster_advice_flags_corpus_outgrowing_its_codebook(
     stride = auto_centroid_stride(a2["n_vectors"])
     assert a2["k"] == new_idx.centroids().count()
     assert abs(a2["k"] - a2["n_vectors"] / stride) <= a2["n_vectors"] / stride
+
+
+def test_semdedup_served_from_maintained_cells_equals_batch(spark, tmp_path):
+    """SemDeDup from the MAINTAINED cell assignment == the batch
+    operator at the pinned stride, including after an update that moves
+    a vector between cells — the N*K assignment stage is amortized into
+    maintenance and never re-paid at serve time."""
+    from worker_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark).localCheckpoint(eager=True)
+    idx = IncrementalVectorIndex(
+        spark,
+        str(tmp_path / "v"),
+        centroids=emb.filter(F.col("vec_id") % 100 == 0),
+        n_buckets=8,
+    )
+    # stale-negated drafts first, corrections after — cells must move
+    stale = F.col("vec_id") % 10 == 0
+    negated = F.expr("transform(embedding, x -> cast(-x as float))")
+    idx.apply_batch(
+        emb.select(
+            "vec_id",
+            F.when(stale, negated).otherwise(F.col("embedding")).alias(
+                "embedding"
+            ),
+        )
+    )
+    idx.apply_batch(emb.filter(stale))
+
+    got = sorted(
+        tuple(r) for r in idx.semdedup_prune(emb, tau=SEMDEDUP_TAU).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centroid_every=100, tau=SEMDEDUP_TAU
+        ).collect()
+    )
+    assert got == want

@@ -1332,6 +1332,7 @@ def semantic_dedup(
     tau: float = SEMDEDUP_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public
     preprint): cluster embeddings into coarse cells, then within each
@@ -1358,22 +1359,29 @@ def semantic_dedup(
     and the within-cell pair stage is ~N * stride = O(N^1.5) too (a
     fixed stride keeps pairs linear but assignment quadratic). The
     registered query and the dedup eval harness pin
-    SEMDEDUP_CENTROID_EVERY for hash-stable replay."""
-    centroid_every = resolve_centroid_stride(
-        vectors, centroid_every, 1, id_col
-    )
-    centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
-    if centroids.isEmpty():
-        # a silent empty result would read as 'everything pruned'; the
-        # medoid rule needs at least one id divisible by centroid_every
-        # (1-row control-plane check, same hard-fail convention as
-        # cosine_topk_matrix's query-side cap)
-        raise ValueError(
-            "semantic_dedup: no medoid centroids — no vec_id is divisible "
-            f"by centroid_every={centroid_every}; lower centroid_every or "
-            "remap ids"
+    SEMDEDUP_CENTROID_EVERY for hash-stable replay.
+
+    ``cells`` (r12): a precomputed (id_col, cell_id) assignment — the
+    maintained-index serving path (IncrementalVectorIndex.semdedup_prune
+    amortizes the N*K assignment stage into index maintenance). Must
+    cover every row of ``vectors`` (the caller serves the corpus its
+    index maintains); when given, ``centroid_every`` is ignored."""
+    if cells is None:
+        centroid_every = resolve_centroid_stride(
+            vectors, centroid_every, 1, id_col
         )
-    cells = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        centroids = vectors.filter(F.col(id_col) % centroid_every == 0)
+        if centroids.isEmpty():
+            # a silent empty result would read as 'everything pruned';
+            # the medoid rule needs at least one id divisible by
+            # centroid_every (1-row control-plane check, same hard-fail
+            # convention as cosine_topk_matrix's query-side cap)
+            raise ValueError(
+                "semantic_dedup: no medoid centroids — no vec_id is "
+                f"divisible by centroid_every={centroid_every}; lower "
+                "centroid_every or remap ids"
+            )
+        cells = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),

@@ -69,6 +69,13 @@ _DRIVER_WINDOW = [
     "streaming_components_index",
     "streaming_dedup_pipeline",
     "streaming_neardup_pipeline",
+    # semdedup-from-maintained-cells (late r12): the new row, the batch
+    # row whose oracle/operator refactored, and the two vector-index
+    # rows whose transitive closure gained the serving method.
+    "streaming_semdedup_prune",
+    "semdedup_prune",
+    "streaming_ivf_ann",
+    "streaming_ivf_recluster",
     "doc_curation_decision_v2",
     "doc_curation_decision",
     "streaming_curation_index",
@@ -114,15 +121,15 @@ _DRIVER_WINDOW = [
     "event_rate_anomalies",
     "similarity_multiprobe_lsh",
     "similarity_margin_probe_lsh",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r9-green remainder (leads the r13 fill; the first ten were
+    # displaced from the r12 window by the ten new/changed r12 rows).
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",
     "pricing_summary",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r9-green remainder (leads the r13 fill; the first six were
-    # displaced from the r12 window by the six r12 build rows).
     "status_counts",
     "key_roundtrip",
     "orders_per_customer_list",
@@ -191,7 +198,6 @@ _DRIVER_WINDOW = [
     "dedup_substring_spans",
     "embedding_label_centroids",
     "bloom_membership_audit",
-    "semdedup_prune",
     "streaming_hll_window_users",
     # r11-green block (driver row r11 — the youngest class; fills last).
     "dedup_exact_v2",
@@ -211,10 +217,8 @@ _DRIVER_WINDOW = [
     "doc_token_stats",
     "doc_repetition_scores",
     "streaming_index_bm25",
-    "streaming_ivf_ann",
     "streaming_dedup_index",
     "streaming_minhash_index",
-    "streaming_ivf_recluster",
     "similarity_ivf_ann",
     "doc_lm_score",
     "streaming_weighted_reservoir",

@@ -510,9 +510,14 @@ def _cos_sql(x: str, y: str) -> str:
     )
 
 
-@register(
-    "semdedup_prune",
-    f"""
+def _semdedup_oracle() -> str:
+    """The batch SemDeDup replay (medoid cells at the pinned stride,
+    within-cell pairs, tau verdicts) — shared by the batch
+    semdedup_prune row and the maintained-cells streaming row
+    (streaming_semdedup_prune): the maintained index provably
+    converges to the batch cell assignment against the same pinned
+    medoids, so ONE oracle serves both."""
+    return f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding FROM embeddings
         WHERE vec_id % {S.SEMDEDUP_CENTROID_EVERY} = 0
@@ -542,7 +547,12 @@ def _cos_sql(x: str, y: str) -> str:
     )
     SELECT c.vec_id, c.cell_id, d.dup_of IS NULL AS kept, d.dup_of
     FROM cells c LEFT JOIN dup d ON d.id_b = c.vec_id
-    """,
+    """
+
+
+@register(
+    "semdedup_prune",
+    _semdedup_oracle(),
     doc=f"SemDeDup semantic pruning (Abbas'23): embeddings clustered to "
     f"coarse medoid cells (every {S.SEMDEDUP_CENTROID_EVERY}th id), "
     "within-cell cosine pairs only (~N^2/K, never a cross join), drop "

@@ -2000,3 +2000,53 @@ def q_streaming_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_semdedup_oracle() -> str:
+    # The maintained cell assignment provably equals the batch
+    # ivf_assign against the same pinned stride-100 medoids
+    # (vector_index convergence contract), and semantic_dedup's verdict
+    # stage is a pure function of (cells, vectors, tau) — so the batch
+    # SemDeDup oracle serves the maintained-cells row unchanged (the
+    # one-oracle-for-both argument, eighth instance).
+    from worker_spark.queries.simq import _semdedup_oracle
+
+    return _semdedup_oracle()
+
+
+@register(
+    "streaming_semdedup_prune",
+    _streaming_semdedup_oracle(),
+    doc="SemDeDup semantic pruning served from the MAINTAINED IVF cell "
+    "assignment: the index is built through Structured Streaming "
+    "against pinned stride-100 medoids (including a stale-NEGATED "
+    "update batch whose corrected vectors must move cells), then the "
+    "within-cell keep/drop verdicts run against the STORED cells — the "
+    "N*K coarse-assignment stage, the corpus-size-times-codebook half "
+    "of batch SemDeDup, is amortized into index maintenance and never "
+    "re-paid at serve time. Hash-checked against the batch SemDeDup "
+    "oracle. Ties the selection family to the vector index's "
+    "maintain -> monitor -> retrain -> serve lifecycle.",
+)
+def q_streaming_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    feed = tempfile.mkdtemp(prefix="sdp_feed_")
+    ckpt = tempfile.mkdtemp(prefix="sdp_ckpt_")
+    state = tempfile.mkdtemp(prefix="sdp_state_")
+    try:
+        idx = _ivf_maintained_index(
+            spark, emb, feed, ckpt, state, "streaming_semdedup_prune"
+        )
+        return idx.semdedup_prune(emb, tau=S.SEMDEDUP_TAU).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -520,6 +520,29 @@ class IncrementalVectorIndex:
     def cells(self, buckets: list[int] | None = None) -> DataFrame:
         return self.store.read(self.CELLS, CELLS_SCHEMA, buckets)
 
+    def semdedup_prune(self, vectors: DataFrame, tau: float | None = None):
+        """SemDeDup semantic pruning served from the MAINTAINED cell
+        assignment (r12): the N*K coarse-assignment stage — the half of
+        batch semantic_dedup whose cost grows with the corpus times the
+        codebook — is amortized into index maintenance; serving joins
+        the stored cells to the corpus vectors and pays only the
+        within-cell pair verdicts (~N^2/K). ``vectors`` must be the
+        corpus this index maintains (the cells cover exactly its ids);
+        the maintained assignment provably equals the batch ivf_assign
+        against the same pinned centroids, so the batch semdedup oracle
+        serves the output unchanged."""
+        from worker_spark.operators import similarity as S
+
+        if tau is None:
+            tau = S.SEMDEDUP_TAU
+        cells = self.cells().select(
+            F.col("vec_id").alias(self.id_col), "cell_id"
+        )
+        return S.semantic_dedup(
+            vectors, tau=tau, id_col=self.id_col, vec_col=self.vec_col,
+            cells=cells,
+        )
+
     def _query_side(self, queries: DataFrame) -> DataFrame:
         return queries.select(
             F.col(self.id_col).cast("long").alias("q_id"),
