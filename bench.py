@@ -154,10 +154,11 @@ HEADLINE = [
     "streaming_components_index",
     "streaming_dedup_pipeline",
     "streaming_neardup_pipeline",
-    # round-12 LATE addition (after R12_ANCHOR was recorded) — no prior
-    # anchor; it joins the anchor set in r13 (the r6/r8/r9/r11
+    # round-12 LATE additions (after R12_ANCHOR was recorded) — no prior
+    # anchor; they join the anchor set in r13 (the r6/r8/r9/r11
     # precedent)
     "streaming_semdedup_prune",
+    "streaming_substring_pipeline",
 ]
 
 

@@ -262,3 +262,68 @@ def test_neardup_threshold_pins_at_creation(spark, tmp_path):
     assert again.cluster_assignments().count() == 0
     with pytest.raises(ValueError, match="threshold"):
         StreamingNearDupPipeline(spark, root, threshold=0.3)
+
+
+def test_substring_pipeline_tracks_batch_fingerprint_clusters(
+    spark, tmp_path
+):
+    """The substring composition (third seam instance): streamed labels
+    == components over the batch shared-fingerprint pair graph, through
+    a draft-then-corrected update; deletes clear fingerprints and
+    labels together."""
+    from worker_spark.operators.substrings import winnow_fingerprints
+    from worker_spark.sources.synth_corpus import documents_v2_substr
+    from worker_spark.streaming.dedup_pipeline import (
+        StreamingSubstringPipeline,
+    )
+
+    def truth(docs):
+        fps = winnow_fingerprints(docs)
+        pairs = (
+            fps.alias("a")
+            .join(
+                fps.alias("b"),
+                (F.col("a.fhash") == F.col("b.fhash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        return cluster_assignments(pairs)
+
+    docs = documents_v2_substr(spark, SF_ORACLE).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    pipe = StreamingSubstringPipeline(spark, str(tmp_path / "p"))
+    stale = F.col("doc_id") % 7 == 0
+    drafts = docs.select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pipe.apply_batch(drafts.filter(F.col("doc_id") % 2 == 0))
+    pipe.apply_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    pipe.apply_batch(docs.filter(stale))
+    assert _rows(pipe.cluster_assignments()) == _rows(truth(docs))
+    pipe.fsck()
+
+    # delete one clustered doc: fingerprints and labels leave together
+    victim = (
+        pipe.cluster_assignments().orderBy("doc_id").limit(1).collect()[0][
+            "doc_id"
+        ]
+    )
+    pipe.apply_batch(
+        spark.createDataFrame([(int(victim), "")], "doc_id long, text string")
+    )
+    remaining = docs.filter(F.col("doc_id") != int(victim))
+    assert _rows(pipe.cluster_assignments()) == _rows(truth(remaining))
+    assert (
+        pipe.substring.fprows().filter(F.col("doc_id") == victim).count()
+        == 0
+    )
+    pipe.fsck()

@@ -73,6 +73,7 @@ _DRIVER_WINDOW = [
     # row whose oracle/operator refactored, and the two vector-index
     # rows whose transitive closure gained the serving method.
     "streaming_semdedup_prune",
+    "streaming_substring_pipeline",
     "semdedup_prune",
     "streaming_ivf_ann",
     "streaming_ivf_recluster",
@@ -120,12 +121,12 @@ _DRIVER_WINDOW = [
     "event_retention_cohorts",
     "event_rate_anomalies",
     "similarity_multiprobe_lsh",
-    "similarity_margin_probe_lsh",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
-    # r9-green remainder (leads the r13 fill; the first ten were
-    # displaced from the r12 window by the ten new/changed r12 rows).
+    # r9-green remainder (leads the r13 fill; the first eleven were
+    # displaced from the r12 window by the eleven new/changed r12 rows).
+    "similarity_margin_probe_lsh",
     "event_sessions",
     "order_rollup",
     "cheapest_supplier_per_part",

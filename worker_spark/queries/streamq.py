@@ -2050,3 +2050,112 @@ def q_streaming_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_substrpipe_oracle() -> str:
+    # The composed substring pipeline converges to "shares a winnowing
+    # fingerprint" clusters over the live corpus (a corrected doc's
+    # announcement re-screens its state-read fingerprints and replaces
+    # its edge set), so the oracle is the batch winnowing chain
+    # (_SPAN_CTE through fps) extended by the shared-fingerprint pair
+    # join + recursive closure + min-label tail, re-sourced onto the
+    # planted shared-substring corpus.
+    from worker_spark.queries.substrq import _SPAN_CTE
+    from worker_spark.sources.synth_corpus import documents_v2_substr_sql
+
+    if _SPAN_CTE.count("WITH ") != 1:
+        raise RuntimeError(
+            "_streaming_substrpipe_oracle: expected exactly one WITH in "
+            "the span chain — update the RECURSIVE splice"
+        )
+    body = _SPAN_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    spairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b
+          ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    ),
+    sedges AS (
+        SELECT id_a AS s, id_b AS d FROM spairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM spairs
+    ),
+    sverts AS (SELECT DISTINCT s AS id FROM sedges),
+    sreach AS (
+        SELECT id, id AS comp FROM sverts
+        UNION
+        SELECT e.s AS id, r.comp FROM sedges e JOIN sreach r ON r.id = e.d
+    ),
+    scomp AS (SELECT id, min(comp) AS cluster_id FROM sreach GROUP BY id),
+    ssized AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM scomp GROUP BY cluster_id)
+    SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+           (c.id = c.cluster_id) AS is_survivor
+    FROM scomp c JOIN ssized s USING (cluster_id)
+    """
+    if body.count("FROM documents") != 1:
+        raise RuntimeError(
+            "_streaming_substrpipe_oracle: expected exactly one table "
+            f"reference, found {body.count('FROM documents')}"
+        )
+    body = body.replace("FROM documents", "FROM docs2s")
+    cte = documents_v2_substr_sql("docs2s")
+    return body.replace("WITH RECURSIVE ", f"WITH RECURSIVE {cte},\n    ", 1)
+
+
+@register(
+    "streaming_substring_pipeline",
+    _streaming_substrpipe_oracle(),
+    doc="COMPOSED maintained SUBSTRING pipeline (third instance of the "
+    "composition seam): one document stream drives the winnowing "
+    "fingerprint index AND the components label index through a single "
+    "apply_batch — fingerprint-state MERGE, then the screen reads the "
+    "batch's fingerprints BACK from the fps manifest the apply just "
+    "wrote (never re-winnowed) and probes only those fingerprints' "
+    "buckets; shared-fingerprint hits relabel the touched components. "
+    "The served clusters group documents sharing a >= W+K-1-char "
+    "verbatim substring — license/boilerplate/quotation families, the "
+    "grouping a curation pass reads to pick one canonical carrier per "
+    "family. No text store needed: fingerprint equality IS the match. "
+    "The update batch replaces corrected documents' edge sets "
+    "wholesale. Hash-checked against the batch winnowing chain + "
+    "recursive closure over the planted shared-block corpus.",
+)
+def q_streaming_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.sources.synth_corpus import documents_v2_substr
+    from worker_spark.streaming.dedup_pipeline import (
+        StreamingSubstringPipeline,
+        dedup_pipeline_stream,
+    )
+
+    docs = documents_v2_substr(spark, sf_dir).select("doc_id", "text")
+    stale = F.col("doc_id") % 7 == 0
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
+    feed = tempfile.mkdtemp(prefix="sspipe_feed_")
+    ckpt = tempfile.mkdtemp(prefix="sspipe_ckpt_")
+    state = tempfile.mkdtemp(prefix="sspipe_state_")
+    try:
+        _stage_feed((b0, b1, b2), feed)
+        pipe = StreamingSubstringPipeline(spark, state)
+        q = dedup_pipeline_stream(
+            spark, feed, pipe, ckpt, checkpoint_name="sspipe"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_substring_pipeline: availableNow drain "
+                "exceeded 300s"
+            )
+        return pipe.cluster_assignments().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -285,10 +285,98 @@ class StreamingNearDupPipeline:
         return self.components.cluster_assignments()
 
 
+class StreamingSubstringPipeline:
+    """The SUBSTRING composition on the same seam (third instance): the
+    winnowing-fingerprint index screens each batch, shared-fingerprint
+    hits feed the components index — live clusters of documents sharing
+    a >= W+K-1-char verbatim substring (license/boilerplate/quotation
+    families), the grouping a curation pass reads to pick one canonical
+    carrier per boilerplate family.
+
+    No text store needed (unlike the near-dup pipeline): fingerprint
+    equality IS the match — no verify stage wants the partner's text.
+    The screen reads the batch's fingerprints BACK from the fps
+    manifest the apply just wrote (the near-dup pipeline's
+    signature-reuse discipline — the batch is never re-winnowed), then
+    probes only those fingerprints' fprows buckets.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        from worker_spark.streaming.substring_index import (
+            IncrementalSubstringIndex,
+        )
+
+        self.spark = spark
+        self.substring = IncrementalSubstringIndex(
+            spark, os.path.join(root, "substring"), n_buckets=n_buckets
+        )
+        self.components = IncrementalComponentsIndex(
+            spark, os.path.join(root, "components"), n_buckets=n_buckets
+        )
+
+    def apply_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        from worker_spark.streaming.feed import last_wins
+        from worker_spark.streaming.substring_index import FPS_SCHEMA
+
+        batch = last_wins(docs, [id_col]).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).localCheckpoint(eager=True)
+        batch_ids = batch.select("doc_id").distinct().localCheckpoint(
+            eager=True
+        )
+        self.substring.apply_batch(batch, batch_id=batch_id)
+        # screen AFTER apply, from state: the batch's fingerprints come
+        # back from the fps manifest (bucket-pruned by the batch ids),
+        # within-batch pairs fall out of the same fhash equi-join
+        st = self.substring.store
+        fbuckets = st.touched_buckets(batch_ids, "doc_id")
+        qfp = st.read(
+            self.substring.FPS, FPS_SCHEMA, buckets=fbuckets
+        ).join(batch_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+        probe_buckets = st.touched_buckets(qfp, "fhash")
+        idx = self.substring.fprows(buckets=probe_buckets)
+        hits = (
+            qfp.alias("a")
+            .join(idx.alias("b"), F.col("a.fhash") == F.col("b.fhash"))
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("nbr"),
+            )
+            .distinct()
+        )
+        announcements = batch_ids.select(
+            "doc_id", F.lit(None).cast("long").alias("nbr")
+        )
+        self.components.apply_batch(
+            announcements.unionByName(hits), batch_id=batch_id
+        )
+
+    def fsck(self) -> dict[str, int]:
+        counts = self.substring.fsck()
+        counts.update(self.components.fsck())
+        return counts
+
+    # --- read side ------------------------------------------------------
+
+    def cluster_assignments(self) -> DataFrame:
+        return self.components.cluster_assignments()
+
+
 def dedup_pipeline_stream(
     spark: SparkSession,
     docs_dir: str,
-    pipeline: "StreamingDedupPipeline | StreamingNearDupPipeline",
+    pipeline: (
+        "StreamingDedupPipeline | StreamingNearDupPipeline"
+        " | StreamingSubstringPipeline"
+    ),
     checkpoint_dir: str,
     schema: T.StructType | None = None,
     available_now: bool = True,
