@@ -884,6 +884,25 @@ BENCH_OVERRIDES = {
     "event_audience_overlap": _audience_overlap_no_audit,
 }
 
+# Anchors recorded BEFORE an override landed measured the un-overridden
+# plan; comparing the overridden timing against them reads as a spurious
+# speedup (ADVICE r12). Each overridden row names the first anchor tag
+# recorded with the override active — it is excluded from every earlier
+# tag's comparison and compared normally from that tag onward.
+OVERRIDE_PLAN_CONSISTENT_SINCE = {
+    "event_audience_overlap": "r12",
+}
+ANCHOR_TAG_ORDER = [
+    "r1", "r2", "r4", "r5", "r6", "r8", "r9", "r10", "r11", "r12", "r13",
+]
+
+
+def _plan_consistent(name: str, tag: str) -> bool:
+    since = OVERRIDE_PLAN_CONSISTENT_SINCE.get(name)
+    if since is None:
+        return True
+    return ANCHOR_TAG_ORDER.index(tag) >= ANCHOR_TAG_ORDER.index(since)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -975,7 +994,11 @@ def main() -> None:
             ("r11", R11_ANCHOR),
             ("r12", R12_ANCHOR),
         ):
-            anchored = [n for n in timings if n in anchor]
+            anchored = [
+                n
+                for n in timings
+                if n in anchor and _plan_consistent(n, tag)
+            ]
             if not anchored:
                 continue
             full[f"vs_{tag}"] = {

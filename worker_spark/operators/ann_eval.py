@@ -178,7 +178,15 @@ def evaluate_ann(
                 "recall_at_k": round(_recall(_pairs(pairs_df), truth), 4),
                 "cand_pairs": int(cand_pairs),
                 "exact_pairs": int(exact_pairs),
-                "scan_frac": round(exact_pairs / (scan_denom or denom), 4),
+                # `is not None`, not `or`: a caller-supplied 0 must
+                # surface as a division error (degenerate anchor set),
+                # never silently fall back to the nq-based denom (ADVICE
+                # r12)
+                "scan_frac": round(
+                    exact_pairs
+                    / (scan_denom if scan_denom is not None else denom),
+                    4,
+                ),
                 "secs": round(secs, 2),
             }
         )
@@ -508,6 +516,9 @@ def evaluate_ann(
     embl = _lt(spark, sf_dir, "embeddings")
     anchors = embl.filter(F.col("vec_id") % 20 == 0)
     na = anchors.count()
+    # a degenerate anchor set must fail here, not divide-by-zero three
+    # record() calls later under a misleading scan_frac (ADVICE r12)
+    assert na > 0, "contrastive eval: empty anchor set (vec_id % 20)"
     cdenom = na * (n - 1)
     qlab = embl.select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")

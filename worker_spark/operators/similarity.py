@@ -1365,7 +1365,30 @@ def semantic_dedup(
     maintained-index serving path (IncrementalVectorIndex.semdedup_prune
     amortizes the N*K assignment stage into index maintenance). Must
     cover every row of ``vectors`` (the caller serves the corpus its
-    index maintains); when given, ``centroid_every`` is ignored."""
+    index maintains); when given, ``centroid_every`` is ignored.
+    Coverage is ENFORCED (r13, ADVICE): a vector missing from ``cells``
+    would silently vanish from the output via the inner join below, and
+    downstream keep-lists read absence as pruned — so an uncovered
+    vector hard-fails, mirroring the no-medoid convention."""
+    if cells is not None:
+        uncovered = (
+            vectors.select(F.col(id_col).alias("_id"))
+            .join(
+                cells.select(F.col(id_col).alias("_id")),
+                "_id",
+                "left_anti",
+            )
+            .limit(1)
+            .count()
+        )
+        if uncovered:
+            raise ValueError(
+                "semantic_dedup: the supplied `cells` assignment does "
+                "not cover every row of `vectors` — an uncovered vector "
+                "would silently disappear from the verdict table (read "
+                "as pruned downstream); re-assign the missing vectors "
+                "or serve only the covered corpus"
+            )
     if cells is None:
         centroid_every = resolve_centroid_stride(
             vectors, centroid_every, 1, id_col

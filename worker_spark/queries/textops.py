@@ -425,9 +425,11 @@ _GRAMS5 = (
 )
 
 
-@register(
-    "benchmark_contamination",
-    f"""
+def _contamination_oracle() -> str:
+    # ONE oracle for the batch row AND the maintained-screen row
+    # (streaming_contamination reuses it verbatim — the family's
+    # one-oracle-for-both pattern, ninth instance)
+    return f"""
     WITH toks5 AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
@@ -448,7 +450,12 @@ _GRAMS5 = (
     SELECT s.eval_id, s.corpus_id, s.n_shared,
            round(CAST(s.n_shared AS DOUBLE) / z.n_eval_grams, 6) AS contamination_rate
     FROM shared s JOIN ev_sizes z ON z.eval_id = s.eval_id
-    """,
+    """
+
+
+@register(
+    "benchmark_contamination",
+    _contamination_oracle(),
     doc="Benchmark decontamination scan: corpus docs sharing >= 2 distinct "
     "word-5-grams with the held-out eval split (id % 5 = 0); stop-shingle "
     "df cap bounds the equi-join fan-out at scale.",

@@ -168,30 +168,45 @@ class StreamingNearDupPipeline:
         self.components = IncrementalComponentsIndex(
             spark, os.path.join(root, "components"), n_buckets=n_buckets
         )
-        # pin the edge contract (module constant NDP_CONFIG_SCHEMA doc)
+        self._root = root
+        # verify the edge contract (module constant NDP_CONFIG_SCHEMA
+        # doc) — READ-ONLY here: the pin itself is deferred to the first
+        # apply_batch so instantiating a read-side handle never mutates
+        # the root (ADVICE r12 — a constructor write would also race the
+        # single-writer assumption if a reader opens mid-swap)
         if self.docstore.has_schema_witness(self.CONFIG):
-            stored = float(
-                self.docstore.read(self.CONFIG, NDP_CONFIG_SCHEMA)
-                .collect()[0]["threshold"]
+            self._check_threshold_pin()
+
+    DOCS = "docs"
+    CONFIG = "ndp_config"
+
+    def _check_threshold_pin(self) -> None:
+        stored = float(
+            self.docstore.read(self.CONFIG, NDP_CONFIG_SCHEMA)
+            .collect()[0]["threshold"]
+        )
+        if abs(stored - self.threshold) > 1e-12:
+            raise ValueError(
+                f"{self._root}: near-dup state was built with threshold "
+                f"{stored}, reopened with {self.threshold} — the edge "
+                "set is contract-bound; rebuild into a fresh root to "
+                "change it"
             )
-            if abs(stored - self.threshold) > 1e-12:
-                raise ValueError(
-                    f"{root}: near-dup state was built with threshold "
-                    f"{stored}, reopened with {self.threshold} — the edge "
-                    "set is contract-bound; rebuild into a fresh root to "
-                    "change it"
-                )
+
+    def _ensure_threshold_pinned(self) -> None:
+        """Write-path half of the config pin: called at the top of
+        apply_batch (the single writer), so the pin lands with the first
+        batch instead of as a constructor side effect."""
+        if self.docstore.has_schema_witness(self.CONFIG):
+            self._check_threshold_pin()
         else:
             self.docstore.write(
                 self.CONFIG,
-                spark.createDataFrame(
+                self.spark.createDataFrame(
                     [(0, self.threshold)], NDP_CONFIG_SCHEMA
                 ),
                 keys=["ckey"],
             )
-
-    DOCS = "docs"
-    CONFIG = "ndp_config"
 
     def apply_batch(
         self,
@@ -203,6 +218,7 @@ class StreamingNearDupPipeline:
         from worker_spark.operators.dedup import word_shingles
         from worker_spark.streaming.feed import last_wins
 
+        self._ensure_threshold_pinned()
         batch = last_wins(docs, [id_col]).select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
