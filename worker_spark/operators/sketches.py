@@ -472,6 +472,24 @@ def quantile_sketch(
             F.transform("_arr", lambda s: s.getField("v"))
         ).alias("_vs"),
     )
+    return rank_estimates(sampled, group_cols, quantiles)
+
+
+def rank_estimates(
+    sampled: DataFrame,
+    group_cols,
+    quantiles: tuple[tuple[int, int, str], ...] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+) -> DataFrame:
+    """The sketch's SERVING math, factored so the batch build and the
+    maintained quantile index (streaming/quantile_index.py) price
+    estimates through literally one expression: nearest-rank order
+    statistics over ``sampled`` = (group..., m, _vs sorted ascending),
+    rank chosen by INTEGER ceiling division so no float rounding can
+    diverge across engines."""
     est_cols = [
         F.element_at(
             F.col("_vs"),

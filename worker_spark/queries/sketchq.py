@@ -376,17 +376,14 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QK = K.QSK_K
 
 
-def quantile_sketch_oracle(
-    table: str, group: str, key: str, value: str
-) -> str:
-    """DuckDB replay of sketches.quantile_sketch_audit over ``table``:
-    bottom-k hash-rank sample per ``group`` (ORDER BY (hv, v) under
-    row_number — the multiset bottom-k), nearest-rank estimates by
-    integer ceiling division, exact rank-error audit. Parameterized so
-    every profiling surface (events values, document lengths, ...) uses
-    the identical construction."""
-    return f"""
-    WITH base AS (
+def _quantile_sketch_ctes(table: str, group: str, key: str, value: str) -> str:
+    """The shared CTE chain (base sample → bottom-k → nearest-rank
+    estimates) both quantile oracles compose: the audited batch row
+    appends its exact rank-error pass, the maintained-index row
+    (streaming_quantile_index) selects the estimate block verbatim —
+    the same one-serving-math-for-both split as
+    sketches.rank_estimates on the Spark side."""
+    return f"""base AS (
         SELECT {group},
                CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))
                     AS BIGINT) AS hv,
@@ -414,7 +411,36 @@ def quantile_sketch_oracle(
                max(CASE WHEN vr = (m * 9 + 9) // 10 THEN v END) AS p90_est,
                max(CASE WHEN vr = (m * 99 + 99) // 100 THEN v END) AS p99_est
         FROM vs GROUP BY 1
-    ),
+    )""".replace("{_QK}", str(_QK))
+
+
+def quantile_sketch_est_oracle(
+    table: str, group: str, key: str, value: str
+) -> str:
+    """The estimate block alone — the maintained quantile index's
+    oracle: bottom-k is associative, so the streamed sample over the
+    full history IS the batch sample, and the served estimates replay
+    through the same CTE chain with no audit pass (the audit needs a
+    corpus scan, which the maintained structure exists to avoid)."""
+    ctes = _quantile_sketch_ctes(table, group, key, value)
+    return f"""
+    WITH {ctes}
+    SELECT {group}, m, p50_est, p90_est, p99_est FROM est
+    """
+
+
+def quantile_sketch_oracle(
+    table: str, group: str, key: str, value: str
+) -> str:
+    """DuckDB replay of sketches.quantile_sketch_audit over ``table``:
+    bottom-k hash-rank sample per ``group`` (ORDER BY (hv, v) under
+    row_number — the multiset bottom-k), nearest-rank estimates by
+    integer ceiling division, exact rank-error audit. Parameterized so
+    every profiling surface (events values, document lengths, ...) uses
+    the identical construction."""
+    ctes = _quantile_sketch_ctes(table, group, key, value)
+    return f"""
+    WITH {ctes},
     aud AS (
         SELECT b.{group},
                CAST(count(*) AS BIGINT) AS n,

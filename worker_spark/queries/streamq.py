@@ -2254,3 +2254,103 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_quantile_oracle() -> str:
+    # Bottom-k is associative (bottom_k(bottom_k(A) ∪ B) =
+    # bottom_k(A ∪ B)), so the sample maintained across micro-batches —
+    # including an at-least-once re-delivered overlap slice, which the
+    # key anti-join reduces to a no-op — IS the batch sketch's sample
+    # over the full events table, and the estimate block of the batch
+    # quantile oracle serves verbatim (one oracle, two rows — the
+    # family's pattern, tenth instance). The audit pass is the one part
+    # that cannot serve from O(k·groups) state (exact ranks need a
+    # corpus scan), so the maintained row registers the estimate block
+    # alone.
+    from worker_spark.queries.sketchq import quantile_sketch_est_oracle
+
+    return quantile_sketch_est_oracle(
+        "events", "event_type", "event_id", "value"
+    )
+
+
+@register(
+    "streaming_quantile_index",
+    _streaming_quantile_oracle(),
+    doc="Incrementally-maintained MERGEABLE QUANTILE summary (VERDICT "
+    "r12 item 4 — the sketch family's last batch-only member): a "
+    "per-group bottom-k (hash, value) rank sample kept as O(k·groups) "
+    "bucketed state, folded per micro-batch through one bounded window "
+    "over the touched groups, serving p50/p90/p99 estimates with NO "
+    "corpus scan. The feed is append-only immutable events (the "
+    "contract that makes eviction sound) delivered as files "
+    "(maxFilesPerTrigger=1, availableNow) with an at-least-once "
+    "re-delivered overlap slice that the key anti-join must reduce to "
+    "a no-op. Hash-checked against the batch quantile oracle's "
+    "estimate block verbatim: associativity of bottom-k makes the "
+    "streamed sample equal the batch sample exactly.",
+)
+def q_streaming_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from worker_spark.streaming.quantile_index import (
+        IncrementalQuantileIndex,
+        quantile_maintenance_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    # Two-file feed: batch 0 the even event_ids, batch 1 the odd ones
+    # PLUS a re-delivered slice of batch 0 (id%10==0 — at-least-once
+    # delivery, the append-only feed's realistic failure mode; the
+    # maintained sample must not double-count it).
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
+    )
+    feed = tempfile.mkdtemp(prefix="qidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="qidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="qidx_state_")
+    try:
+        _stage_feed((b0, b1), feed)
+        idx = IncrementalQuantileIndex(spark, state)
+        schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("event_id", T.LongType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        q = quantile_maintenance_stream(
+            spark,
+            feed,
+            idx,
+            ckpt,
+            schema,
+            group_col="event_type",
+            key_col="event_id",
+            value_col="value",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_quantile_index: availableNow drain exceeded 300s"
+            )
+        return (
+            idx.estimates()
+            .select(
+                F.col("g").alias("event_type"),
+                "m",
+                "p50_est",
+                "p90_est",
+                "p99_est",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
