@@ -274,3 +274,96 @@ def test_decide_is_total_over_ingested_docs(spark, tmp_path):
     idx.apply_batch(docs)
     served = {r["doc_id"] for r in idx.decisions().collect()}
     assert served == {1, 2}
+
+
+def test_retrain_lifecycle_from_drifted_lm(spark, tmp_path):
+    """The right-sized -> drifted -> retrained arc (VERDICT r12 item 5,
+    mirroring test_vector_index's recluster arc): an index created with
+    an out-of-support LM rejects a large fraction of the live corpus on
+    LM-attributable reasons; retrain_advice flags it; retrain() into a
+    fresh root — LM re-trained FROM the state's own retained texts —
+    lands on the batch curation query's decisions bit-for-bit (batch
+    trains its LM inline on the same corpus). Blue/green: the old root
+    is untouched and keeps serving its pinned-regime decisions."""
+    from worker_spark.queries.textops import q_doc_curation_decision_v2
+
+    docs = _docs(spark)
+    # support disjoint from the corpus: every doc reaching the lm gate
+    # scores NULL avg_logp -> no_lm_support
+    junk = spark.createDataFrame(
+        [(900_000 + i, "æø " * 40) for i in range(5)],
+        "doc_id long, text string",
+    )
+    old = IncrementalCurationIndex(
+        spark, str(tmp_path / "old"), lm_train_docs=junk, config=_cfg()
+    )
+    old.apply_batch(docs.filter(F.col("doc_id") % 2 == 0))
+    old.apply_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    advice = old.retrain_advice()
+    assert advice["n_docs"] == docs.count()
+    assert advice["lm_rejects"] > 0 and advice["needs_retrain"]
+
+    fresh = old.retrain(str(tmp_path / "new"))
+    want = q_doc_curation_decision_v2(spark, SF_ORACLE).drop("true_lang")
+    assert _rows(fresh.decisions()) == _rows(
+        want.select(*fresh.decisions().columns)
+    )
+    # the healthy index's LM-attributable rate sits far below the flag
+    healthy = fresh.retrain_advice()
+    assert not healthy["needs_retrain"]
+    assert healthy["lm_reject_rate"] < advice["lm_reject_rate"]
+    # blue/green: the OLD root still serves its own pinned regime
+    assert old.retrain_advice() == advice
+    # retained texts migrated whole
+    assert _rows(fresh.texts()) == _rows(old.texts())
+    fresh.fsck()
+    old.fsck()
+    # a non-empty target is refused (aborted-retrain torn-state rule)
+    with pytest.raises(ValueError, match="already holds tables"):
+        old.retrain(str(tmp_path / "new"))
+
+
+def test_retained_texts_track_update_and_delete(spark, tmp_path):
+    docs = _docs(spark)
+    idx = IncrementalCurationIndex(
+        spark, str(tmp_path / "c"), lm_train_docs=docs, config=_cfg()
+    )
+    idx.apply_batch(docs.limit(50))
+    victim = docs.limit(1).collect()[0]["doc_id"]
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(int(victim), "replacement body for the retained text " * 3)],
+            "doc_id long, text string",
+        )
+    )
+    assert idx.texts().filter(F.col("doc_id") == victim).collect()[0][
+        "text"
+    ].startswith("replacement body")
+    idx.apply_batch(
+        spark.createDataFrame([(int(victim), "  ")], "doc_id long, text string")
+    )
+    assert idx.texts().filter(F.col("doc_id") == victim).count() == 0
+    assert idx.decisions().filter(F.col("doc_id") == victim).count() == 0
+    idx.fsck()  # decisions/texts key sets still identical
+
+
+def test_retrain_accepts_new_thresholds(spark, tmp_path):
+    """A retrain may also move the pinned thresholds (they are part of
+    the regime): the re-derived decisions must reflect the NEW config,
+    and reopening the new root with the old config must refuse."""
+    import dataclasses
+
+    docs = _docs(spark)
+    old = IncrementalCurationIndex(
+        spark, str(tmp_path / "old"), lm_train_docs=docs, config=_cfg()
+    )
+    old.apply_batch(docs.limit(80))
+    strict = dataclasses.replace(_cfg(), min_quality=0.99)
+    fresh = old.retrain(str(tmp_path / "new"), config=strict)
+    # nothing survives a 0.99 quality bar except never-reaching docs
+    assert fresh.decisions().filter(
+        F.col("reject_reason") == "low_quality"
+    ).count() > 0
+    assert fresh.config == strict
+    with pytest.raises(ValueError, match="config differs"):
+        IncrementalCurationIndex(spark, str(tmp_path / "new"), config=_cfg())

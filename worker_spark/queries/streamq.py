@@ -6,6 +6,7 @@ a DuckDB tumbling-window aggregation."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -2354,3 +2355,122 @@ def q_streaming_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_curation_retrain_oracle() -> str:
+    # After the retrain, the fresh root's LM is trained on the state's
+    # retained texts == the canonical corpus — exactly the corpus the
+    # batch curation query trains on inline — and the thresholds are
+    # the same pinned constants, so the batch curation oracle serves
+    # VERBATIM for the POST-retrain decisions (the recluster rows'
+    # argument applied to the curation lifecycle; one-oracle-for-both
+    # #11). The pre-retrain decisions (drifted LM) are deliberately NOT
+    # oracle-visible: they are the drift the lifecycle exists to fix.
+    from worker_spark.queries.textops import _curation_v2_oracle
+
+    return _curation_v2_oracle()
+
+
+@register(
+    "streaming_curation_retrain",
+    _streaming_curation_retrain_oracle(),
+    doc="The curation index's RETRAIN lifecycle (VERDICT r12 item 5 — "
+    "the IVF recluster discipline applied to the pinned LM/threshold "
+    "regime): an index created with an out-of-support LM ingests the "
+    "corpus through the maintenance stream, retrain_advice() flags the "
+    "LM-attributable reject drift, and retrain() blue/greens into a "
+    "fresh root — LM re-trained FROM the state's own retained texts, "
+    "every decision re-derived in one bulk MERGE, non-empty target "
+    "refused. Hash-checked against the batch curation oracle verbatim: "
+    "the post-retrain decisions must equal the batch decision table "
+    "whose LM trains inline on the same corpus.",
+)
+def q_streaming_curation_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.queries.textops import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_SW,
+        CURATION2_MAX_TBR,
+        CURATION2_MIN_LOGP,
+        CURATION2_MIN_QUALITY,
+        CURATION2_MIN_TTR,
+        CURATION2_TARGET,
+    )
+    from worker_spark.operators.text import GOPHER_MIN_STOPWORD_HITS
+    from worker_spark.sources.synth_corpus import documents_v2_lang
+    from worker_spark.streaming.curation_index import (
+        CurationConfig,
+        IncrementalCurationIndex,
+        curation_maintenance_stream,
+    )
+
+    d = documents_v2_lang(spark, sf_dir)
+    docs = d.select("doc_id", "text")
+    # the drifted creation-time LM: support disjoint from the corpus
+    junk = spark.createDataFrame(
+        [(900_000 + i, "æø " * 40) for i in range(5)],
+        "doc_id long, text string",
+    )
+    feed = tempfile.mkdtemp(prefix="crt_feed_")
+    ckpt = tempfile.mkdtemp(prefix="crt_ckpt_")
+    state = tempfile.mkdtemp(prefix="crt_state_")
+    state2 = tempfile.mkdtemp(prefix="crt_state2_") + "/fresh"
+    try:
+        _stage_feed(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            ),
+            feed,
+        )
+        idx = IncrementalCurationIndex(
+            spark,
+            state,
+            lm_train_docs=junk,
+            config=CurationConfig(
+                target_lang=CURATION2_TARGET,
+                min_quality=CURATION2_MIN_QUALITY,
+                min_ttr=CURATION2_MIN_TTR,
+                max_tbr=CURATION2_MAX_TBR,
+                min_logp=CURATION2_MIN_LOGP,
+                gopher_min_words=_GOPHER_MIN_WORDS,
+                gopher_stopwords=_GOPHER_SW,
+                gopher_min_sw_hits=GOPHER_MIN_STOPWORD_HITS,
+            ),
+        )
+        q = curation_maintenance_stream(spark, feed, idx, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_curation_retrain: availableNow drain exceeded 300s"
+            )
+        advice = idx.retrain_advice()
+        if not advice["needs_retrain"]:
+            raise AssertionError(
+                "streaming_curation_retrain: the drifted-LM root must "
+                f"flag retrain; got {advice}"
+            )
+        fresh = idx.retrain(state2)
+        return (
+            fresh.decisions()
+            .join(d.select("doc_id", "true_lang"), "doc_id")
+            .select(
+                "doc_id",
+                "true_lang",
+                "pred_lang",
+                "quality_score",
+                "type_token_ratio",
+                "top_bigram_ratio",
+                "avg_logp",
+                "passes_gopher",
+                "keep",
+                "reject_reason",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(state2), ignore_errors=True)

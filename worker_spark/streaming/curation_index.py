@@ -80,6 +80,12 @@ CONFIG_SCHEMA = T.StructType(
         T.StructField("gopher_min_sw_hits", T.LongType(), False),
     ]
 )
+TEXTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
 DECISIONS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -125,6 +131,7 @@ class IncrementalCurationIndex:
     against the pinned model, decisions replaced by doc_id."""
 
     DECISIONS = "decisions"
+    TEXTS = "texts"
     LM = "lm"
     CONFIG = "config"
 
@@ -137,6 +144,7 @@ class IncrementalCurationIndex:
         n_buckets: int = 16,
     ):
         self.spark = spark
+        self.root = root
         self.store = BucketedParquetStateStore(spark, root, n_buckets)
         created = self.store.exists(self.CONFIG) and (
             self.store.has_schema_witness(self.CONFIG)
@@ -175,10 +183,16 @@ class IncrementalCurationIndex:
                     "batch would score over no support and the "
                     "lm gate would never fire"
                 )
-            # lm BEFORE config: the config's schema witness is the
-            # created-ness marker (checked above), so a crash between
-            # the two writes replays as "not created" and re-pins both
+            # lm and texts BEFORE config: the config's schema witness
+            # is the created-ness marker (checked above), so a crash
+            # between the writes replays as "not created" and re-pins
+            # everything
             self.store.write(self.LM, model, keys=["bigram"])
+            self.store.write(
+                self.TEXTS,
+                self.spark.createDataFrame([], TEXTS_SCHEMA),
+                keys=["doc_id"],
+            )
             self.store.write(
                 self.CONFIG,
                 self.spark.createDataFrame(
@@ -320,6 +334,104 @@ class IncrementalCurationIndex:
             bucket_col="doc_id",
             delete_on="doc_id",
         )
+        # the retained corpus text (r12 item 5 — what makes retrain()
+        # self-contained): same buckets as decisions, same delete
+        # semantics. Crash order decisions-then-texts is safe: a torn
+        # batch replays the identical delete-then-insert on both.
+        store.delete_then_insert(
+            self.TEXTS,
+            delete_keys=batch_ids,
+            inserts=live.select("doc_id", "text"),
+            schema=TEXTS_SCHEMA,
+            bucket_col="doc_id",
+            delete_on="doc_id",
+        )
+
+    # --- lifecycle (VERDICT r12 item 5: the IVF recluster discipline) ---
+
+    def retrain_advice(self, max_lm_reject_rate: float = 0.1) -> dict:
+        """The drift monitor production curation polls to decide WHEN
+        to retrain (retrain is the how — the recluster_advice analog).
+        The pinned LM is the one decision input that DRIFTS: it was
+        trained on the creation-time corpus, and as the live corpus
+        moves (new domains, new languages), documents increasingly
+        score outside its support (no_lm_support) or far below its
+        norm (lm_outlier). Both rejects are LM-attributable, so their
+        combined rate against the current decision table is the drift
+        signal; the funnel mix is reported alongside. Cost: one
+        conditional count over decisions() — cheap enough to run per
+        maintenance tick."""
+        agg = self.decisions().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("reject_reason")
+                .isin("no_lm_support", "lm_outlier")
+                .cast("long")
+            ).alias("lm_rejects"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()[0]
+        n = agg["n"] or 0
+        lm_rejects = agg["lm_rejects"] or 0
+        rate = (lm_rejects / n) if n else 0.0
+        return {
+            "n_docs": n,
+            "n_kept": agg["kept"] or 0,
+            "lm_rejects": lm_rejects,
+            "lm_reject_rate": round(rate, 3),
+            "needs_retrain": n > 0 and rate >= max_lm_reject_rate,
+        }
+
+    def retrain(
+        self,
+        new_root: str,
+        lm_train_docs: DataFrame | None = None,
+        config: CurationConfig | None = None,
+        n_buckets: int | None = None,
+    ) -> "IncrementalCurationIndex":
+        """LM/threshold refresh as a blue/green migration — the same
+        lifecycle step the IVF index got as recluster(): the pinned LM
+        cannot be swapped IN PLACE (every stored decision derives from
+        it — the convergence contract), so a retrain is a FRESH ROOT:
+        train the new model, pin it with the (possibly new) thresholds,
+        and re-derive every decision in one bulk MERGE. The corpus is
+        never re-read from source — the state's own ``texts`` table is
+        both the default training corpus and the re-decide input — and
+        the old root stays live for serving until the caller cuts the
+        maintenance stream over (blue/green). Reusing apply_batch for
+        the bulk load makes equality to a batch build under the new pin
+        hold by construction. O(state) once per retrain, the same cost
+        class as a capacity re-shard; refuses a non-empty target (an
+        aborted retrain's bulk load can be torn and converging over it
+        is not replay-safe — the recluster discipline)."""
+        import os
+
+        leftovers = (
+            sorted(
+                t
+                for t in os.listdir(new_root)
+                if os.path.isdir(os.path.join(new_root, t))
+            )
+            if os.path.isdir(new_root)
+            else []
+        )
+        if leftovers:
+            raise ValueError(
+                f"{new_root}: target root already holds tables "
+                f"{leftovers} — discard the root and rerun (the "
+                "recluster discipline)"
+            )
+        corpus = self.texts().localCheckpoint(eager=True)
+        fresh = IncrementalCurationIndex(
+            self.spark,
+            new_root,
+            lm_train_docs=(
+                lm_train_docs if lm_train_docs is not None else corpus
+            ),
+            config=config or self.config,
+            n_buckets=n_buckets or self.store.n_buckets,
+        )
+        fresh.apply_batch(corpus)
+        return fresh
 
     def clone_rebucketed(
         self, new_root: str, n_buckets: int
@@ -330,14 +442,28 @@ class IncrementalCurationIndex:
         return IncrementalCurationIndex(self.spark, new_root)
 
     def fsck(self) -> dict[str, int]:
-        """Placement check for all three tables (after surgery or a
-        migration); raises on violation, returns checked row counts."""
-        return {
+        """Placement check for all four tables, then derivation: the
+        decisions and texts key sets must be identical (a decision with
+        no retained text would silently vanish from the next retrain).
+        Raises on violation, returns checked row counts."""
+        counts = {
             t: self.store.verify_layout(t)
-            for t in (self.DECISIONS, self.LM, self.CONFIG)
+            for t in (self.DECISIONS, self.TEXTS, self.LM, self.CONFIG)
         }
+        d = self.decisions().select("doc_id")
+        t = self.texts().select("doc_id")
+        drift = d.exceptAll(t).count() + t.exceptAll(d).count()
+        if drift:
+            raise RuntimeError(
+                f"{self.root}: decisions and retained texts drifted by "
+                f"{drift} doc ids — reseed or replay"
+            )
+        return counts
 
     # --- read side --------------------------------------------------------
+
+    def texts(self) -> DataFrame:
+        return self.store.read(self.TEXTS, TEXTS_SCHEMA)
 
     def decisions(self, buckets: list[int] | None = None) -> DataFrame:
         return self.store.read(self.DECISIONS, DECISIONS_SCHEMA, buckets)
