@@ -159,6 +159,12 @@ HEADLINE = [
     # precedent)
     "streaming_semdedup_prune",
     "streaming_substring_pipeline",
+    # round-13 builds (contamination screen, maintained quantile summary,
+    # curation retrain lifecycle) — no prior anchor; they join the anchor
+    # set in r13's close anchor
+    "streaming_contamination",
+    "streaming_quantile_index",
+    "streaming_curation_retrain",
 ]
 
 

@@ -616,6 +616,35 @@ def state_probe() -> None:
 
     edge_batch = _edge_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.contamination_index import (
+        IncrementalContaminationScreen,
+    )
+    from worker_spark.streaming.quantile_index import IncrementalQuantileIndex
+
+    def _eval_corpus(n: int):
+        # pinned eval split: ids disjoint from both the seeded corpus
+        # (0..n-1) and the arrival batch (900M+); unique 5-grams so the
+        # probe measures MERGE economics, not pair fan-out
+        return spark.range(n).select(
+            (F.col("id") + F.lit(950_000_000)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("ev"), F.col("id"), F.lit(s))
+                    for s in "abcde"
+                ],
+            ).alias("text"),
+        ).localCheckpoint()
+
+    def _q_corpus(n: int, id0: int = 0):
+        return spark.range(n).select(
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("g"),
+            (F.col("id") + F.lit(id0)).cast("string").alias("kid"),
+            ((F.col("id") * 7 % 1009).cast("double") / 1009.0).alias("v"),
+        ).localCheckpoint()
+
+    q_batch = _q_corpus(20, id0=900_000_000)
+
     from worker_spark.streaming.curation_index import (
         CurationConfig,
         IncrementalCurationIndex,
@@ -682,6 +711,26 @@ def state_probe() -> None:
             IncrementalComponentsIndex(spark, work, n_buckets=nb),
             _edge_corpus,
             edge_batch,
+        ),
+        # r13 structures. Contamination: postings/manifest MERGE over
+        # unique-shingle docs (pairs stay empty — the economics under
+        # test are the corpus side's). Quantile: the bounded-state
+        # outlier — state is O(k·groups) by construction, so BOTH
+        # columns should stay ~flat AND tiny as seeded rows grow 10x.
+        "contamination": lambda work, nb: (
+            IncrementalContaminationScreen(
+                spark,
+                work,
+                eval_docs=_eval_corpus(50),
+                n_buckets=nb,
+            ),
+            _doc_corpus,
+            doc_batch,
+        ),
+        "quantile": lambda work, nb: (
+            IncrementalQuantileIndex(spark, work, n_buckets=nb),
+            _q_corpus,
+            q_batch,
         ),
     }
     fam_rows = []

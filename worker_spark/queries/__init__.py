@@ -51,81 +51,48 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-12 rotation. ----
+    # ---- Round-13 rotation. ----
     # (a) Every query transitively CHANGED this round (verified by
-    # tools/query_hashes.py against the r11 close): the r11-advice
-    # fixes — the curation family's total-decide/no_lm_support left
-    # join (curation_reason gained the NULL branch, so the batch v1/v2
-    # decisions, the streaming index, and dedup_best_of_cluster all
-    # rehash) and the multimodal ASCII-invariant guard at the
-    # documents_as_media boundary (all three media rows rehash).
-    # r12 build items (VERDICT r11 items 2 and 4): the de-weaked
-    # contrastive pair (v2 = blocked binary-code scan, NEW; v1 re-doc'd
-    # as the exact small-N baseline) and the tenth maintained
-    # structure's registered row.
-    "contrastive_hard_negatives_v2",
-    "contrastive_hard_negatives",
-    "streaming_substring_index",
+    # tools/query_hashes.py against the r12 close): the three r13
+    # builds (maintained quantile summary, curation retrain
+    # lifecycle, contamination screen) and their oracle/operator
+    # refactor rehashes (rank_estimates split: event_quantile_sketch,
+    # doc_length_quantiles; curation texts table; the r13 advice
+    # fixes: semdedup coverage hard-fail; star-first relabel policy:
+    # the components family), plus every registered streaming feed
+    # rehashed by the 3->2 micro-batch trim (VERDICT r12 item 2).
+    "streaming_quantile_index",
+    "streaming_curation_retrain",
+    "streaming_contamination",
+    "event_quantile_sketch",
+    "doc_length_quantiles",
+    "streaming_curation_index",
+    "benchmark_contamination",
+    "semdedup_prune",
+    "streaming_semdedup_prune",
+    "dedup_best_of_cluster",
+    "dedup_cluster_components",
+    "dedup_cluster_components_v2",
+    "dedup_pagerank_centrality",
     "streaming_components_index",
     "streaming_dedup_pipeline",
     "streaming_neardup_pipeline",
-    # semdedup-from-maintained-cells (late r12): the new row, the batch
-    # row whose oracle/operator refactored, and the two vector-index
-    # rows whose transitive closure gained the serving method.
-    "streaming_semdedup_prune",
     "streaming_substring_pipeline",
-    "semdedup_prune",
+    "streaming_substring_index",
+    "streaming_exact_index",
+    "streaming_minhash_index",
+    "streaming_dedup_index",
+    "streaming_index_bm25",
     "streaming_ivf_ann",
     "streaming_ivf_recluster",
-    "doc_curation_decision_v2",
-    "doc_curation_decision",
-    "streaming_curation_index",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "dedup_best_of_cluster",
-    # (b) The stale r8-green block (VERDICT r12 item 1 — last driver
-    # row r8, re-verified by the r11 parity sweep but 4 rounds without
-    # a DRIVER row; the whole block gets r12 rows).
-    "dedup_simhash",
-    "dedup_incremental",
-    "doc_quality_filter",
-    "doc_lang_id",
-    "doc_fingerprint_dupes",
-    "inline_ref_codes",
-    "doc_tfidf_topk",
-    "benchmark_contamination",
-    "pii_redaction",
-    "article_analysis",
-    "doc_length_quantiles",
-    "kmv_distinct_users",
-    "event_value_percentiles",
-    "doc_dsir_selection",
-    "event_quantile_sketch",
-    "top_revenue_orders",
-    "doc_sequence_pack",
-    "doc_substring_dedup_report",
-    "doc_mixture_weights",
-    "token_cms_heavy_hitters",
-    # (c) r9-green fill: the oldest remaining class, in its standing
-    # order, up to the 50-slot boundary.
-    "doc_tfidf_topk_v2",
-    "doc_bm25_topk_v2",
-    "doc_bm25f_topk",
-    "event_audience_overlap",
-    "lang_shingle_overlap",
-    "join_skew_profile",
-    "doc_rag_chunks",
-    "events_zorder_layout",
-    "event_funnel_conversion",
-    "event_retention_cohorts",
-    "event_rate_anomalies",
-    "similarity_multiprobe_lsh",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r9-green remainder (leads the r13 fill; the first eleven were
-    # displaced from the r12 window by the eleven new/changed r12 rows).
+    "streaming_heavy_hitters",
+    "streaming_stratified_reservoir",
+    "streaming_weighted_reservoir",
+    "streaming_cms_window_users",
+    "streaming_hll_window_users",
+    # (b) r9-green fill: the longest-stale class (VERDICT r12 item 1 -
+    # displaced from the r12 window by its new/changed rows), in its
+    # standing order, up to the 50-slot boundary.
     "similarity_margin_probe_lsh",
     "event_sessions",
     "order_rollup",
@@ -147,6 +114,40 @@ _DRIVER_WINDOW = [
     "orders_with_returns",
     "customers_without_orders",
     "customer_any_return",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r9-green remainder, then the r10/r11 blocks in standing order
+    # (oldest driver row first); the r12-green block fills last.
+    "dedup_simhash",
+    "dedup_incremental",
+    "doc_quality_filter",
+    "doc_lang_id",
+    "doc_fingerprint_dupes",
+    "inline_ref_codes",
+    "doc_tfidf_topk",
+    "pii_redaction",
+    "article_analysis",
+    "kmv_distinct_users",
+    "event_value_percentiles",
+    "doc_dsir_selection",
+    "top_revenue_orders",
+    "doc_sequence_pack",
+    "doc_substring_dedup_report",
+    "doc_mixture_weights",
+    "token_cms_heavy_hitters",
+    "doc_tfidf_topk_v2",
+    "doc_bm25_topk_v2",
+    "doc_bm25f_topk",
+    "event_audience_overlap",
+    "lang_shingle_overlap",
+    "join_skew_profile",
+    "doc_rag_chunks",
+    "events_zorder_layout",
+    "event_funnel_conversion",
+    "event_retention_cohorts",
+    "event_rate_anomalies",
+    "similarity_multiprobe_lsh",
     "outbox_drain_cap",
     "global_cursors",
     "doc_quota_sample",
@@ -156,7 +157,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_blocked",
     "similarity_graph_ann",
     "graph_nn_descent_stats",
-    # r10-green block (driver row r10, unchanged since).
     "doc_ngram_novelty",
     "embedding_cluster_balance",
     "doc_char_entropy_v2",
@@ -175,8 +175,6 @@ _DRIVER_WINDOW = [
     "streaming_stateful_sessions",
     "streaming_view_purchase_join",
     "streaming_dedup_keys",
-    "dedup_cluster_components",
-    "dedup_pagerank_centrality",
     "dedup_translit_shingles",
     "doc_cdc_chunks",
     "doc_cdc_chunks_clamped",
@@ -199,16 +197,12 @@ _DRIVER_WINDOW = [
     "dedup_substring_spans",
     "embedding_label_centroids",
     "bloom_membership_audit",
-    "streaming_hll_window_users",
-    # r11-green block (driver row r11 — the youngest class; fills last).
     "dedup_exact_v2",
     "dedup_ngram_jaccard_v2",
-    "dedup_cluster_components_v2",
     "doc_substring_dedup_report_v2",
     "doc_lang_id_v2",
     "doc_quality_filter_v2",
     "token_bigram_collocations_v2",
-    "streaming_exact_index",
     "dedup_simhash_v2",
     "dedup_minhash_lsh_v2",
     "doc_token_stats_v2",
@@ -217,20 +211,13 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "doc_token_stats",
     "doc_repetition_scores",
-    "streaming_index_bm25",
-    "streaming_dedup_index",
-    "streaming_minhash_index",
     "similarity_ivf_ann",
     "doc_lm_score",
-    "streaming_weighted_reservoir",
     "doc_weighted_reservoir",
-    "streaming_heavy_hitters",
-    "streaming_stratified_reservoir",
     "doc_hybrid_rrf_topk_v2",
     "inverted_index_postings_v2",
     "bloom_incremental_dedup",
     "crawl_frontier_schedule",
-    "streaming_cms_window_users",
     "doc_mixture_interleave",
     "sync_outbox_tick",
     "outbox_dashboard",
@@ -242,6 +229,13 @@ _DRIVER_WINDOW = [
     "article_search_documents",
     "doc_build_scale",
     "dedup_edit_distance",
+    "contrastive_hard_negatives_v2",
+    "contrastive_hard_negatives",
+    "doc_curation_decision_v2",
+    "doc_curation_decision",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
 ]
 
 
