@@ -292,3 +292,58 @@ def test_fsck_catches_posting_manifest_drift(spark, tmp_path):
     assert nuked
     with pytest.raises(RuntimeError, match="drifted"):
         scr.fsck()
+
+
+def test_contamination_stream_restart_resumes_from_checkpoint(
+    spark, tmp_path
+):
+    """Kill-and-resume symmetry with the rest of the index family: a
+    second availableNow stream over the same checkpoint processes only
+    files landed after the first drain (3-batch coverage lives here —
+    the registered feed is 2 files), the screen handle RECONSTRUCTED
+    from the pinned root (bare reopen), and the maintained decisions
+    still equal the batch scan exactly."""
+    import glob
+    import os as _os
+    import shutil
+
+    from worker_spark.streaming.contamination_index import (
+        contamination_maintenance_stream,
+    )
+
+    ev, co = _fixture_split(spark, limit=120)
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+
+    def land(batch, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(_os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, _os.path.join(feed, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    root = str(tmp_path / "x")
+    ckpt = str(tmp_path / "ckpt")
+    stale = F.col("doc_id") % 10 == 1
+    land(
+        co.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.when(stale, F.substring("text", 1, 40))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ),
+        "b0",
+    )
+    scr = IncrementalContaminationScreen(spark, root, eval_docs=ev)
+    q = contamination_maintenance_stream(spark, feed, scr, ckpt)
+    assert q.awaitTermination(180)
+
+    land(co.filter(F.col("doc_id") % 2 == 1), "b1")
+    land(co.filter(stale & (F.col("doc_id") % 2 == 0)), "b2")
+    reopened = IncrementalContaminationScreen(spark, root)
+    q2 = contamination_maintenance_stream(spark, feed, reopened, ckpt)
+    assert q2.awaitTermination(180)
+    assert _rows(reopened.decisions().select(
+        "eval_id", "corpus_id", "n_shared", "contamination_rate"
+    )) == _rows(_expected(spark, ev, co, n=5, min_shared=2))
+    reopened.fsck()

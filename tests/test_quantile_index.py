@@ -178,3 +178,63 @@ def test_fsck_catches_overfull_group(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="bounded-sample invariant"):
         idx.fsck()
+
+
+def test_quantile_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume symmetry with the rest of the index family: a
+    second availableNow stream over the same checkpoint processes only
+    files landed after the first drain (3-batch coverage lives here —
+    the registered feed is 2 files), the index handle RECONSTRUCTED
+    from the pinned root, and the served estimates still equal the
+    batch sketch exactly."""
+    import glob
+    import os as _os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from worker_spark.streaming.quantile_index import (
+        quantile_maintenance_stream,
+    )
+
+    e = _events(spark).limit(3000).localCheckpoint(eager=True)
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+
+    def land(batch, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(_os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, _os.path.join(feed, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    root = str(tmp_path / "x")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+    def run_stream(idx):
+        return quantile_maintenance_stream(
+            spark, feed, idx, ckpt, schema,
+            group_col="event_type", key_col="event_id", value_col="value",
+        )
+
+    land(e.filter(F.col("event_id") % 3 == 0), "b0")
+    idx = IncrementalQuantileIndex(spark, root)
+    assert run_stream(idx).awaitTermination(120)
+
+    # post-restart files include an at-least-once re-delivered slice
+    land(
+        e.filter((F.col("event_id") % 3 == 1) | (F.col("event_id") % 9 == 0)),
+        "b1",
+    )
+    land(e.filter(F.col("event_id") % 3 == 2), "b2")
+    reopened = IncrementalQuantileIndex(spark, root)
+    assert run_stream(reopened).awaitTermination(120)
+    _estimates_match_batch(reopened, e)
+    reopened.fsck()
