@@ -165,6 +165,7 @@ HEADLINE = [
     "streaming_contamination",
     "streaming_quantile_index",
     "streaming_curation_retrain",
+    "streaming_ingest_gate",
 ]
 
 

@@ -63,6 +63,7 @@ _DRIVER_WINDOW = [
     # rehashed by the 3->2 micro-batch trim (VERDICT r12 item 2).
     "streaming_quantile_index",
     "streaming_curation_retrain",
+    "streaming_ingest_gate",
     "streaming_contamination",
     "event_quantile_sketch",
     "doc_length_quantiles",
@@ -113,12 +114,12 @@ _DRIVER_WINDOW = [
     "revenue_by_nation",
     "orders_with_returns",
     "customers_without_orders",
-    "customer_any_return",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r9-green remainder, then the r10/r11 blocks in standing order
     # (oldest driver row first); the r12-green block fills last.
+    "customer_any_return",
     "dedup_simhash",
     "dedup_incremental",
     "doc_quality_filter",

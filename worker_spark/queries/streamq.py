@@ -2474,3 +2474,140 @@ def q_streaming_curation_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(os.path.dirname(state2), ignore_errors=True)
+
+
+def _ingest_gate_oracle() -> str:
+    # The composed admission table replays as ONE SQL composition of
+    # two already-oracled chains over the same corpus: the five v1
+    # signal layers gated in the monolingual (v2-reason) order — the
+    # maintained curation index's ONE decision chain — with the
+    # decontamination verdict composed in LAST (a curation reject keeps
+    # its first-failing-gate reason; 'contaminated' fires only for
+    # documents that passed every quality gate), restricted to the
+    # corpus side of the id%5 eval split. Both halves are the exact
+    # oracle bodies their standalone rows hash against (twelfth
+    # one-oracle-for-both instance, composed rather than verbatim).
+    from worker_spark.queries import _REGISTRY
+    from worker_spark.queries.textops import (
+        _QUALITY_SCORED_SQL,
+        _contamination_oracle,
+        CURATION_MAX_TBR,
+        CURATION_MIN_LOGP,
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TTR,
+    )
+
+    lang_sql = _REGISTRY["doc_lang_id"].oracle
+    rep_sql = _REGISTRY["doc_repetition_scores"].oracle
+    lm_sql = _REGISTRY["doc_lm_score"].oracle
+    gopher_sql = _REGISTRY["doc_gopher_rules"].oracle
+    ctm_sql = _contamination_oracle()
+    reason = f"""CASE
+        WHEN l.pred_lang <> 'en' THEN 'non_target_lang'
+        WHEN q.quality_score < {CURATION_MIN_QUALITY} THEN 'low_quality'
+        WHEN r.type_token_ratio < {CURATION_MIN_TTR}
+             OR r.top_bigram_ratio > {CURATION_MAX_TBR} THEN 'repetitive'
+        WHEN m.avg_logp IS NULL THEN 'no_lm_support'
+        WHEN m.avg_logp < {CURATION_MIN_LOGP} THEN 'lm_outlier'
+        WHEN NOT g.passes_gopher THEN 'gopher_fail'
+        WHEN p.doc_id IS NOT NULL THEN 'contaminated'
+        ELSE 'kept' END"""
+    return f"""
+    SELECT d.doc_id, l.pred_lang, q.quality_score,
+           r.type_token_ratio, r.top_bigram_ratio, m.avg_logp,
+           g.passes_gopher,
+           ({reason}) = 'kept' AS keep,
+           {reason} AS reject_reason
+    FROM documents d
+    JOIN ({lang_sql}) l USING (doc_id)
+    JOIN ({_QUALITY_SCORED_SQL}) q USING (doc_id)
+    JOIN ({rep_sql}) r USING (doc_id)
+    LEFT JOIN ({lm_sql}) m USING (doc_id)
+    JOIN ({gopher_sql}) g USING (doc_id)
+    LEFT JOIN (
+        SELECT DISTINCT corpus_id AS doc_id FROM ({ctm_sql})
+    ) p USING (doc_id)
+    WHERE d.doc_id % 5 <> 0
+    """
+
+
+@register(
+    "streaming_ingest_gate",
+    _ingest_gate_oracle(),
+    doc="Composed maintained INGEST GATE (fourth composition-seam "
+    "instance): the curation index and the benchmark-decontamination "
+    "screen behind ONE apply_batch — document batches arrive as files "
+    "(maxFilesPerTrigger=1, availableNow) including a stale-then-"
+    "corrected update, each batch drives both structures' MERGEs, and "
+    "the ADMISSION table (keep iff every curation gate passes AND no "
+    "live eval-set n-gram overlap; decontamination composed LAST so a "
+    "curation reject keeps its first-failing-gate reason) is derived "
+    "at serve time from the two maintained states. Hash-checked "
+    "against the SQL composition of the two standalone oracles "
+    "restricted to the corpus side of the eval split.",
+)
+def q_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.operators.text import GOPHER_MIN_STOPWORD_HITS
+    from worker_spark.queries.textops import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_SW,
+        CURATION_MAX_TBR,
+        CURATION_MIN_LOGP,
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TTR,
+    )
+    from worker_spark.streaming.curation_index import CurationConfig
+    from worker_spark.streaming.ingest_gate import (
+        StreamingIngestGate,
+        ingest_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    co = docs.filter(F.col("doc_id") % 5 != 0)
+    # Two-file feed: batch 0 the even corpus ids with a stale 40-char
+    # draft for doc_id%10==6 (flips quality/Gopher/contamination);
+    # batch 1 the odd ids plus the corrected drafts.
+    stale = F.col("doc_id") % 10 == 6
+    b0 = co.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b1 = co.filter((F.col("doc_id") % 2 == 1) | stale)
+    feed = tempfile.mkdtemp(prefix="gate_feed_")
+    ckpt = tempfile.mkdtemp(prefix="gate_ckpt_")
+    state = tempfile.mkdtemp(prefix="gate_state_")
+    try:
+        _stage_feed((b0, b1), feed)
+        gate = StreamingIngestGate(
+            spark,
+            state,
+            eval_docs=ev,
+            lm_train_docs=docs,  # the offline LM corpus (eval ∪ corpus,
+            # matching the batch oracle's inline training set)
+            config=CurationConfig(
+                target_lang="en",
+                min_quality=CURATION_MIN_QUALITY,
+                min_ttr=CURATION_MIN_TTR,
+                max_tbr=CURATION_MAX_TBR,
+                min_logp=CURATION_MIN_LOGP,
+                gopher_min_words=_GOPHER_MIN_WORDS,
+                gopher_stopwords=_GOPHER_SW,
+                gopher_min_sw_hits=GOPHER_MIN_STOPWORD_HITS,
+            ),
+        )
+        q = ingest_gate_stream(spark, feed, gate, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_ingest_gate: availableNow drain exceeded 300s"
+            )
+        return gate.admissions().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
