@@ -845,6 +845,111 @@ R12_ANCHOR: dict[str, float] = {
     "streaming_neardup_pipeline": 47.93,
 }
 
+# recorded at round-13 close by tools/record_anchor.py (the second of two
+# serialized sf0.1 runs, same-run rule for timings + calibration)
+R13_ANCHOR: dict[str, float] = {
+    "pricing_summary": 0.43,
+    "top_revenue_orders": 1.127,
+    "revenue_by_nation": 0.975,
+    "orders_with_returns": 0.53,
+    "customer_any_return": 0.501,
+    "sync_diff_classify": 0.549,
+    "event_journey": 0.204,
+    "outbox_drain_cap": 0.304,
+    "doc_token_stats": 0.174,
+    "dedup_minhash_lsh": 3.159,
+    "dedup_simhash": 2.538,
+    "similarity_cosine_topk": 0.874,
+    "similarity_lsh_ann": 1.897,
+    "dedup_embedding_blocked": 1.724,
+    "multimodal_features": 0.35,
+    "event_value_percentiles": 0.193,
+    "reverse_invalidation": 0.613,
+    "doc_build_scale": 1.931,
+    "dedup_cluster_components": 5.452,
+    "doc_sequence_pack": 0.357,
+    "doc_stratified_sample": 0.177,
+    "similarity_quantized_topk": 0.615,
+    "benchmark_contamination": 2.42,
+    "similarity_pq_refined_topk": 3.271,
+    "similarity_pq_kmeans_topk": 3.976,
+    "doc_cdc_chunks": 1.451,
+    "dedup_translit_shingles": 4.012,
+    "doc_substring_dedup_report": 0.468,
+    "hll_distinct_users": 0.315,
+    "token_cms_heavy_hitters": 1.768,
+    "bpe_train_merges": 1.906,
+    "dedup_edit_distance": 1.65,
+    "token_bigram_collocations": 0.65,
+    "similarity_opq_kmeans_topk": 5.231,
+    "search_documents_flat": 1.26,
+    "bloom_membership_audit": 0.4,
+    "doc_dsir_selection": 2.458,
+    "semdedup_prune": 0.768,
+    "doc_curation_decision": 1.629,
+    "event_quantile_sketch": 0.832,
+    "similarity_graph_ann": 5.889,
+    "event_audience_overlap": 0.403,
+    "lang_shingle_overlap": 1.466,
+    "join_skew_profile": 0.434,
+    "doc_rag_chunks": 0.218,
+    "events_zorder_layout": 0.675,
+    "similarity_binary_topk": 2.4,
+    "event_funnel_conversion": 0.544,
+    "event_retention_cohorts": 0.425,
+    "event_rate_anomalies": 0.296,
+    "similarity_multiprobe_lsh": 1.983,
+    "similarity_margin_probe_lsh": 2.134,
+    "similarity_ivfpq_residual_topk": 4.6,
+    "similarity_ivfpq_refined_topk": 4.739,
+    "streaming_index_bm25": 5.877,
+    "streaming_topk_window": 2.226,
+    "doc_bm25_topk_v2": 2.367,
+    "inverted_index_postings_v2": 1.244,
+    "doc_hybrid_rrf_topk_v2": 5.494,
+    "doc_bm25f_topk": 4.462,
+    "doc_weighted_reservoir": 0.155,
+    "embedding_cluster_balance": 0.727,
+    "doc_ngram_novelty": 2.01,
+    "doc_tfidf_topk_v2": 2.822,
+    "streaming_ivf_ann": 6.622,
+    "streaming_dedup_index": 8.682,
+    "streaming_minhash_index": 7.125,
+    "doc_char_entropy_v2": 0.478,
+    "doc_gopher_rules_v2": 0.526,
+    "doc_token_stats_v2": 0.477,
+    "doc_repetition_scores_v2": 0.548,
+    "dedup_exact_v2": 0.671,
+    "dedup_ngram_jaccard_v2": 3.449,
+    "dedup_simhash_v2": 2.997,
+    "dedup_minhash_lsh_v2": 4.413,
+    "doc_lang_id_v2": 0.544,
+    "doc_quality_filter_v2": 0.635,
+    "token_bigram_collocations_v2": 1.681,
+    "doc_curation_decision_v2": 1.91,
+    "streaming_exact_index": 4.066,
+    "dedup_cluster_components_v2": 5.856,
+    "doc_substring_dedup_report_v2": 1.456,
+    "streaming_ivf_recluster": 9.124,
+    "streaming_curation_index": 12.069,
+    "multimodal_resize": 0.343,
+    "multimodal_frame_sample": 0.323,
+    "streaming_weighted_reservoir": 2.697,
+    "streaming_heavy_hitters": 3.691,
+    "streaming_stratified_reservoir": 3.88,
+    "contrastive_hard_negatives_v2": 3.778,
+    "streaming_substring_index": 11.533,
+    "streaming_components_index": 22.959,
+    "streaming_dedup_pipeline": 19.437,
+    "streaming_neardup_pipeline": 36.005,
+    "streaming_semdedup_prune": 6.732,
+    "streaming_substring_pipeline": 34.682,
+    "streaming_contamination": 19.549,
+    "streaming_quantile_index": 4.017,
+    "streaming_curation_retrain": 21.273,
+    "streaming_ingest_gate": 32.826,
+}
+
 
 ANCHOR_CALIBRATION: dict[str, float] = {
     "r6": 0.207,
@@ -865,6 +970,14 @@ ANCHOR_CALIBRATION: dict[str, float] = {
     # first run: 333.3s at calibration 0.181; totals within 1%, flag
     # sets disjoint — the ±30% host swing, not regressions)
     "r12": 0.231,
+    # pinned by the R13 anchor-recording run (same rule): the second of
+    # two back-to-back serialized sf0.1 runs at round-13 close (sibling
+    # first run: 396.1s at calibration 0.189 — totals within 3.4%).
+    # CAVEAT (NOTES r13): both close runs AND an r12-TREE probe on the
+    # same day ran the memory/shuffle-heavy rows 1.3-1.8x the r12
+    # anchor raw while this CPU-bound calibration read FASTER (0.188 vs
+    # 0.231) — a calibration blind spot on this host window, not code.
+    "r13": 0.188,
 }
 ADJ_REGRESSION_FLAG = 1.3
 
@@ -1000,6 +1113,7 @@ def main() -> None:
             ("r10", R10_ANCHOR),
             ("r11", R11_ANCHOR),
             ("r12", R12_ANCHOR),
+            ("r13", R13_ANCHOR),
         ):
             anchored = [
                 n
@@ -1046,6 +1160,7 @@ def main() -> None:
             "total_vs_r9_adjusted",
             "total_vs_r10_adjusted",
             "total_vs_r11_adjusted",
+            "total_vs_r12_adjusted",
         ):
             if k in full:
                 out[k] = full[k]
