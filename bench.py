@@ -166,6 +166,9 @@ HEADLINE = [
     "streaming_quantile_index",
     "streaming_curation_retrain",
     "streaming_ingest_gate",
+    # round-13 LATE addition (after R13_ANCHOR was recorded) — no prior
+    # anchor; it joins the anchor set in r14 (the standing precedent)
+    "streaming_theta_overlap",
 ]
 
 

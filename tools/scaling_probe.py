@@ -645,6 +645,16 @@ def state_probe() -> None:
 
     q_batch = _q_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.theta_index import IncrementalThetaIndex
+
+    def _th_corpus(n: int, id0: int = 0):
+        return spark.range(n).select(
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("g"),
+            (F.col("id") + F.lit(id0)).alias("v"),
+        ).localCheckpoint()
+
+    th_batch = _th_corpus(20, id0=900_000_000)
+
     from worker_spark.streaming.curation_index import (
         CurationConfig,
         IncrementalCurationIndex,
@@ -731,6 +741,11 @@ def state_probe() -> None:
             IncrementalQuantileIndex(spark, work, n_buckets=nb),
             _q_corpus,
             q_batch,
+        ),
+        "theta": lambda work, nb: (
+            IncrementalThetaIndex(spark, work, n_buckets=nb),
+            _th_corpus,
+            th_batch,
         ),
     }
     fam_rows = []

@@ -610,6 +610,21 @@ def theta_set_ops(
     no exact join. NULL values are ignored (no hash); groups with no
     non-NULL values are omitted, as in kmv_distinct.
     """
+    sk = theta_sketches(df, value_col, group_col, k=k)
+    est = theta_pair_estimates(sk)
+    if not audit:
+        return est
+    return _theta_audit(df, value_col, group_col, est)
+
+
+def theta_sketches(
+    df: DataFrame, value_col: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """The sketch-BUILD stage factored out of theta_set_ops: (g, arr,
+    theta) per group via the KMV two-level bounded aggregation. The
+    maintained theta index (streaming/theta_index.py) reproduces this
+    frame from its stored bottom-k rows, so build and serve share the
+    theta rule and the estimator below prices both identically."""
     h = md5_prefix32(F.col(value_col))
     hashed = df.select(
         F.col(group_col).alias("g"), h.alias("hv")
@@ -619,7 +634,7 @@ def theta_set_ops(
         .groupBy("g", "_pid")
         .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k).alias("_arr"))
     )
-    sk = (
+    return (
         local.groupBy("g")
         .agg(
             F.slice(
@@ -628,17 +643,29 @@ def theta_set_ops(
                 k,
             ).alias("arr")
         )
-        .select(
-            "g",
-            "arr",
-            F.when(
-                F.size("arr") >= k,
-                F.element_at(F.col("arr"), k).cast("double"),
-            )
-            .otherwise(F.lit(HASH_SPACE))
-            .alias("theta"),
-        )
+        .select("g", "arr", theta_of(k))
     )
+
+
+def theta_of(k: int):
+    """theta column from a bottom-k ``arr``: the k-th minimum when the
+    sketch is full, else the whole hash space (under-full sketches are
+    exact)."""
+    return (
+        F.when(
+            F.size("arr") >= k,
+            F.element_at(F.col("arr"), k).cast("double"),
+        )
+        .otherwise(F.lit(HASH_SPACE))
+        .alias("theta")
+    )
+
+
+def theta_pair_estimates(sk: DataFrame) -> DataFrame:
+    """The pair-combine ESTIMATOR stage factored out of theta_set_ops:
+    (group_a, group_b, inter/union/diff/jaccard estimates) from a
+    (g, arr, theta) sketch frame alone — one expression for the batch
+    build and the maintained index's serve path."""
     a = sk.select(
         F.col("g").alias("group_a"),
         F.col("arr").alias("arr_a"),
@@ -683,8 +710,15 @@ def theta_set_ops(
             6,
         ).alias("jaccard_est"),
     )
-    if not audit:
-        return est
+    return est
+
+
+def _theta_audit(
+    df: DataFrame, value_col: str, group_col: str, est: DataFrame
+) -> DataFrame:
+    """theta_set_ops' exact-audit pass (the sf-scale verification path):
+    exact pair intersections/unions via a distinct self-join over the
+    RAW data, joined onto the estimates with relative errors."""
     dv = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .filter(F.col("v").isNotNull())

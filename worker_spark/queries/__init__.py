@@ -62,6 +62,9 @@ _DRIVER_WINDOW = [
     # the components family), plus every registered streaming feed
     # rehashed by the 3->2 micro-batch trim (VERDICT r12 item 2).
     "streaming_quantile_index",
+    "streaming_theta_overlap",
+    "event_audience_overlap",
+    "lang_shingle_overlap",
     "streaming_curation_retrain",
     "streaming_ingest_gate",
     "streaming_contamination",
@@ -111,14 +114,14 @@ _DRIVER_WINDOW = [
     "active_entity_keys",
     "sync_diff_classify",
     "top3_orders_per_segment",
-    "revenue_by_nation",
-    "orders_with_returns",
-    "customers_without_orders",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r9-green remainder, then the r10/r11 blocks in standing order
     # (oldest driver row first); the r12-green block fills last.
+    "revenue_by_nation",
+    "orders_with_returns",
+    "customers_without_orders",
     "customer_any_return",
     "dedup_simhash",
     "dedup_incremental",
@@ -140,8 +143,6 @@ _DRIVER_WINDOW = [
     "doc_tfidf_topk_v2",
     "doc_bm25_topk_v2",
     "doc_bm25f_topk",
-    "event_audience_overlap",
-    "lang_shingle_overlap",
     "join_skew_profile",
     "doc_rag_chunks",
     "events_zorder_layout",

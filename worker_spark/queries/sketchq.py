@@ -480,14 +480,14 @@ def q_event_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.quantile_sketch_audit(e, "value", "event_id", "event_type")
 
 
-def theta_overlap_oracle(base_sql: str, k: int = _KK) -> str:
-    """DuckDB mirror of sketches.theta_set_ops over a (g, v) base CTE
-    (``base_sql`` must yield non-NULL ``v``). Same bottom-k sketch per
-    group, same theta = min rule, same kept-hash estimators, and the
-    same exact-audit self-join — shared by every registered overlap
-    surface so the estimator logic lives in exactly one SQL body."""
-    return f"""
-    WITH base AS ({base_sql}),
+def _theta_overlap_ctes(base_sql: str, k: int) -> str:
+    """The shared CTE chain (distinct hashes → bottom-k sketch → pair
+    combine → kept-set counts) both theta oracles compose: the audited
+    batch rows append the exact self-join pass, the maintained-index
+    row (streaming_theta_overlap) prices the estimate columns from
+    ``c`` alone — the same one-serving-math-for-both split as the
+    quantile pair."""
+    return f"""base AS ({base_sql}),
     h AS (
         SELECT DISTINCT g,
                CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
@@ -521,7 +521,41 @@ def theta_overlap_oracle(base_sql: str, k: int = _KK) -> str:
                len(list_intersect(ka, kb)) AS ni,
                len(list_distinct(list_concat(ka, kb))) AS nu
         FROM p
-    ),
+    )"""
+
+
+_THETA_EST_COLS = f"""round(ni * ({_HS} / th), 3) AS inter_est,
+           round(nu * ({_HS} / th), 3) AS union_est,
+           round((na - ni) * ({_HS} / th), 3) AS diff_ab_est,
+           round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / nu
+                      ELSE 0.0 END, 6) AS jaccard_est"""
+
+
+def theta_overlap_est_oracle(base_sql: str, k: int = _KK) -> str:
+    """The estimate block alone — the maintained theta index's oracle:
+    a distinct bottom-k hash sketch is associative under inserts, so
+    the streamed sketch over the full history IS the batch sketch, and
+    the served pair estimates replay through the same CTE chain with no
+    audit pass (the exact self-join needs the raw corpus, which the
+    maintained structure exists to avoid)."""
+    ctes = _theta_overlap_ctes(base_sql, k)
+    return f"""
+    WITH {ctes}
+    SELECT group_a, group_b,
+           {_THETA_EST_COLS}
+    FROM c
+    """
+
+
+def theta_overlap_oracle(base_sql: str, k: int = _KK) -> str:
+    """DuckDB mirror of sketches.theta_set_ops over a (g, v) base CTE
+    (``base_sql`` must yield non-NULL ``v``). Same bottom-k sketch per
+    group, same theta = min rule, same kept-hash estimators, and the
+    same exact-audit self-join — shared by every registered overlap
+    surface so the estimator logic lives in exactly one SQL body."""
+    ctes = _theta_overlap_ctes(base_sql, k)
+    return f"""
+    WITH {ctes},
     dv AS (SELECT DISTINCT g, v FROM base),
     en AS (SELECT g, count(*) AS n FROM dv GROUP BY g),
     ei AS (
@@ -537,11 +571,7 @@ def theta_overlap_oracle(base_sql: str, k: int = _KK) -> str:
         LEFT JOIN ei ON ei.group_a = na.g AND ei.group_b = nb.g
     )
     SELECT c.group_a, c.group_b,
-           round(ni * ({_HS} / th), 3) AS inter_est,
-           round(nu * ({_HS} / th), 3) AS union_est,
-           round((na - ni) * ({_HS} / th), 3) AS diff_ab_est,
-           round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / nu
-                      ELSE 0.0 END, 6) AS jaccard_est,
+           {_THETA_EST_COLS},
            exact_inter, exact_union,
            round(CASE WHEN exact_inter > 0
                       THEN abs(round(ni * ({_HS} / th), 3) - exact_inter)

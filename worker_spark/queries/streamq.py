@@ -2611,3 +2611,89 @@ def q_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_theta_oracle() -> str:
+    # A theta sketch is the bottom-k of the group's DISTINCT member
+    # hashes — associative under inserts — so the sketch maintained
+    # across micro-batches (including a re-delivered membership slice,
+    # which dedups against state by hash) IS the batch sketch, and the
+    # batch theta oracle's estimate block serves verbatim (one oracle,
+    # two rows — the family's pattern, thirteenth instance). The exact
+    # audit pass is the one part that cannot serve from O(k·groups)
+    # state (it self-joins the raw corpus), so the maintained row
+    # registers the estimate block alone — the batch row keeps the
+    # audited surface.
+    from worker_spark.queries.sketchq import theta_overlap_est_oracle
+
+    return theta_overlap_est_oracle(
+        "SELECT event_type AS g, user_id AS v FROM events "
+        "WHERE user_id IS NOT NULL"
+    )
+
+
+@register(
+    "streaming_theta_overlap",
+    _streaming_theta_oracle(),
+    doc="Incrementally-maintained THETA-SKETCH overlap summary (the "
+    "sketch family's last batch-only member, closing it: windowed HLL/"
+    "CMS, maintained quantiles, now maintained set-overlap): per-group "
+    "bottom-k distinct member hashes kept as O(k·groups) bucketed "
+    "state, folded per micro-batch through one bounded window over the "
+    "touched groups, serving pairwise audience intersection / union / "
+    "difference / Jaccard estimates with NO corpus scan and NO stored "
+    "member ids. The feed is insert-only membership (the theta-sketch "
+    "theoretic limit) delivered as files (maxFilesPerTrigger=1, "
+    "availableNow) with a re-delivered overlap slice that hash-dedup "
+    "must reduce to a no-op. Hash-checked against the batch theta "
+    "oracle's estimate block verbatim.",
+)
+def q_streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from worker_spark.streaming.theta_index import (
+        IncrementalThetaIndex,
+        theta_maintenance_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # Two-file feed: batch 0 the even event rows (by user), batch 1 the
+    # odd ones PLUS a re-delivered slice of batch 0 (user%10==0 —
+    # at-least-once delivery; the sketch must not double-count).
+    b0 = e.filter(F.col("user_id") % 2 == 0)
+    b1 = e.filter(
+        (F.col("user_id") % 2 == 1) | (F.col("user_id") % 10 == 0)
+    )
+    feed = tempfile.mkdtemp(prefix="thidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="thidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="thidx_state_")
+    try:
+        _stage_feed((b0, b1), feed)
+        idx = IncrementalThetaIndex(spark, state)
+        schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("user_id", T.LongType(), True),
+            ]
+        )
+        q = theta_maintenance_stream(
+            spark,
+            feed,
+            idx,
+            ckpt,
+            schema,
+            group_col="event_type",
+            value_col="user_id",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_theta_overlap: availableNow drain exceeded 300s"
+            )
+        return idx.overlaps().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
