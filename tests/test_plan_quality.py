@@ -687,3 +687,103 @@ def test_curation_decide_plan_is_map_only_plus_broadcast_lm(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+
+
+def test_quantile_index_serve_is_state_only_bounded_agg(spark, tmp_path):
+    # The maintained quantile estimates must price from the O(k*groups)
+    # state alone: one bounded aggregation over the smp parquet, no
+    # join, no corpus table anywhere in the scan set; the apply path's
+    # window is keyed by group (bounded partitions), never
+    # unpartitioned.
+    from pyspark.sql import functions as F
+
+    from worker_spark.streaming.quantile_index import IncrementalQuantileIndex
+
+    idx = IncrementalQuantileIndex(spark, str(tmp_path / "q"), k=16)
+    idx.apply_batch(
+        spark.createDataFrame(
+            [("a", i, float(i)) for i in range(40)],
+            "g string, kid long, v double",
+        ),
+        key_col="kid",
+    )
+    est = idx.estimates()
+    plan = _physical(est)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the group agg
+    files = est.inputFiles()
+    assert files and all("/q/smp/" in f for f in files)  # state only
+
+
+def test_theta_index_serve_is_broadcast_over_state_sketches(spark, tmp_path):
+    # The maintained overlap serve keeps the batch operator's plan
+    # shape: sketches rebuilt from the ths state (bounded agg), the
+    # a < b pair stage a broadcast nested-loop over G sketch rows —
+    # corpus-size independent — and no cartesian over data rows.
+    from worker_spark.streaming.theta_index import IncrementalThetaIndex
+
+    idx = IncrementalThetaIndex(spark, str(tmp_path / "t"), k=16)
+    idx.apply_batch(
+        spark.createDataFrame(
+            [(f"g{j}", j * 100 + i) for j in range(3) for i in range(30)],
+            "g string, v long",
+        )
+    )
+    ov = idx.overlaps()
+    plan = _physical(ov)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    files = ov.inputFiles()
+    assert files and all("/t/ths/" in f for f in files)  # state only
+
+
+def test_ingest_gate_admissions_is_one_equi_join_over_state(spark, tmp_path):
+    # The composed admission serve derives from the two maintained
+    # tables alone: a per-doc equi join (decisions x distinct
+    # contaminated ids), no cartesian, no corpus table in the scan set.
+    from pyspark.sql import functions as F
+
+    from worker_spark.queries.textops import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_SW,
+        CURATION_MAX_TBR,
+        CURATION_MIN_LOGP,
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TTR,
+    )
+    from worker_spark.operators.text import GOPHER_MIN_STOPWORD_HITS
+    from worker_spark.sources import load_table
+    from worker_spark.streaming.curation_index import CurationConfig
+    from worker_spark.streaming.ingest_gate import StreamingIngestGate
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+        .localCheckpoint(eager=True)
+    )
+    gate = StreamingIngestGate(
+        spark,
+        str(tmp_path / "g"),
+        eval_docs=docs.filter(F.col("doc_id") % 5 == 0),
+        lm_train_docs=docs,
+        config=CurationConfig(
+            target_lang="en",
+            min_quality=CURATION_MIN_QUALITY,
+            min_ttr=CURATION_MIN_TTR,
+            max_tbr=CURATION_MAX_TBR,
+            min_logp=CURATION_MIN_LOGP,
+            gopher_min_words=_GOPHER_MIN_WORDS,
+            gopher_stopwords=_GOPHER_SW,
+            gopher_min_sw_hits=GOPHER_MIN_STOPWORD_HITS,
+        ),
+    )
+    gate.apply_batch(docs.filter(F.col("doc_id") % 5 != 0))
+    adm = gate.admissions()
+    plan = _physical(adm)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    files = adm.inputFiles()
+    assert files
+    assert all("/g/curation/decisions/" in f or "/g/screen/" in f for f in files)
