@@ -166,9 +166,10 @@ HEADLINE = [
     "streaming_quantile_index",
     "streaming_curation_retrain",
     "streaming_ingest_gate",
-    # round-13 LATE addition (after R13_ANCHOR was recorded) — no prior
-    # anchor; it joins the anchor set in r14 (the standing precedent)
+    # round-13 LATE additions (after R13_ANCHOR was recorded) — no prior
+    # anchor; they join the anchor set in r14 (the standing precedent)
     "streaming_theta_overlap",
+    "streaming_mixture_ledger",
 ]
 
 

@@ -655,6 +655,19 @@ def state_probe() -> None:
 
     th_batch = _th_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.mixture_ledger import IncrementalMixtureLedger
+
+    def _mx_corpus(n: int, id0: int = 0):
+        return spark.range(n).select(
+            (F.col("id") + F.lit(id0)).alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias(
+                "stratum"
+            ),
+            F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+        ).localCheckpoint()
+
+    mx_batch = _mx_corpus(20, id0=900_000_000)
+
     from worker_spark.streaming.curation_index import (
         CurationConfig,
         IncrementalCurationIndex,
@@ -746,6 +759,16 @@ def state_probe() -> None:
             IncrementalThetaIndex(spark, work, n_buckets=nb),
             _th_corpus,
             th_batch,
+        ),
+        # the maintained-aggregate pattern: mem rewrite O(touched doc
+        # buckets), ledger a constant-size single-file swap — both
+        # columns should stay ~flat as seeded state grows 10x
+        "mixture": lambda work, nb: (
+            IncrementalMixtureLedger(
+                spark, work, rates={"s0": 0.5, "s1": 0.8}, n_buckets=nb
+            ),
+            _mx_corpus,
+            mx_batch,
         ),
     }
     fam_rows = []

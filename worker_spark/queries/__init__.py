@@ -63,6 +63,7 @@ _DRIVER_WINDOW = [
     # rehashed by the 3->2 micro-batch trim (VERDICT r12 item 2).
     "streaming_quantile_index",
     "streaming_theta_overlap",
+    "streaming_mixture_ledger",
     "event_audience_overlap",
     "lang_shingle_overlap",
     "streaming_curation_retrain",
@@ -113,12 +114,12 @@ _DRIVER_WINDOW = [
     "name_fallback_resolution",
     "active_entity_keys",
     "sync_diff_classify",
-    "top3_orders_per_segment",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r9-green remainder, then the r10/r11 blocks in standing order
     # (oldest driver row first); the r12-green block fills last.
+    "top3_orders_per_segment",
     "revenue_by_nation",
     "orders_with_returns",
     "customers_without_orders",

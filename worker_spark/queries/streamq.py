@@ -2697,3 +2697,89 @@ def q_streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _streaming_mixture_oracle() -> str:
+    # The post-stream ledger is EXACTLY the batch mixture audit over
+    # the live corpus: the rates pin at creation (they decide every
+    # membership row's kept bit), the kept decision is the same
+    # deterministic md5-bucket predicate, and the feed below converges
+    # the live set to the documents table exactly (the draft doc is
+    # deleted, the stale stratum corrected) — so the batch mixture
+    # oracle serves VERBATIM (one oracle, two rows — fourteenth
+    # instance).
+    from worker_spark.queries import _REGISTRY
+
+    return _REGISTRY["doc_mixture_report"].oracle
+
+
+@register(
+    "streaming_mixture_ledger",
+    _streaming_mixture_oracle(),
+    doc="Incrementally-maintained MIXTURE LEDGER (the sampling family's "
+    "state form, and a NEW maintenance pattern for the roster: a "
+    "maintained AGGREGATE, exactly-once via a journaled per-batch delta "
+    "+ a single-bucket applied-batch watermark fence — aggregate deltas "
+    "are not naturally idempotent, so the delta is journaled BEFORE any "
+    "swap and a replay whose recomputation would be wrong uses the "
+    "journaled truth). Document batches arrive as files "
+    "(maxFilesPerTrigger=1, availableNow) including a stale-stratum "
+    "draft that the correction batch re-files under its true stratum "
+    "AND a draft document the second batch deletes; the per-stratum "
+    "audit (total vs sampled rows, target vs achieved rate) is served "
+    "from the ledger alone — an O(strata) read, no corpus scan. "
+    "Hash-checked against the batch mixture oracle verbatim.",
+)
+def q_streaming_mixture_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from worker_spark.queries.sampleq import _DEFAULT, _RATES
+    from worker_spark.streaming.mixture_ledger import (
+        IncrementalMixtureLedger,
+        mixture_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("stratum"), "text"
+    )
+    stale = F.col("doc_id") % 10 == 2
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(stale, F.lit("xx")).otherwise(F.col("stratum")).alias(
+            "stratum"
+        ),
+        "text",
+    ).unionByName(
+        spark.createDataFrame(
+            [(900_001, "en", "draft body to be deleted")],
+            "doc_id long, stratum string, text string",
+        )
+    )
+    b1 = (
+        docs.filter((F.col("doc_id") % 2 == 1) | stale)
+        .unionByName(
+            spark.createDataFrame(
+                [(900_001, "en", "  ")],
+                "doc_id long, stratum string, text string",
+            )
+        )
+    )
+    feed = tempfile.mkdtemp(prefix="mxl_feed_")
+    ckpt = tempfile.mkdtemp(prefix="mxl_ckpt_")
+    state = tempfile.mkdtemp(prefix="mxl_state_")
+    try:
+        _stage_feed((b0, b1), feed)
+        led = IncrementalMixtureLedger(
+            spark, state, rates=_RATES, default_rate=_DEFAULT
+        )
+        q = mixture_maintenance_stream(spark, feed, led, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_mixture_ledger: availableNow drain exceeded 300s"
+            )
+        return led.report().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
