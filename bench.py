@@ -170,6 +170,7 @@ HEADLINE = [
     # anchor; they join the anchor set in r14 (the standing precedent)
     "streaming_theta_overlap",
     "streaming_mixture_ledger",
+    "streaming_zorder_index",
 ]
 
 

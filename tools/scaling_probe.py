@@ -668,6 +668,19 @@ def state_probe() -> None:
 
     mx_batch = _mx_corpus(20, id0=900_000_000)
 
+    from worker_spark.streaming.zorder_index import IncrementalZOrderIndex
+
+    def _zx_corpus(n: int, id0: int = 0):
+        return spark.range(n).select(
+            (F.col("id") + F.lit(id0)).alias("event_id"),
+            (F.col("id") % 1000).alias("v1"),
+            (F.col("id") * 37 % 10_000_000).alias("v2"),
+            F.lit("t").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        ).localCheckpoint()
+
+    zx_batch = _zx_corpus(20, id0=900_000_000)
+
     from worker_spark.streaming.curation_index import (
         CurationConfig,
         IncrementalCurationIndex,
@@ -769,6 +782,13 @@ def state_probe() -> None:
             ),
             _mx_corpus,
             mx_batch,
+        ),
+        "zorder": lambda work, nb: (
+            IncrementalZOrderIndex(
+                spark, work, bounds=(0, 1000, 0, 10_000_000), n_buckets=nb
+            ),
+            _zx_corpus,
+            zx_batch,
         ),
     }
     fam_rows = []

@@ -64,6 +64,7 @@ _DRIVER_WINDOW = [
     "streaming_quantile_index",
     "streaming_theta_overlap",
     "streaming_mixture_ledger",
+    "streaming_zorder_index",
     "event_audience_overlap",
     "lang_shingle_overlap",
     "streaming_curation_retrain",
@@ -113,12 +114,12 @@ _DRIVER_WINDOW = [
     "code_first_id_wins",
     "name_fallback_resolution",
     "active_entity_keys",
-    "sync_diff_classify",
     # ---- driver window boundary: only the FIRST 50 entries above get
     # a driver row this round (tests/test_rotation_guard.py enforces
     # that anything transitively changed sits above this line). ----
     # r9-green remainder, then the r10/r11 blocks in standing order
     # (oldest driver row first); the r12-green block fills last.
+    "sync_diff_classify",
     "top3_orders_per_segment",
     "revenue_by_nation",
     "orders_with_returns",

@@ -2783,3 +2783,113 @@ def q_streaming_mixture_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+# the registered 2-D box (user_id x epoch seconds): one January week,
+# a mid-range user slice — selects a stable ~0.8% of events at any SF
+_ZBOX = (40, 90, 1_704_672_000, 1_705_276_799)
+
+
+def _streaming_zorder_oracle() -> str:
+    # Serving is EXACT regardless of the layout (the residual predicate
+    # re-applies the full box), so the oracle is the plain relational
+    # box select — the maintained structure's whole value is WHERE the
+    # rows were read from (bucket-pruned to the box's grid cells, the
+    # tests' inputFiles assertion), not WHAT comes back. epoch idiom:
+    # floor() before the BIGINT cast (DuckDB epoch() is fractional and
+    # a bare cast rounds half-even while Spark unix_timestamp floors —
+    # the events_zorder_layout lesson).
+    u_lo, u_hi, t_lo, t_hi = _ZBOX
+    return f"""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           event_type, value
+    FROM events
+    WHERE user_id BETWEEN {u_lo} AND {u_hi}
+      AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN {t_lo} AND {t_hi}
+    """
+
+
+@register(
+    "streaming_zorder_index",
+    _streaming_zorder_oracle(),
+    doc="Incrementally-maintained Z-ORDER LAYOUT index (Delta/Iceberg "
+    "OPTIMIZE ZORDER as maintained bucketed state — the batch z-order "
+    "family proves the clustering wins; this structure OWNS a layout): "
+    "normalization bounds pin at creation (measured offline — the "
+    "centroid-pin discipline; out-of-bounds arrivals clamp to edge "
+    "cells and the relayout lifecycle handles drift), event batches "
+    "arrive as files (maxFilesPerTrigger=1, availableNow) with an "
+    "at-least-once re-delivered slice, each row lands in the bucket of "
+    "its (user x time) grid cell, and a 2-D box query is served "
+    "bucket-pruned to the cells the box intersects with an exact "
+    "residual predicate. Hash-checked against the plain relational box "
+    "select: the layout changes WHERE rows are read, never WHAT comes "
+    "back.",
+)
+def q_streaming_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from worker_spark.streaming.zorder_index import (
+        IncrementalZOrderIndex,
+        zorder_maintenance_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("v1"),
+        F.unix_timestamp("ts").alias("v2"),
+        "event_type",
+        "value",
+    )
+    # offline bounds measurement (the pin's provenance)
+    b = e.agg(
+        F.min("v1"), F.max("v1"), F.min("v2"), F.max("v2")
+    ).collect()[0]
+    bounds = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
+    )
+    feed = tempfile.mkdtemp(prefix="zidx_feed_")
+    ckpt = tempfile.mkdtemp(prefix="zidx_ckpt_")
+    state = tempfile.mkdtemp(prefix="zidx_state_")
+    try:
+        _stage_feed((b0, b1), feed)
+        idx = IncrementalZOrderIndex(spark, state, bounds=bounds, n_buckets=64)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), True),
+                T.StructField("v1", T.LongType(), True),
+                T.StructField("v2", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        q = zorder_maintenance_stream(
+            spark, feed, idx, ckpt, schema,
+            id_col="event_id", v1_col="v1", v2_col="v2",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_zorder_index: availableNow drain exceeded 300s"
+            )
+        return (
+            idx.box_query(*_ZBOX)
+            .select(
+                "event_id",
+                F.col("v1").alias("user_id"),
+                F.col("v2").alias("epoch_s"),
+                "event_type",
+                "value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
