@@ -234,3 +234,22 @@ def test_mixture_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert q2.awaitTermination(120)
     assert _rows(reopened.report()) == _rows(_expected(docs))
     reopened.fsck()
+
+
+def test_watermark_survives_an_unfenced_interleave(spark, tmp_path):
+    """The fence is MONOTONE (self-review finding): a direct (unfenced)
+    apply between fenced batches must carry the high-water mark forward
+    — otherwise a fenced replay of an already-applied batch_id would
+    pass the fence and double-apply its journaled delta."""
+    docs = _docs(spark, limit=90)
+    led = IncrementalMixtureLedger(
+        spark, str(tmp_path / "m"), rates=_RATES, default_rate=_DEFAULT
+    )
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    led.apply_batch(b0, batch_id=0)
+    led.apply_batch(docs.filter(F.col("doc_id") % 3 == 1))  # unfenced
+    led.apply_batch(b0, batch_id=0)  # fenced replay of an OLD batch
+    # the replay must have been fenced off: totals match the live set
+    live = docs.filter(F.col("doc_id") % 3 != 2)
+    assert _rows(led.report()) == _rows(_expected(live))
+    led.fsck()

@@ -279,10 +279,9 @@ class IncrementalMixtureLedger:
 
         # --- ledger: atomic single-bucket swap behind the fence -------------
         led = self._led_rows()
-        if fenced:
-            applied = led.agg(F.max("applied_batch")).collect()[0][0]
-            if applied is not None and applied >= int(batch_id):
-                return  # replay of an already-applied batch
+        applied = led.agg(F.max("applied_batch")).collect()[0][0]
+        if fenced and applied is not None and applied >= int(batch_id):
+            return  # replay of an already-applied batch
         merged = (
             led.select("stratum", "total_rows", "sampled_rows")
             .unionByName(
@@ -298,14 +297,21 @@ class IncrementalMixtureLedger:
                 F.sum("sampled_rows").cast("long").alias("sampled_rows"),
             )
         )
+        # the watermark is MONOTONE: an unfenced (direct) apply carries
+        # the prior high-water mark forward rather than resetting it —
+        # otherwise a fenced replay of an already-applied batch_id that
+        # arrived AFTER a direct call would pass the fence and
+        # double-apply (review finding)
+        if fenced:
+            mark = max(int(batch_id), applied if applied is not None else -1)
+        else:
+            mark = applied
         new_led = merged.select(
             F.lit(0).cast("long").alias("lkey"),
             "stratum",
             "total_rows",
             "sampled_rows",
-            F.lit(
-                int(batch_id) if fenced else None
-            ).cast("long").alias("applied_batch"),
+            F.lit(mark).cast("long").alias("applied_batch"),
         )
         self.store.write(self.LED, new_led, keys=["lkey"])
 
