@@ -51,35 +51,28 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # pins the hashes, and tests/test_rotation_guard.py fails any change whose
 # query is not inside _DRIVER_WINDOW[:50].
 _DRIVER_WINDOW = [
-    # ---- Round-13 rotation. ----
+    # ---- Round-14 rotation. ----
     # (a) Every query transitively CHANGED this round (verified by
-    # tools/query_hashes.py against the r12 close): the three r13
-    # builds (maintained quantile summary, curation retrain
-    # lifecycle, contamination screen) and their oracle/operator
-    # refactor rehashes (rank_estimates split: event_quantile_sketch,
-    # doc_length_quantiles; curation texts table; the r13 advice
-    # fixes: semdedup coverage hard-fail; star-first relabel policy:
-    # the components family), plus every registered streaming feed
-    # rehashed by the 3->2 micro-batch trim (VERDICT r12 item 2).
+    # tools/query_hashes.py against the r13 close): exactly the 30
+    # streaming rows, all rehashed by the shared feed-staging cache
+    # (streaming/staging.py, VERDICT r13 item 1). The five event-source
+    # rows lead (they sat BELOW the r13 boundary, so they are also the
+    # stalest of the changed set — streaming_topk_window first, the
+    # six-round perf-watch row whose fix this change is).
+    "streaming_topk_window",
+    "streaming_event_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_view_purchase_join",
+    "streaming_dedup_keys",
     "streaming_quantile_index",
     "streaming_theta_overlap",
     "streaming_mixture_ledger",
     "streaming_zorder_index",
-    "event_audience_overlap",
-    "lang_shingle_overlap",
     "streaming_curation_retrain",
     "streaming_ingest_gate",
     "streaming_contamination",
-    "event_quantile_sketch",
-    "doc_length_quantiles",
     "streaming_curation_index",
-    "benchmark_contamination",
-    "semdedup_prune",
     "streaming_semdedup_prune",
-    "dedup_best_of_cluster",
-    "dedup_cluster_components",
-    "dedup_cluster_components_v2",
-    "dedup_pagerank_centrality",
     "streaming_components_index",
     "streaming_dedup_pipeline",
     "streaming_neardup_pipeline",
@@ -96,29 +89,8 @@ _DRIVER_WINDOW = [
     "streaming_weighted_reservoir",
     "streaming_cms_window_users",
     "streaming_hll_window_users",
-    # (b) r9-green fill: the longest-stale class (VERDICT r12 item 1 -
-    # displaced from the r12 window by its new/changed rows), in its
-    # standing order, up to the 50-slot boundary.
-    "similarity_margin_probe_lsh",
-    "event_sessions",
-    "order_rollup",
-    "cheapest_supplier_per_part",
-    "pricing_summary",
-    "status_counts",
-    "key_roundtrip",
-    "orders_per_customer_list",
-    "event_journey",
-    "dedup_minhash_lsh",
-    "positional_list_parse",
-    "recent_event_stats",
-    "code_first_id_wins",
-    "name_fallback_resolution",
-    "active_entity_keys",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r9-green remainder, then the r10/r11 blocks in standing order
-    # (oldest driver row first); the r12-green block fills last.
+    # (b) longest-stale fill: the r9-green remainder (below the boundary
+    # since r12), in its standing order, up to the 50-slot boundary.
     "sync_diff_classify",
     "top3_orders_per_segment",
     "revenue_by_nation",
@@ -139,6 +111,12 @@ _DRIVER_WINDOW = [
     "doc_dsir_selection",
     "top_revenue_orders",
     "doc_sequence_pack",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line). ----
+    # r9-green remainder continues, then the r10/r11/r12 blocks in
+    # standing order (oldest driver row first); the r13-green block
+    # (non-streaming rows displaced from the r13 window) fills last.
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",
@@ -165,7 +143,6 @@ _DRIVER_WINDOW = [
     "embedding_cluster_balance",
     "doc_char_entropy_v2",
     "doc_gopher_rules_v2",
-    "streaming_topk_window",
     "similarity_ivfpq_refined_topk",
     "similarity_ivfpq_residual_topk",
     "similarity_pq_adc_topk",
@@ -175,10 +152,6 @@ _DRIVER_WINDOW = [
     "similarity_opq_kmeans_topk",
     "similarity_lsh_ann",
     "similarity_cosine_topk",
-    "streaming_event_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_view_purchase_join",
-    "streaming_dedup_keys",
     "dedup_translit_shingles",
     "doc_cdc_chunks",
     "doc_cdc_chunks_clamped",
@@ -240,6 +213,33 @@ _DRIVER_WINDOW = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_features",
+    # r13-green block (displaced from the r13 window this round; the
+    # most recently driver-verified class, so it fills last)
+    "event_audience_overlap",
+    "lang_shingle_overlap",
+    "event_quantile_sketch",
+    "doc_length_quantiles",
+    "benchmark_contamination",
+    "semdedup_prune",
+    "dedup_best_of_cluster",
+    "dedup_cluster_components",
+    "dedup_cluster_components_v2",
+    "dedup_pagerank_centrality",
+    "similarity_margin_probe_lsh",
+    "event_sessions",
+    "order_rollup",
+    "cheapest_supplier_per_part",
+    "pricing_summary",
+    "status_counts",
+    "key_roundtrip",
+    "orders_per_customer_list",
+    "event_journey",
+    "dedup_minhash_lsh",
+    "positional_list_parse",
+    "recent_event_stats",
+    "code_first_id_wins",
+    "name_fallback_resolution",
+    "active_entity_keys",
 ]
 
 

@@ -1,8 +1,13 @@
-"""Streaming query in the correctness surface: the windowed stats stream
-(T12) executed as a REAL Structured Streaming job — file source,
-watermark, tumbling window, memory sink, availableNow trigger — whose
-drained result is returned as a batch DataFrame and hash-checked against
-a DuckDB tumbling-window aggregation."""
+"""Streaming queries in the correctness surface: real Structured
+Streaming jobs — file source, watermark/foreachBatch, availableNow
+trigger — whose drained or state-served result is returned as a batch
+DataFrame and hash-checked against a DuckDB oracle.
+
+Feed staging is SHARED per process (streaming/staging.py, VERDICT r13
+item 1): each deterministic feed recipe is materialized once per
+(sf_dir, kind) and read-only thereafter; rows that stage literally the
+same expression tree share a kind. Checkpoints and state stay per-call
+fresh tempdirs — the maintenance+serve measurement is unchanged."""
 
 from __future__ import annotations
 
@@ -15,6 +20,7 @@ from pyspark.sql import functions as F
 
 from worker_spark.queries import register
 from worker_spark.sources import load_table
+from worker_spark.streaming.staging import staged_dir
 
 
 @register(
@@ -43,11 +49,14 @@ def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    src_dir = staged_dir(
+        sf_dir,
+        "events_multi",
+        lambda d: events.write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
     try:
-        events.write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(events.schema).parquet(src_dir)
         agg = (
             stream.withWatermark("ts", "10 minutes")
@@ -84,7 +93,6 @@ def q_streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         return result
     finally:
         spark.catalog.dropTempView(sink)
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -143,12 +151,15 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="sess_src_")
+    # single file => single micro-batch => deterministic emitted set
+    src_dir = staged_dir(
+        sf_dir,
+        "events_single",
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     sink = f"sess_out_{uuid.uuid4().hex[:8]}"
     try:
-        # single file => single micro-batch => deterministic emitted set
-        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(events.schema).parquet(src_dir)
         sessions = stateful_sessionize(stream, gap_minutes=30)
         q = (
@@ -179,7 +190,6 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             .localCheckpoint()
         )
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -213,11 +223,14 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="vpj_src_")
+    src_dir = staged_dir(
+        sf_dir,
+        "events_single",
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="vpj_ckpt_")
     sink = f"vpj_out_{uuid.uuid4().hex[:8]}"
     try:
-        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
         views = (
             spark.readStream.schema(events.schema)
             .parquet(src_dir)
@@ -276,7 +289,6 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         spark.catalog.dropTempView(sink)
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -300,11 +312,14 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="sdk_src_")
+    src_dir = staged_dir(
+        sf_dir,
+        "events_single",
+        lambda d: events.coalesce(1).write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="sdk_ckpt_")
     sink = f"sdk_out_{uuid.uuid4().hex[:8]}"
     try:
-        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
         stream = (
             spark.readStream.schema(events.schema)
             .parquet(src_dir)
@@ -330,7 +345,6 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(sink)
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -404,11 +418,14 @@ def q_streaming_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    src_dir = staged_dir(
+        sf_dir,
+        "events_multi",
+        lambda d: events.write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
     try:
-        events.write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(events.schema).parquet(src_dir)
         h = F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
@@ -494,7 +511,6 @@ def q_streaming_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
         return result
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -564,11 +580,14 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    src_dir = staged_dir(
+        sf_dir,
+        "events_multi",
+        lambda dd: events.write.mode("overwrite").parquet(dd),
+    )
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     sink = f"stream_cms_{uuid.uuid4().hex[:8]}"
     try:
-        events.write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(events.schema).parquet(src_dir)
         placed = (
             stream.withWatermark("ts", "10 minutes")
@@ -651,7 +670,6 @@ def q_streaming_cms_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
         return result
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -691,11 +709,17 @@ def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    # the events-feed rewrite was this row's dominant, noisiest leg
+    # (six rounds of adjusted-ratio flags, VERDICT r13 What's-wrong #1);
+    # it now stages once per process via the shared cache
+    src_dir = staged_dir(
+        sf_dir,
+        "events_multi",
+        lambda d: events.write.mode("overwrite").parquet(d),
+    )
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
     try:
-        events.write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(events.schema).parquet(src_dir)
         counts = (
             stream.withWatermark("ts", "10 minutes")
@@ -739,7 +763,6 @@ def q_streaming_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
         return result
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -834,11 +857,14 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale)
-    feed = tempfile.mkdtemp(prefix="idx_feed_")
+    # shared with streaming_weighted_reservoir: byte-identical recipe
+    # (v1 documents, stale drafts at doc_id%10==0)
+    feed = staged_dir(
+        sf_dir, "docs_s10", lambda d: _stage_feed((b0, b1.unionByName(b2)), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="idx_ckpt_")
     state = tempfile.mkdtemp(prefix="idx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalRetrievalIndex(spark, state)
         q = index_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -850,20 +876,20 @@ def q_streaming_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
 
-def _ivf_maintained_index(spark, emb, feed: str, ckpt: str, state: str, row_name: str):
+def _ivf_maintained_index(spark, emb, sf_dir: str, ckpt: str, state: str, row_name: str):
     """Build the maintained IVF index through the shared two-file
     stale-negated feed — batch 0 the even vectors with NEGATED drafts
     for vec_id%10==0 (same cell geometry flipped, a genuinely different
     assignment), batch 1 the odds, batch 2 the corrections — against
     stride-100 pinned medoids, and drain the maintenance stream. ONE
-    definition of the recipe for the streaming_ivf_ann and
-    streaming_ivf_recluster rows (review finding: verbatim copies; the
-    _stage_feed extraction set the precedent)."""
+    definition of the recipe for the streaming_ivf_ann,
+    streaming_ivf_recluster and streaming_semdedup_prune rows (review
+    finding: verbatim copies; the _stage_feed extraction set the
+    precedent) — which also means one SHARED staged feed (emb_ivf)."""
     from worker_spark.streaming.vector_index import (
         IncrementalVectorIndex,
         vector_maintenance_stream,
@@ -877,7 +903,9 @@ def _ivf_maintained_index(spark, emb, feed: str, ckpt: str, state: str, row_name
     )
     b1 = emb.filter(F.col("vec_id") % 2 == 1)
     b2 = emb.filter(stale)
-    _stage_feed((b0, b1.unionByName(b2)), feed)
+    feed = staged_dir(
+        sf_dir, "emb_ivf", lambda d: _stage_feed((b0, b1.unionByName(b2)), d)
+    )
     idx = IncrementalVectorIndex(
         spark, state, centroids=emb.filter(F.col("vec_id") % 100 == 0)
     )
@@ -922,19 +950,17 @@ def q_streaming_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    feed = tempfile.mkdtemp(prefix="vidx_feed_")
     ckpt = tempfile.mkdtemp(prefix="vidx_ckpt_")
     state = tempfile.mkdtemp(prefix="vidx_state_")
     try:
         idx = _ivf_maintained_index(
-            spark, emb, feed, ckpt, state, "streaming_ivf_ann"
+            spark, emb, sf_dir, ckpt, state, "streaming_ivf_ann"
         )
         queries = emb.filter(F.col("vec_id") % 20 == 0)
         return idx.ann_topk(queries, nprobe=2, top_k=5).localCheckpoint(
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -972,13 +998,12 @@ def q_streaming_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    feed = tempfile.mkdtemp(prefix="rcl_feed_")
     ckpt = tempfile.mkdtemp(prefix="rcl_ckpt_")
     state = tempfile.mkdtemp(prefix="rcl_state_")
     state2 = tempfile.mkdtemp(prefix="rcl_state2_")
     try:
         idx = _ivf_maintained_index(
-            spark, emb, feed, ckpt, state, "streaming_ivf_recluster"
+            spark, emb, sf_dir, ckpt, state, "streaming_ivf_recluster"
         )
         # retrain: medoids drawn from the MAINTAINED state at half the
         # stride (recluster refuses a non-empty target root, so give it
@@ -996,7 +1021,6 @@ def q_streaming_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(state2, ignore_errors=True)
@@ -1058,11 +1082,14 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = hist.filter(F.col("doc_id") % 2 == 1)
     b2 = hist.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="didx_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docs_hist_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="didx_ckpt_")
     state = tempfile.mkdtemp(prefix="didx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalDedupIndex(spark, state)
         q = dedup_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -1075,7 +1102,6 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1135,11 +1161,14 @@ def q_streaming_exact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="xidx_feed_")
+    # shared with streaming_minhash_index: byte-identical recipe
+    # (v1 documents, stale drafts at doc_id%7==0)
+    feed = staged_dir(
+        sf_dir, "docs_s7", lambda d: _stage_feed((b0, b1.unionByName(b2)), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="xidx_ckpt_")
     state = tempfile.mkdtemp(prefix="xidx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalExactIndex(spark, state)
         q = exact_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -1149,7 +1178,6 @@ def q_streaming_exact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return idx.dedup_clusters().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1214,11 +1242,13 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="midx_feed_")
+    # shared with streaming_exact_index (same recipe — see there)
+    feed = staged_dir(
+        sf_dir, "docs_s7", lambda d: _stage_feed((b0, b1.unionByName(b2)), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="midx_ckpt_")
     state = tempfile.mkdtemp(prefix="midx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalMinHashIndex(spark, state)
         q = minhash_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -1230,7 +1260,6 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1303,11 +1332,14 @@ def q_streaming_curation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale)
-    feed = tempfile.mkdtemp(prefix="cidx_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docsv2lang_s10",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="cidx_ckpt_")
     state = tempfile.mkdtemp(prefix="cidx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalCurationIndex(
             spark,
             state,
@@ -1350,7 +1382,6 @@ def q_streaming_curation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1406,11 +1437,13 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale)
-    feed = tempfile.mkdtemp(prefix="resv_feed_")
+    # shared with streaming_index_bm25 (same recipe — see there)
+    feed = staged_dir(
+        sf_dir, "docs_s10", lambda d: _stage_feed((b0, b1.unionByName(b2)), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="resv_ckpt_")
     state = tempfile.mkdtemp(prefix="resv_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         res = StreamingReservoir(spark, state)
         q = reservoir_maintenance_stream(spark, feed, res, ckpt)
         if not q.awaitTermination(300):
@@ -1421,7 +1454,6 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
             )
         return res.reservoir().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1505,11 +1537,12 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_v2(spark, sf_dir).select("doc_id", "text")
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
-    feed = tempfile.mkdtemp(prefix="mg_feed_")
+    feed = staged_dir(
+        sf_dir, "docsv2_evenodd", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="mg_ckpt_")
     state = tempfile.mkdtemp(prefix="mg_state_")
     try:
-        _stage_feed((b0, b1), feed)
         hh = StreamingHeavyHitters(spark, state)
         q = heavy_hitter_maintenance_stream(spark, feed, hh, ckpt)
         if not q.awaitTermination(300):
@@ -1519,7 +1552,6 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return hh.counters().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1591,11 +1623,14 @@ def q_streaming_stratified_reservoir(
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale)
-    feed = tempfile.mkdtemp(prefix="sresv_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docs_strat_s10",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="sresv_ckpt_")
     state = tempfile.mkdtemp(prefix="sresv_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         res = StreamingStratifiedReservoir(spark, state, k=20)
         q = stratified_reservoir_maintenance_stream(spark, feed, res, ckpt)
         if not q.awaitTermination(300):
@@ -1606,7 +1641,6 @@ def q_streaming_stratified_reservoir(
             )
         return res.reservoirs().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1670,11 +1704,16 @@ def q_streaming_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="subidx_feed_")
+    # shared with streaming_substring_pipeline: byte-identical recipe
+    # (planted shared-block corpus, stale drafts at doc_id%7==0)
+    feed = staged_dir(
+        sf_dir,
+        "docsv2substr_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="subidx_ckpt_")
     state = tempfile.mkdtemp(prefix="subidx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalSubstringIndex(spark, state)
         q = substring_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -1684,7 +1723,6 @@ def q_streaming_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return idx.dedup_report().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1733,83 +1771,89 @@ def q_streaming_components_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         components_maintenance_stream,
     )
 
-    docs2 = documents_v2_dupes(spark, sf_dir, exact=False)
-    pairs = (
-        D.ngram_jaccard_pairs(
-            docs2, threshold=0.2, shingle_df_cap=_NGRAM_DF_CAP
+    def _build(d: str) -> None:
+        # the candidate-pair generation (the screening indexes' output
+        # shape) is part of feed STAGING, not of the measured
+        # maintenance — inside the builder so it runs once per process
+        docs2 = documents_v2_dupes(spark, sf_dir, exact=False)
+        pairs = (
+            D.ngram_jaccard_pairs(
+                docs2, threshold=0.2, shingle_df_cap=_NGRAM_DF_CAP
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    ids = docs2.select(F.col("doc_id").cast("long").alias("doc_id"))
-    stale = F.col("doc_id") % 7 == 0
-    even = F.col("doc_id") % 2 == 0
-    null_nbr = F.lit(None).cast("long")
-    # batch 0: even docs; stale evens arrive as DRAFTS — their true
-    # pairs are withheld and a bogus chain links consecutive stale
-    # drafts into one giant wrong component (the correction batch must
-    # split it back into the true planted groups)
-    ann0 = ids.filter(even).select("doc_id", null_nbr.alias("nbr"))
-    a_even = (F.col("id_a") % 2 == 0) & (F.col("id_a") % 7 != 0)
-    b_even = (F.col("id_b") % 2 == 0) & (F.col("id_b") % 7 != 0)
-    e0 = pairs.filter(a_even & b_even).select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
-    )
-    w = Window.orderBy("doc_id")
-    stale_evens = ids.filter(stale & even).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    # chain SEGMENTS of 8 drafts, not one global chain: a corpus-long
-    # chain has corpus-scale diameter and forces min-label propagation
-    # into its star fallback — bogus 8-node components keep the wrong-
-    # merge/split choreography while converging in <8 rounds
-    chain = (
-        stale_evens.alias("x")
-        .join(
-            stale_evens.alias("y"),
-            (F.col("y.rn") == F.col("x.rn") + 1)
-            & (
-                F.expr("(x.rn - 1) div 8") == F.expr("(y.rn - 1) div 8")
-            ),
+        ids = docs2.select(F.col("doc_id").cast("long").alias("doc_id"))
+        stale = F.col("doc_id") % 7 == 0
+        even = F.col("doc_id") % 2 == 0
+        null_nbr = F.lit(None).cast("long")
+        # batch 0: even docs; stale evens arrive as DRAFTS — their true
+        # pairs are withheld and a bogus chain links consecutive stale
+        # drafts into one giant wrong component (the correction batch
+        # must split it back into the true planted groups)
+        ann0 = ids.filter(even).select("doc_id", null_nbr.alias("nbr"))
+        a_even = (F.col("id_a") % 2 == 0) & (F.col("id_a") % 7 != 0)
+        b_even = (F.col("id_b") % 2 == 0) & (F.col("id_b") % 7 != 0)
+        e0 = pairs.filter(a_even & b_even).select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
         )
-        .select(
-            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("nbr")
+        w = Window.orderBy("doc_id")
+        stale_evens = ids.filter(stale & even).withColumn(
+            "rn", F.row_number().over(w)
         )
-    )
-    b0 = ann0.unionByName(e0).unionByName(chain)
-    # batch 1: odd docs; their pairs to anything non-stale
-    ann1 = ids.filter(~even).select("doc_id", null_nbr.alias("nbr"))
-    a_odd = F.col("id_a") % 2 == 1
-    b_odd = F.col("id_b") % 2 == 1
-    not_stale_a = F.col("id_a") % 7 != 0
-    not_stale_b = F.col("id_b") % 7 != 0
-    e1 = pairs.filter(a_odd & not_stale_b).select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
-    ).unionByName(
-        pairs.filter(b_odd & ~a_odd & not_stale_a).select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+        # chain SEGMENTS of 8 drafts, not one global chain: a corpus-long
+        # chain has corpus-scale diameter and forces min-label propagation
+        # into its star fallback — bogus 8-node components keep the wrong-
+        # merge/split choreography while converging in <8 rounds
+        chain = (
+            stale_evens.alias("x")
+            .join(
+                stale_evens.alias("y"),
+                (F.col("y.rn") == F.col("x.rn") + 1)
+                & (
+                    F.expr("(x.rn - 1) div 8") == F.expr("(y.rn - 1) div 8")
+                ),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.col("y.doc_id").alias("nbr"),
+            )
         )
-    )
-    b1 = ann1.unionByName(e1)
-    # batch 2: the corrections — stale docs re-announced with their
-    # FULL true pair sets (replacing the bogus chain and the withheld
-    # draft state)
-    ann2 = ids.filter(stale).select("doc_id", null_nbr.alias("nbr"))
-    stale_a = F.col("id_a") % 7 == 0
-    stale_b = F.col("id_b") % 7 == 0
-    e2 = pairs.filter(stale_a).select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
-    ).unionByName(
-        pairs.filter(stale_b & ~stale_a).select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+        b0 = ann0.unionByName(e0).unionByName(chain)
+        # batch 1: odd docs; their pairs to anything non-stale
+        ann1 = ids.filter(~even).select("doc_id", null_nbr.alias("nbr"))
+        a_odd = F.col("id_a") % 2 == 1
+        b_odd = F.col("id_b") % 2 == 1
+        not_stale_a = F.col("id_a") % 7 != 0
+        not_stale_b = F.col("id_b") % 7 != 0
+        e1 = pairs.filter(a_odd & not_stale_b).select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+        ).unionByName(
+            pairs.filter(b_odd & ~a_odd & not_stale_a).select(
+                F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+            )
         )
-    )
-    b2 = ann2.unionByName(e2)
-    feed = tempfile.mkdtemp(prefix="cidx_feed_")
+        b1 = ann1.unionByName(e1)
+        # batch 2: the corrections — stale docs re-announced with their
+        # FULL true pair sets (replacing the bogus chain and the
+        # withheld draft state)
+        ann2 = ids.filter(stale).select("doc_id", null_nbr.alias("nbr"))
+        stale_a = F.col("id_a") % 7 == 0
+        stale_b = F.col("id_b") % 7 == 0
+        e2 = pairs.filter(stale_a).select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+        ).unionByName(
+            pairs.filter(stale_b & ~stale_a).select(
+                F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+            )
+        )
+        b2 = ann2.unionByName(e2)
+        _stage_feed((b0, b1.unionByName(b2)), d)
+
+    feed = staged_dir(sf_dir, "comp_pairs_s7", _build)
     ckpt = tempfile.mkdtemp(prefix="cidx_ckpt_")
     state = tempfile.mkdtemp(prefix="cidx_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         idx = IncrementalComponentsIndex(spark, state)
         q = components_maintenance_stream(spark, feed, idx, ckpt)
         if not q.awaitTermination(300):
@@ -1819,7 +1863,6 @@ def q_streaming_components_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return idx.cluster_assignments().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1891,11 +1934,14 @@ def q_streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="dpipe_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docsv2dupes_exact_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="dpipe_ckpt_")
     state = tempfile.mkdtemp(prefix="dpipe_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         pipe = StreamingDedupPipeline(spark, state)
         q = dedup_pipeline_stream(spark, feed, pipe, ckpt)
         if not q.awaitTermination(300):
@@ -1905,7 +1951,6 @@ def q_streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pipe.cluster_assignments().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2003,11 +2048,14 @@ def q_streaming_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="ndpipe_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docsv2dupes_near_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="ndpipe_ckpt_")
     state = tempfile.mkdtemp(prefix="ndpipe_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         pipe = StreamingNearDupPipeline(spark, state, threshold=0.5)
         q = dedup_pipeline_stream(
             spark, feed, pipe, ckpt, checkpoint_name="ndpipe"
@@ -2019,7 +2067,6 @@ def q_streaming_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pipe.cluster_assignments().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2058,18 +2105,16 @@ def q_streaming_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    feed = tempfile.mkdtemp(prefix="sdp_feed_")
     ckpt = tempfile.mkdtemp(prefix="sdp_ckpt_")
     state = tempfile.mkdtemp(prefix="sdp_state_")
     try:
         idx = _ivf_maintained_index(
-            spark, emb, feed, ckpt, state, "streaming_semdedup_prune"
+            spark, emb, sf_dir, ckpt, state, "streaming_semdedup_prune"
         )
         return idx.semdedup_prune(emb, tau=S.SEMDEDUP_TAU).localCheckpoint(
             eager=True
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2161,11 +2206,15 @@ def q_streaming_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     )
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     b2 = docs.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="sspipe_feed_")
+    # shared with streaming_substring_index (same recipe — see there)
+    feed = staged_dir(
+        sf_dir,
+        "docsv2substr_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="sspipe_ckpt_")
     state = tempfile.mkdtemp(prefix="sspipe_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         pipe = StreamingSubstringPipeline(spark, state)
         q = dedup_pipeline_stream(
             spark, feed, pipe, ckpt, checkpoint_name="sspipe"
@@ -2178,7 +2227,6 @@ def q_streaming_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
             )
         return pipe.cluster_assignments().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2238,11 +2286,14 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = corpus.filter(F.col("doc_id") % 2 == 1)
     b2 = corpus.filter(stale & (F.col("doc_id") % 2 == 0))
-    feed = tempfile.mkdtemp(prefix="ctm_feed_")
+    feed = staged_dir(
+        sf_dir,
+        "docs_ctm_s7",
+        lambda d: _stage_feed((b0, b1.unionByName(b2)), d),
+    )
     ckpt = tempfile.mkdtemp(prefix="ctm_ckpt_")
     state = tempfile.mkdtemp(prefix="ctm_state_")
     try:
-        _stage_feed((b0, b1.unionByName(b2)), feed)
         screen = IncrementalContaminationScreen(spark, state, eval_docs=ev)
         q = contamination_maintenance_stream(spark, feed, screen, ckpt)
         if not q.awaitTermination(300):
@@ -2252,7 +2303,6 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return screen.decisions().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2312,11 +2362,12 @@ def q_streaming_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = e.filter(
         (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
     )
-    feed = tempfile.mkdtemp(prefix="qidx_feed_")
+    feed = staged_dir(
+        sf_dir, "events_quant", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="qidx_ckpt_")
     state = tempfile.mkdtemp(prefix="qidx_state_")
     try:
-        _stage_feed((b0, b1), feed)
         idx = IncrementalQuantileIndex(spark, state)
         schema = T.StructType(
             [
@@ -2352,7 +2403,6 @@ def q_streaming_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2412,18 +2462,21 @@ def q_streaming_curation_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(900_000 + i, "æø " * 40) for i in range(5)],
         "doc_id long, text string",
     )
-    feed = tempfile.mkdtemp(prefix="crt_feed_")
-    ckpt = tempfile.mkdtemp(prefix="crt_ckpt_")
-    state = tempfile.mkdtemp(prefix="crt_state_")
-    state2 = tempfile.mkdtemp(prefix="crt_state2_") + "/fresh"
-    try:
-        _stage_feed(
+    feed = staged_dir(
+        sf_dir,
+        "docsv2lang_evenodd",
+        lambda d: _stage_feed(
             (
                 docs.filter(F.col("doc_id") % 2 == 0),
                 docs.filter(F.col("doc_id") % 2 == 1),
             ),
-            feed,
-        )
+            d,
+        ),
+    )
+    ckpt = tempfile.mkdtemp(prefix="crt_ckpt_")
+    state = tempfile.mkdtemp(prefix="crt_state_")
+    state2 = tempfile.mkdtemp(prefix="crt_state2_") + "/fresh"
+    try:
         idx = IncrementalCurationIndex(
             spark,
             state,
@@ -2470,7 +2523,6 @@ def q_streaming_curation_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(os.path.dirname(state2), ignore_errors=True)
@@ -2578,11 +2630,12 @@ def q_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     b1 = co.filter((F.col("doc_id") % 2 == 1) | stale)
-    feed = tempfile.mkdtemp(prefix="gate_feed_")
+    feed = staged_dir(
+        sf_dir, "docs_gate_s10m6", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="gate_ckpt_")
     state = tempfile.mkdtemp(prefix="gate_state_")
     try:
-        _stage_feed((b0, b1), feed)
         gate = StreamingIngestGate(
             spark,
             state,
@@ -2608,7 +2661,6 @@ def q_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return gate.admissions().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2666,11 +2718,12 @@ def q_streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = e.filter(
         (F.col("user_id") % 2 == 1) | (F.col("user_id") % 10 == 0)
     )
-    feed = tempfile.mkdtemp(prefix="thidx_feed_")
+    feed = staged_dir(
+        sf_dir, "events_theta", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="thidx_ckpt_")
     state = tempfile.mkdtemp(prefix="thidx_state_")
     try:
-        _stage_feed((b0, b1), feed)
         idx = IncrementalThetaIndex(spark, state)
         schema = T.StructType(
             [
@@ -2694,7 +2747,6 @@ def q_streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return idx.overlaps().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2764,11 +2816,12 @@ def q_streaming_mixture_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    feed = tempfile.mkdtemp(prefix="mxl_feed_")
+    feed = staged_dir(
+        sf_dir, "docs_mixture", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="mxl_ckpt_")
     state = tempfile.mkdtemp(prefix="mxl_state_")
     try:
-        _stage_feed((b0, b1), feed)
         led = IncrementalMixtureLedger(
             spark, state, rates=_RATES, default_rate=_DEFAULT
         )
@@ -2780,7 +2833,6 @@ def q_streaming_mixture_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return led.report().localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
@@ -2854,11 +2906,12 @@ def q_streaming_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = e.filter(
         (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
     )
-    feed = tempfile.mkdtemp(prefix="zidx_feed_")
+    feed = staged_dir(
+        sf_dir, "events_zorder", lambda d: _stage_feed((b0, b1), d)
+    )
     ckpt = tempfile.mkdtemp(prefix="zidx_ckpt_")
     state = tempfile.mkdtemp(prefix="zidx_state_")
     try:
-        _stage_feed((b0, b1), feed)
         idx = IncrementalZOrderIndex(spark, state, bounds=bounds, n_buckets=64)
         schema = T.StructType(
             [
@@ -2890,6 +2943,5 @@ def q_streaming_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(feed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
