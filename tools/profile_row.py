@@ -76,6 +76,8 @@ def main() -> None:
     import worker_spark.operators.components as C
 
     _wrap(C, "connected_components", "connected_components")
+    _wrap(C, "connected_components_star", "cc_star(fallback)")
+    _wrap(C, "_canon_sig", "cc_star._canon_sig")
 
     # time the stream drain (awaitTermination) separately
     from pyspark.sql.streaming import StreamingQuery

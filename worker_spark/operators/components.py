@@ -65,11 +65,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # no checkpoint: round 1 recomputes this cheap distinct inside its
+    # own job instead of paying a separate job launch for it
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
@@ -83,17 +84,37 @@ def connected_components(
             .join(nbr_min.alias("n"), F.col("l.id") == F.col("n.nid"), "left")
             .select(
                 F.col("l.id").alias("id"),
+                F.col("l.comp").alias("oldc"),
                 F.least(
                     F.col("l.comp"), F.coalesce(F.col("n.nbr_min"), F.col("l.comp"))
-                ).alias("comp"),
-                (
-                    F.coalesce(F.col("n.nbr_min"), F.col("l.comp")) < F.col("l.comp")
-                ).alias("chg"),
+                ).alias("c1"),
+            )
+        )
+        # path-halving shortcut (pointer jumping): follow each label one
+        # hop through the just-computed labels (comp <- comp[comp]) in
+        # the SAME round's job. Labels are monotone non-increasing node
+        # ids, so the fixpoint is unchanged (comp constant == component
+        # min), but label-pointer depth shrinks by ~x1.6 per round
+        # instead of by 1 — O(log d) rounds instead of O(d) (a 200-link
+        # chain converges in 8 rounds instead of 200). One jump only,
+        # lazily in-plan: the self-join's two scans of `stepped` share
+        # the step's exchanges (ReuseExchange), so the round stays one
+        # job; chaining more jumps here would duplicate the edge join
+        # 2^jumps times, and materializing between jumps costs more in
+        # extra shuffles than the saved rounds return.
+        par = stepped.select(F.col("id").alias("pid"), F.col("c1").alias("pc"))
+        jumped = F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
+        labels = (
+            stepped.join(par, stepped["c1"] == par["pid"], "left")
+            .select(
+                "id",
+                jumped.alias("comp"),
+                (jumped < F.col("oldc")).alias("chg"),
             )
             .localCheckpoint()
         )
-        converged = stepped.filter(F.col("chg")).limit(1).count() == 0
-        labels = stepped.drop("chg")
+        converged = labels.filter(F.col("chg")).limit(1).count() == 0
+        labels = labels.drop("chg")
         if converged:
             break
     if not converged:
@@ -217,12 +238,14 @@ def connected_components_star(
                 .distinct()
                 .localCheckpoint()
             )
-        new_sig = _canon_sig(ed)
         # only a small-star round leaves the edge set in canonical star
-        # form; stop when a full LS+SS cycle changed nothing
-        if it % 2 == 1 and new_sig == sig:
-            break
+        # form; stop when a full LS+SS cycle changed nothing. The sig
+        # is one tiny collect — skip it after large-star rounds, where
+        # it was computed and discarded (r14: half the probe jobs).
         if it % 2 == 1:
+            new_sig = _canon_sig(ed)
+            if new_sig == sig:
+                break
             sig = new_sig
     sym = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
     return (

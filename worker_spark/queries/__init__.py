@@ -89,6 +89,14 @@ _DRIVER_WINDOW = [
     "streaming_weighted_reservoir",
     "streaming_cms_window_users",
     "streaming_hll_window_users",
+    # (a continued) the r14 OPTIMIZATION round's own changed rows: the
+    # connected-components shortcut (operators/components.py path-
+    # halving) transitively rehashes the four batch CC consumers —
+    # verified by tools/query_hashes.py against the r13 close.
+    "dedup_cluster_components",
+    "dedup_cluster_components_v2",
+    "dedup_best_of_cluster",
+    "dedup_pagerank_centrality",
     # (b) longest-stale fill: the r9-green remainder (below the boundary
     # since r12), in its standing order, up to the 50-slot boundary.
     "sync_diff_classify",
@@ -107,16 +115,17 @@ _DRIVER_WINDOW = [
     "pii_redaction",
     "article_analysis",
     "kmv_distinct_users",
+    # ---- driver window boundary: only the FIRST 50 entries above get
+    # a driver row this round (tests/test_rotation_guard.py enforces
+    # that anything transitively changed sits above this line; the four
+    # CC-consumer rows displaced the last four r9 fill slots). ----
+    # r9-green remainder continues, then the r10/r11/r12 blocks in
+    # standing order (oldest driver row first); the r13-green block
+    # (non-streaming rows displaced from the r13 window) fills last.
     "event_value_percentiles",
     "doc_dsir_selection",
     "top_revenue_orders",
     "doc_sequence_pack",
-    # ---- driver window boundary: only the FIRST 50 entries above get
-    # a driver row this round (tests/test_rotation_guard.py enforces
-    # that anything transitively changed sits above this line). ----
-    # r9-green remainder continues, then the r10/r11/r12 blocks in
-    # standing order (oldest driver row first); the r13-green block
-    # (non-streaming rows displaced from the r13 window) fills last.
     "doc_substring_dedup_report",
     "doc_mixture_weights",
     "token_cms_heavy_hitters",
@@ -221,10 +230,6 @@ _DRIVER_WINDOW = [
     "doc_length_quantiles",
     "benchmark_contamination",
     "semdedup_prune",
-    "dedup_best_of_cluster",
-    "dedup_cluster_components",
-    "dedup_cluster_components_v2",
-    "dedup_pagerank_centrality",
     "similarity_margin_probe_lsh",
     "event_sessions",
     "order_rollup",

@@ -230,12 +230,15 @@ class IncrementalComponentsIndex:
 
         # maintained-relabel policy (VERDICT r12 'What's wrong #1'): the
         # touched subgraph's diameter is unknown by construction (feeds
-        # chain stale drafts into long components), so give min-label a
-        # few cheap rounds only, then hand off SILENTLY to the
-        # diameter-independent star variant — same labels, no 25-round
-        # burn, no RuntimeWarning in the bench tail
+        # chain stale drafts into long components), so bound the rounds
+        # and hand off SILENTLY to the diameter-independent star variant
+        # — same labels, no unbounded burn, no RuntimeWarning in the
+        # bench tail. Min-label now path-halves per round (r14), so k
+        # rounds cover diameter ~2^(k-1): 10 rounds reach ~500-diameter
+        # components for the cost two extra plain rounds used to buy,
+        # and the fallback only fires for genuinely pathological graphs.
         comp = connected_components(
-            sub_edges, src="node", dst="nbr", max_iter=6,
+            sub_edges, src="node", dst="nbr", max_iter=10,
             warn_on_fallback=False,
         ).localCheckpoint(eager=True)
         new_labels = comp.select(

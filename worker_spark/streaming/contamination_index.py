@@ -225,12 +225,12 @@ class IncrementalContaminationScreen:
         eval-only df state, write the config witness LAST (the
         created-ness marker — a crash mid-create replays as 'not
         created' and re-pins everything, the curation-index argument)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         ev = _grams(eval_docs, n).select(
             F.col("doc_id").alias("eval_id"), "shingle"
         ).localCheckpoint(eager=True)
         store = self.store
-        store.write(self.EVG, ev.select("shingle", "eval_id"), keys=["shingle"])
-        store.write(self.EVMAN, ev.select("eval_id", "shingle"), keys=["eval_id"])
         # the cap spans eval + corpus; at creation the corpus is empty,
         # so the initial dead set is eval-internal repetition only
         hot0 = (
@@ -239,7 +239,6 @@ class IncrementalContaminationScreen:
             .filter(F.col("df") > df_cap)
             .select("shingle")
         )
-        store.write(self.HOT, hot0, keys=["shingle"])
         live_sz = (
             ev.join(hot0, "shingle", "left_anti")
             .groupBy("eval_id")
@@ -258,22 +257,41 @@ class IncrementalContaminationScreen:
                 ),
             )
         )
-        store.write(self.EVSZ, evsz0, keys=["eval_id"])
-        store.write(
-            self.POST,
-            self.spark.createDataFrame([], POST_SCHEMA),
-            keys=["shingle"],
-        )
-        store.write(
-            self.MAN,
-            self.spark.createDataFrame([], MAN_SCHEMA),
-            keys=["corpus_id"],
-        )
-        store.write(
-            self.PAIRS,
-            self.spark.createDataFrame([], PAIRS_SCHEMA),
-            keys=["corpus_id"],
-        )
+        # the six pre-config pins are independent tables derived from
+        # the one checkpointed ev frame (no table reads another), so
+        # their write jobs overlap on the scheduler (the Spark guide's
+        # overlap-independent-jobs discipline); the CONFIG witness —
+        # the created-ness marker — still lands strictly LAST, so the
+        # crash story is unchanged: no witness, replay re-pins all.
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for fut in [
+                pool.submit(
+                    store.write, self.EVG,
+                    ev.select("shingle", "eval_id"), keys=["shingle"],
+                ),
+                pool.submit(
+                    store.write, self.EVMAN,
+                    ev.select("eval_id", "shingle"), keys=["eval_id"],
+                ),
+                pool.submit(store.write, self.HOT, hot0, keys=["shingle"]),
+                pool.submit(store.write, self.EVSZ, evsz0, keys=["eval_id"]),
+                pool.submit(
+                    store.write, self.POST,
+                    self.spark.createDataFrame([], POST_SCHEMA),
+                    keys=["shingle"],
+                ),
+                pool.submit(
+                    store.write, self.MAN,
+                    self.spark.createDataFrame([], MAN_SCHEMA),
+                    keys=["corpus_id"],
+                ),
+                pool.submit(
+                    store.write, self.PAIRS,
+                    self.spark.createDataFrame([], PAIRS_SCHEMA),
+                    keys=["corpus_id"],
+                ),
+            ]:
+                fut.result()
         store.write(
             self.CONFIG,
             self.spark.createDataFrame(
@@ -334,11 +352,14 @@ class IncrementalContaminationScreen:
             .select(F.col("doc_id").alias("corpus_id"), "shingle")
             .localCheckpoint(eager=True)
         )
+        # lazy: consumed exactly once, inside touched_sh's checkpoint
+        # job below (pre-swap), so a separate materialization job would
+        # buy nothing (r14 job trim)
         old_man = store.read(self.MAN, MAN_SCHEMA, buckets=doc_buckets).join(
             batch_ids.withColumnRenamed("doc_id", "corpus_id"),
             "corpus_id",
             "left_semi",
-        ).localCheckpoint(eager=True)
+        )
         touched_sh = (
             old_man.select("shingle")
             .unionByName(new_g.select("shingle"))
@@ -386,47 +407,42 @@ class IncrementalContaminationScreen:
         )
 
         # --- re-derive scope (journaled before any swap) ----------------
+        # The journaled prior scope (torn-batch replay) is unioned in
+        # LAZILY before the one distinct+checkpoint per frame: the
+        # single-bucket journal read rides inside the same job, so the
+        # happy path (no prior rows for this batch_id) no longer pays a
+        # second round of checkpoint jobs per frame (r14 job trim;
+        # replay semantics unchanged — union commutes with distinct).
         cross_buckets = store.touched_buckets(crossings, "shingle")
         cross_corpus = (
             store.read(self.POST, POST_SCHEMA, buckets=cross_buckets)
             .join(crossings, "shingle", "left_semi")
             .select("corpus_id")
         )
-        d_c = (
-            batch_ids.withColumnRenamed("doc_id", "corpus_id")
-            .unionByName(cross_corpus)
-            .distinct()
-            .localCheckpoint(eager=True)
+        d_c = batch_ids.withColumnRenamed("doc_id", "corpus_id").unionByName(
+            cross_corpus
         )
         e_c = (
             store.read(self.EVG, EVG_SCHEMA, buckets=cross_buckets)
             .join(crossings, "shingle", "left_semi")
             .select("eval_id")
-            .distinct()
-            .localCheckpoint(eager=True)
         )
         if batch_id is not None and store.has_schema_witness(self.JOURNAL):
             prior = store.read(self.JOURNAL, JOURNAL_SCHEMA).filter(
                 F.col("batch_id") == int(batch_id)
-            ).localCheckpoint(eager=True)
-            d_c = (
-                d_c.unionByName(
-                    prior.filter(~F.col("is_eval")).select(
-                        F.col("doc_id").alias("corpus_id")
-                    )
-                )
-                .distinct()
-                .localCheckpoint(eager=True)
             )
-            e_c = (
-                e_c.unionByName(
-                    prior.filter(F.col("is_eval")).select(
-                        F.col("doc_id").alias("eval_id")
-                    )
+            d_c = d_c.unionByName(
+                prior.filter(~F.col("is_eval")).select(
+                    F.col("doc_id").alias("corpus_id")
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
             )
+            e_c = e_c.unionByName(
+                prior.filter(F.col("is_eval")).select(
+                    F.col("doc_id").alias("eval_id")
+                )
+            )
+        d_c = d_c.distinct().localCheckpoint(eager=True)
+        e_c = e_c.distinct().localCheckpoint(eager=True)
         if batch_id is not None:
             store.write(
                 self.JOURNAL,

@@ -73,23 +73,37 @@ class StreamingIngestGate:
         df_cap: int = 1000,
         n_buckets: int = 16,
     ):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.spark = spark
-        self.curation = IncrementalCurationIndex(
-            spark,
-            os.path.join(root, "curation"),
-            lm_train_docs=lm_train_docs,
-            config=config,
-            n_buckets=n_buckets,
-        )
-        self.screen = IncrementalContaminationScreen(
-            spark,
-            os.path.join(root, "screen"),
-            eval_docs=eval_docs,
-            n=n,
-            min_shared=min_shared,
-            df_cap=df_cap,
-            n_buckets=n_buckets,
-        )
+        # the two sub-structures are INDEPENDENT (separate state roots,
+        # separate pins), so their creation jobs — the curation side's
+        # LM training, the screen side's eval-set shingling — overlap
+        # on the scheduler instead of serializing (the Spark guide's
+        # overlap-independent-jobs discipline): wall time = the slower
+        # creation, not the sum. Each root keeps its own crash story —
+        # a crash mid-create replays whichever side's witness is absent.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(
+                IncrementalCurationIndex,
+                spark,
+                os.path.join(root, "curation"),
+                lm_train_docs=lm_train_docs,
+                config=config,
+                n_buckets=n_buckets,
+            )
+            fs = pool.submit(
+                IncrementalContaminationScreen,
+                spark,
+                os.path.join(root, "screen"),
+                eval_docs=eval_docs,
+                n=n,
+                min_shared=min_shared,
+                df_cap=df_cap,
+                n_buckets=n_buckets,
+            )
+            self.curation = fc.result()
+            self.screen = fs.result()
 
     def apply_batch(
         self,
@@ -98,6 +112,8 @@ class StreamingIngestGate:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from worker_spark.streaming.feed import last_wins
 
         # one winner per key BEFORE either side sees the batch (both
@@ -110,8 +126,20 @@ class StreamingIngestGate:
             ),
             ["doc_id"],
         ).localCheckpoint(eager=True)
-        self.curation.apply_batch(batch, batch_id=batch_id)
-        self.screen.apply_batch(batch, batch_id=batch_id)
+        # the two MERGEs touch disjoint state roots and read only the
+        # checkpointed batch, so they overlap (the creation-path
+        # argument above, per batch): wall = the slower side. Each
+        # side's INTERNAL crash order is untouched — it runs unchanged
+        # inside its own thread — and the composed replay contract is
+        # the same as sequential: whichever side tore, replaying the
+        # batch_id re-applies both idempotently.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(
+                self.curation.apply_batch, batch, batch_id=batch_id
+            )
+            fs = pool.submit(self.screen.apply_batch, batch, batch_id=batch_id)
+            fc.result()
+            fs.result()
 
     # --- read side --------------------------------------------------------
 
