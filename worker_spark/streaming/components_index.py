@@ -143,13 +143,12 @@ class IncrementalComponentsIndex:
         batch_ids = feed.select("doc_id").distinct().localCheckpoint(
             eager=True
         )
-        new_edges = (
-            feed.filter(
-                F.col("nbr").isNotNull() & (F.col("nbr") != F.col("doc_id"))
-            )
-            .select(F.col("doc_id").alias("node"), "nbr")
-            .distinct()
-        )
+        new_edges = feed.filter(
+            F.col("nbr").isNotNull() & (F.col("nbr") != F.col("doc_id"))
+        ).select(F.col("doc_id").alias("node"), "nbr")
+        # one distinct after the symmetric union covers both directions;
+        # the per-direction distinct it replaced was a redundant second
+        # aggregation inside the same checkpoint job (r14 job trim)
         new_sym = (
             new_edges.unionByName(
                 new_edges.select(
@@ -248,9 +247,10 @@ class IncrementalComponentsIndex:
         # --- writes, in crash order ------------------------------------
         # adj 1/2: the MIRROR sweep (rows pointing AT batch docs) —
         # node-side rows are its manifest and must still be readable
-        mirror_buckets = sorted(
-            set(store.touched_buckets(old_nbrs.distinct(), "doc_id"))
-            | set(store.touched_buckets(endpoints.distinct(), "doc_id"))
+        # ONE bucket-id collect over the union instead of two separate
+        # collect jobs (r14 job trim; same set by construction)
+        mirror_buckets = store.touched_buckets(
+            old_nbrs.unionByName(endpoints), "doc_id"
         )
         if mirror_buckets:
             store.delete_then_insert(

@@ -245,20 +245,25 @@ class IncrementalCurationIndex:
         explicit 'no_lm_support' reject (curation_reason), so decide()
         is TOTAL over its input: every ingested doc_id gets a row."""
         cfg = self.config
-        lang = with_lang_id(docs).select("doc_id", "pred_lang")
-        qual = with_quality_score(docs).select("doc_id", "quality_score")
+        # the language/quality/Gopher layers are map-only column
+        # expressions, so they CHAIN into one scan of the batch instead
+        # of meeting in per-layer doc_id joins (guide §2.4: the joins
+        # were three removable shuffles of full doc frames; each layer
+        # is withColumns-based, so chaining computes identical values).
+        # Only the two aggregation layers — repetition (per-doc bigram
+        # stats) and the LM score — still join, on doc_id.
+        base = with_gopher_rules(
+            with_quality_score(with_lang_id(docs)),
+            min_words=cfg.gopher_min_words,
+            required_stopwords=cfg.gopher_stopwords,
+            min_stopword_hits=cfg.gopher_min_sw_hits,
+        ).select("doc_id", "pred_lang", "quality_score", "passes_gopher")
         rep = repetition_frame(docs).select(
             "doc_id", "type_token_ratio", "top_bigram_ratio"
         )
         lm = score_bigram_lm(docs, self.lm_model()).select(
             "doc_id", "avg_logp"
         )
-        gopher = with_gopher_rules(
-            docs,
-            min_words=cfg.gopher_min_words,
-            required_stopwords=cfg.gopher_stopwords,
-            min_stopword_hits=cfg.gopher_min_sw_hits,
-        ).select("doc_id", "passes_gopher")
         reason = curation_reason(
             cfg.target_lang,
             cfg.min_quality,
@@ -267,10 +272,8 @@ class IncrementalCurationIndex:
             cfg.min_logp,
         )
         return (
-            lang.join(qual, "doc_id")
-            .join(rep, "doc_id")
+            base.join(rep, "doc_id")
             .join(lm, "doc_id", "left")
-            .join(gopher, "doc_id")
             .select(
                 "doc_id",
                 "pred_lang",
