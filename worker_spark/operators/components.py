@@ -73,7 +73,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["id"])
             .groupBy(sym["s"].alias("nid"))
@@ -90,29 +90,44 @@ def connected_components(
                 ).alias("c1"),
             )
         )
-        # path-halving shortcut (pointer jumping): follow each label one
-        # hop through the just-computed labels (comp <- comp[comp]) in
-        # the SAME round's job. Labels are monotone non-increasing node
-        # ids, so the fixpoint is unchanged (comp constant == component
-        # min), but label-pointer depth shrinks by ~x1.6 per round
-        # instead of by 1 — O(log d) rounds instead of O(d) (a 200-link
-        # chain converges in 8 rounds instead of 200). One jump only,
-        # lazily in-plan: the self-join's two scans of `stepped` share
-        # the step's exchanges (ReuseExchange), so the round stays one
-        # job; chaining more jumps here would duplicate the edge join
-        # 2^jumps times, and materializing between jumps costs more in
-        # extra shuffles than the saved rounds return.
-        par = stepped.select(F.col("id").alias("pid"), F.col("c1").alias("pc"))
-        jumped = F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
-        labels = (
-            stepped.join(par, stepped["c1"] == par["pid"], "left")
-            .select(
+        # pointer-jumping shortcut: follow each stepped label one hop
+        # through the PREVIOUS round's labels (comp <- prev[comp]).
+        # prev is this loop's checkpointed leaf, so the jump is one
+        # extra node-table hash join INSIDE the round's job — no second
+        # job, and no duplicated edge join (joining the fresh step to
+        # itself was measured to re-run the edge join on both sides
+        # when exchange reuse didn't fire: dedup_cluster_components_v2
+        # doubled). Reach DOUBLES per round (d <- 2d+1: c1 reaches
+        # d+1 hops, prev[c1] adds prev's d), so rounds are O(log d) —
+        # a 200-link chain converges in 8 rounds instead of 200 — and
+        # maintained relabels (small max_iter + silent star fallback)
+        # stay off the fallback restart for any moderate-diameter
+        # subgraph. Labels stay monotone non-increasing node ids, so
+        # the fixpoint is unchanged (comp constant == component min).
+        # Rounds 0-1 skip the jump: round 0's prev is the identity
+        # labelling (a no-op jump), and near-clique dedup graphs — the
+        # common case — converge by round 2 without ever needing one,
+        # so they pay nothing for the shortcut; reach still doubles
+        # from round 2 on (5, 11, 23, ... 767 by round 10).
+        if it < 2:
+            new_labels = stepped.select(
+                "id",
+                F.col("c1").alias("comp"),
+                (F.col("c1") < F.col("oldc")).alias("chg"),
+            )
+        else:
+            par = labels.select(
+                F.col("id").alias("pid"), F.col("comp").alias("pc")
+            )
+            jumped = F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
+            new_labels = stepped.join(
+                par, stepped["c1"] == par["pid"], "left"
+            ).select(
                 "id",
                 jumped.alias("comp"),
                 (jumped < F.col("oldc")).alias("chg"),
             )
-            .localCheckpoint()
-        )
+        labels = new_labels.localCheckpoint()
         converged = labels.filter(F.col("chg")).limit(1).count() == 0
         labels = labels.drop("chg")
         if converged:
