@@ -58,7 +58,6 @@ from typing import Callable
 _LOCK = threading.Lock()
 _CACHE: dict[tuple[str, str], str] = {}
 _MARKER = "_STAGED_OK"
-_cleanup_registered = False
 
 
 def _cleanup() -> None:
@@ -69,11 +68,19 @@ def _cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# registered unconditionally at import (a sweep of an empty cache is
+# free): a lazily-flipped module flag would be mutable process state
+# inside staged_dir's closure, and the rotation guard's transitive
+# source hash covers module-level constants — the flag made every
+# streaming row's hash depend on whether a feed had been staged earlier
+# in the same process (found by the r14 full-suite verification run)
+atexit.register(_cleanup)
+
+
 def staged_dir(sf_dir: str, kind: str, build: Callable[[str], None]) -> str:
     """Return the cached staged directory for (sf_dir, kind), invoking
     ``build(dir)`` exactly once per process for that key. ``build`` must
     be deterministic in (sf_dir, kind) — the recipe contract above."""
-    global _cleanup_registered
     key = (os.path.abspath(sf_dir), kind)
     with _LOCK:
         cached = _CACHE.get(key)
@@ -90,7 +97,4 @@ def staged_dir(sf_dir: str, kind: str, build: Callable[[str], None]) -> str:
         with open(os.path.join(d, _MARKER), "w") as f:
             f.write(kind)
         _CACHE[key] = d
-        if not _cleanup_registered:
-            atexit.register(_cleanup)
-            _cleanup_registered = True
         return d
