@@ -98,6 +98,35 @@ def test_star_cc_beats_diameter_bound(spark):
     assert set(got.values()) == {0} and len(got) == 201
 
 
+def test_fallback_contraction_matches_full_run(spark):
+    # max_iter far below the chain diameter forces the star fallback;
+    # the fallback contracts through the partial min-label progress and
+    # must still land on exactly the fixpoint labels (component = min id)
+    pairs = [(i, i + 1) for i in range(100, 400)] + [(1, 2), (2, 3)]
+    e = _edges(spark, pairs)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(e, max_iter=4).collect()
+        }
+    want = {i: 100 for i in range(100, 401)}
+    want.update({1: 1, 2: 1, 3: 1})
+    assert got == want
+    # the mixed case: one component converges within the budget (clique,
+    # absent from the contracted graph) while the chain goes to star —
+    # the composition must keep the converged component's labels intact
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        got2 = {
+            r["id"]: r["component"]
+            for r in connected_components(e, max_iter=3).collect()
+        }
+    assert got2 == want
+
+
 def test_incremental_simhash_excludes_within_side_pairs(spark):
     from pyspark.sql import functions as F
 

@@ -141,6 +141,32 @@ def main() -> None:
     )
     out["cc_round_jump"] = _fmt(round_df)
 
+    # --- cc fallback: label-contracted star input (r14, second pass) ------
+    # the star fallback no longer restarts from raw edges: it contracts
+    # each edge through the partial min-label progress (two node-table
+    # hash joins) and composes star's labels back with one left join —
+    # this captures the contracted-edge frame + composition shape
+    sym = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "s: long, d: long"
+    ).localCheckpoint()
+    labels_cc = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id") - F.col("id") % 4)
+        .localCheckpoint()
+    )
+    contracted = (
+        sym.join(
+            labels_cc.select(F.col("id").alias("s"), F.col("comp").alias("ca")), "s"
+        )
+        .join(
+            labels_cc.select(F.col("id").alias("d"), F.col("comp").alias("cb")), "d"
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "cb")
+    )
+    out["cc_fallback_contraction"] = _fmt(contracted)
+
     # --- gate admissions (serve side) -------------------------------------
     from worker_spark.streaming.ingest_gate import StreamingIngestGate
     from worker_spark.queries.textops import (

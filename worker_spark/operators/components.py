@@ -127,16 +127,33 @@ def connected_components(
                 jumped.alias("comp"),
                 (jumped < F.col("oldc")).alias("chg"),
             )
-        labels = new_labels.localCheckpoint()
-        converged = labels.filter(F.col("chg")).limit(1).count() == 0
+        # ONE action per round (r14): the checkpoint is LAZY and the
+        # convergence count materializes it — the count job computes
+        # every partition anyway, so the previously separate eager-
+        # checkpoint job bought nothing. (A limit(1) short-circuit is
+        # deliberately NOT used: it could leave partitions of the lazy
+        # checkpoint unmaterialized for the next round to recompute.)
+        labels = new_labels.localCheckpoint(eager=False)
+        converged = labels.filter(F.col("chg")).count() == 0
         labels = labels.drop("chg")
         if converged:
             break
     if not converged:
-        # min-label needs `diameter` rounds; a component with diameter >
-        # max_iter (long transitive near-dup chain) would exit here with
-        # WRONG labels and no signal. Fall back to the large-star/small-star
-        # variant, whose O(log^2 n) round count is diameter-independent.
+        # min-label needs `diameter` rounds (jump rounds: log diameter);
+        # a component with diameter beyond the jump reach would exit
+        # here with WRONG labels and no signal. Fall back to the
+        # large-star/small-star variant, whose O(log^2 n) round count is
+        # diameter-independent — but CONTRACT through the current labels
+        # first (r14): after k rounds every label already points
+        # ~2^(k-2) hops toward its component min, progress a raw-edge
+        # restart would throw away. Label values are node ids within the
+        # same component and the component min M always labels itself
+        # (labels are monotone non-increasing, nothing smaller is
+        # reachable from M), so the contracted graph's components map
+        # 1:1 onto the original's, M is a contracted vertex, and star's
+        # min over a contracted component IS the true component min —
+        # composing star's labels back through the current labels yields
+        # exactly the fixpoint labelling.
         if warn_on_fallback:
             import warnings
 
@@ -147,7 +164,30 @@ def connected_components(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        return connected_components_star(edges, src=src, dst=dst)
+        contracted = (
+            sym.join(
+                labels.select(F.col("id").alias("s"), F.col("comp").alias("ca")),
+                "s",
+            )
+            .join(
+                labels.select(F.col("id").alias("d"), F.col("comp").alias("cb")),
+                "d",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .select("ca", "cb")
+        )
+        star = connected_components_star(contracted, src="ca", dst="cb")
+        return (
+            labels.join(
+                star.withColumnRenamed("id", "comp"), "comp", "left"
+            )
+            .select(
+                "id",
+                F.coalesce(F.col("component"), F.col("comp")).alias(
+                    "component"
+                ),
+            )
+        )
     return labels.select("id", F.col("comp").alias("component"))
 
 
