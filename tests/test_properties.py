@@ -442,3 +442,34 @@ def test_weighted_reservoir_is_ppswor_shaped(spark):
         .cast("long"),
     )
     assert 7 not in {r["doc_id"] for r in neg.collect()}
+
+
+def test_host_side_xxhash64_long_matches_engine(spark):
+    # bucket_of_long replaces a per-batch touched-bucket collect for the
+    # constant-key journal/ledger tables: the host-side XXH64 must agree
+    # with the engine's xxhash64 (seed 42) on the full signed-64 range
+    # edges and a value sweep, and the derived bucket with bucket_of
+    from pyspark.sql import functions as F
+
+    from worker_spark.plans.bucketed_state import (
+        BucketedParquetStateStore,
+        xxhash64_long,
+    )
+
+    vals = (
+        list(range(-40, 40))
+        + [2**63 - 1, -(2**63), 2**62, -(2**62), 10**15, -(10**15)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v: long").select(
+        "v", F.xxhash64("v").alias("h")
+    )
+    engine = {r["v"]: r["h"] for r in df.collect()}
+    assert all(engine[v] == xxhash64_long(v) for v in vals)
+
+    import tempfile
+
+    store = BucketedParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="xxh_store_"), n_buckets=16
+    )
+    one = spark.createDataFrame([(0,)], "jkey: long")
+    assert store.touched_buckets(one, "jkey") == [store.bucket_of_long(0)]

@@ -88,6 +88,39 @@ def _atomic_write(path: str, content: str) -> None:
     os.rename(tmp, path)
 
 
+_M64 = (1 << 64) - 1
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of ONE LongType column, host-side (XXH64 of
+    the 8-byte little-endian value, Spark's default seed 42) — returns
+    the SIGNED 64-bit result, matching the SQL function. Verified
+    against the engine in tests/test_properties.py. Exists so writers
+    whose bucket key is a literal (the single-bucket journal/config
+    tables, key always 0) can compute their touched bucket without a
+    per-batch collect job over the journaled frame."""
+    h = (seed + _P64_5 + 8) & _M64
+    k1 = (value & _M64) * _P64_2 & _M64
+    k1 = _rotl64(k1, 31) * _P64_1 & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+    h ^= h >> 33
+    h = h * _P64_2 & _M64
+    h ^= h >> 29
+    h = h * _P64_3 & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def tree_bytes(root: str) -> dict[str, tuple[int, float]]:
     """file path -> (size, mtime): the ONE 'bytes rewritten' witness —
     shared by the state scaling probe (tools/scaling_probe.py --state)
@@ -151,6 +184,13 @@ class BucketedParquetStateStore:
         collect bounded by n_buckets."""
         rows = df.select(self.bucket_of(*cols).alias("b")).distinct().collect()
         return sorted(r["b"] for r in rows)
+
+    def bucket_of_long(self, value: int) -> int:
+        """``bucket_of`` for one literal long key, computed host-side —
+        no job. For tables bucketed on a constant key (the journal /
+        ledger / config pattern, key always 0) this replaces the
+        per-write touched-bucket collect over the whole frame."""
+        return int(xxhash64_long(int(value))) % self.n_buckets
 
     # --- layout -----------------------------------------------------------
 
@@ -539,6 +579,7 @@ class BucketedParquetStateStore:
         table: str,
         df: DataFrame,
         keys: list[str] | None = None,
+        touched: list[int] | None = None,
     ) -> None:
         """Full-table replace (ParquetStateStore.write parity — the
         seeding / snapshot path; O(state) by definition, so the
@@ -547,7 +588,11 @@ class BucketedParquetStateStore:
         pinned (default: all columns — fine for tables only ever
         replaced whole, but a table that will later be ``upsert``-ed
         must declare its MERGE keys here so updated rows land in the
-        bucket of the rows they replace)."""
+        bucket of the rows they replace). ``touched`` lets a caller that
+        KNOWS its rows' bucket set (a constant-key table via
+        ``bucket_of_long``) skip the touched-bucket collect job; a wrong
+        set fails loudly in _write_buckets' stray-bucket guard before
+        any swap."""
         # heal torn swaps FIRST: a bucket displaced to .old-* by a prior
         # crash is invisible to the isdir() scan below, and recovery
         # would resurrect it AFTER this replace deleted it (review
@@ -563,7 +608,14 @@ class BucketedParquetStateStore:
             for b in range(self.n_buckets)
             if os.path.isdir(os.path.join(self._table_dir(table), self._bucket_name(b)))
         ]
-        touched = sorted(set(existing) | set(self.touched_buckets(df, *keys)))
+        touched = sorted(
+            set(existing)
+            | set(
+                self.touched_buckets(df, *keys)
+                if touched is None
+                else touched
+            )
+        )
         if not touched:
             # an EMPTY first replace commits nothing but the witness —
             # there is no data job to fail, so persisting here is safe

@@ -210,6 +210,9 @@ class IncrementalComponentsIndex:
                     "doc_id",
                 ),
                 keys=["jkey"],
+                # constant key => constant bucket, computed host-side
+                # (r14: drops the per-batch collect over the scope frame)
+                touched=[store.bucket_of_long(0)],
             )
 
         # the scoped subgraph: stored edges of scope nodes, minus every

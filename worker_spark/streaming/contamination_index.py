@@ -460,6 +460,8 @@ class IncrementalContaminationScreen:
                     )
                 ),
                 keys=["jkey"],
+                # constant key => constant bucket, host-side (r14)
+                touched=[store.bucket_of_long(0)],
             )
 
         # --- swaps, in crash order --------------------------------------

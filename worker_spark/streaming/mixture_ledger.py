@@ -265,6 +265,8 @@ class IncrementalMixtureLedger:
                     "d_sampled",
                 ),
                 keys=["jkey"],
+                # constant key => constant bucket, host-side (r14)
+                touched=[store.bucket_of_long(0)],
             )
 
         # --- mem: idempotent keyed replace ---------------------------------
@@ -313,7 +315,13 @@ class IncrementalMixtureLedger:
             "sampled_rows",
             F.lit(mark).cast("long").alias("applied_batch"),
         )
-        self.store.write(self.LED, new_led, keys=["lkey"])
+        self.store.write(
+            self.LED,
+            new_led,
+            keys=["lkey"],
+            # constant key => constant bucket, host-side (r14)
+            touched=[self.store.bucket_of_long(0)],
+        )
 
     # --- read side --------------------------------------------------------
 
