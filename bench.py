@@ -1207,10 +1207,12 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     total = round(sum(timings.values()), 3)
-    # The driver captures only a bounded TAIL of stdout (~2000 chars; the r3
-    # record was truncated mid-line by the per-anchor ratio dicts). Two rules:
-    # the stdout line carries ONLY the contract fields and is the LAST thing
-    # printed, and the full record (ratios, anchored totals) goes to a file.
+    # The driver captures a bounded TAIL of stdout (the r3 record was once
+    # truncated mid-line by the per-anchor ratio dicts). Two rules: the
+    # stdout line carries the contract fields (metric/value/unit/queries/sf
+    # — per-query times INCLUDED, per VERDICT r14 item 1) plus a few short
+    # summary scalars and is the LAST thing printed; the full record (every
+    # anchor's ratios, anchored totals, regression flags) goes to a file.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -1272,33 +1274,29 @@ def main() -> None:
                     for n, r in full[f"vs_{tag}_adjusted"].items()
                     if r > ADJ_REGRESSION_FLAG
                 }
-        # headline summary ratios on the stdout line itself (short
-        # fields, not the per-query dicts)
+        # a few headline summary ratios on the stdout line itself (short
+        # scalar fields; the full per-anchor record lives in the file).
+        # r15 measurement fix (VERDICT r14 item 1): the per-query dict now
+        # ALWAYS rides on the stdout line, so the line is kept otherwise
+        # lean — the older anchors' scalars moved to the file-only record.
         for k in (
             "total_vs_r1",
-            "total_vs_r2",
-            "total_vs_r4",
-            "total_vs_r5",
-            "total_vs_r6",
-            "total_vs_r6_adjusted",
-            "total_vs_r8_adjusted",
-            "total_vs_r9_adjusted",
-            "total_vs_r10_adjusted",
-            "total_vs_r11_adjusted",
-            "total_vs_r12_adjusted",
             "total_vs_r13_adjusted",
+            "total_vs_r14_adjusted",
         ):
             if k in full:
                 out[k] = full[k]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # r15 measurement fix (VERDICT r14 item 1): per-run output files keyed
+    # by core count, so the low-core scaling run no longer overwrites the
+    # main run's per-query record. BENCH_out.json stays as the
+    # latest-run alias for back-compat.
+    per_run = f"BENCH_out_c{cpus}.json"
+    for fname in (per_run, "BENCH_out.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(full, f, indent=1)
+    out["queries_file"] = per_run
     line = json.dumps(out)
-    if len(line) > 1900:
-        # stay inside the driver's tail-capture window: shed the per-query
-        # dict (it survives in BENCH_out.json) rather than risk truncation
-        slim = {k: v for k, v in out.items() if k != "queries"}
-        slim["queries_file"] = "BENCH_out.json"
-        line = json.dumps(slim)
     # stop BEFORE the final print so no Spark shutdown chatter can land in
     # the driver's tail window after the JSON line
     spark.stop()
