@@ -5,14 +5,31 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import FULL_SUITE, SF_ORACLE
 from tests.oracle_harness import compare
-from worker_spark.queries import all_queries
+from worker_spark.queries import _DRIVER_WINDOW, all_queries
 
 _SPECS = all_queries()
+# Default tier: exactly the driver's 50-slot verification window (the
+# set the round driver oracle-checks — anything transitively changed is
+# rotated in there, so the default tier always covers this round's
+# changes). SPARK_GRAFT_FULL_SUITE=1 sweeps all registered queries.
+_WINDOW50 = set(_DRIVER_WINDOW[:50])
+_PARAMS = [
+    name
+    if (FULL_SUITE or name in _WINDOW50)
+    else pytest.param(
+        name,
+        marks=pytest.mark.skip(
+            reason="outside the driver's 50-query window; set "
+            "SPARK_GRAFT_FULL_SUITE=1 for the full sweep"
+        ),
+    )
+    for name in sorted(_SPECS)
+]
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(spark, name):
     spec = _SPECS[name]
     df = spec.run(spark, SF_ORACLE)
