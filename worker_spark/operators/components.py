@@ -56,14 +56,19 @@ def connected_components(
     (VERDICT r12 'What's wrong #1': the default 25 futile rounds burned
     most of the composed-pipeline bench wall).
     """
-    # materialize the (possibly expensive) upstream pair plan ONCE — the
+    # checkpoint the (possibly expensive) upstream pair plan ONCE — the
     # symmetric union below scans its input twice, and each loop round
-    # re-scans the edge list
-    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    # re-scans the edge list. LAZY (r15 job trim): localCheckpoint marks
+    # the RDD persisted immediately, so round 0's convergence count
+    # computes each exactly once and truncates the lineage — the two
+    # separate eager materialization jobs bought nothing
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=False
+    )
     sym = (
         ed.union(ed.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # no checkpoint: round 1 recomputes this cheap distinct inside its
     # own job instead of paying a separate job launch for it
@@ -256,11 +261,18 @@ def connected_components_star(
     same shuffle shape as min-label, just restructuring edges into stars
     instead of propagating labels.
     """
+    # every star-round checkpoint is LAZY (r15, VERDICT r14 item 6): the
+    # odd-round signature collect materializes the small-star output AND
+    # the preceding large-star round's checkpoint riding in its lineage,
+    # so an LS+SS pair costs ONE job instead of three (two eager
+    # checkpoint jobs + the collect). localCheckpoint persists the RDD
+    # at mark time, so the symmetric union's double scan of `ed` still
+    # computes each round once.
     ed = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sig = _canon_sig(ed)
     for it in range(max_iter):
@@ -276,7 +288,7 @@ def connected_components_star(
                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
                 .filter(F.col("a") != F.col("b"))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         else:  # small-star: contract smaller neighbors onto their min
             le = sym.filter(F.col("v") < F.col("u"))
@@ -291,7 +303,7 @@ def connected_components_star(
                 moved.union(kept)
                 .filter(F.col("a") != F.col("b"))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # only a small-star round leaves the edge set in canonical star
         # form; stop when a full LS+SS cycle changed nothing. The sig
@@ -346,11 +358,15 @@ def pagerank_centrality(
         .distinct()
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    # lazy checkpoints (r15 job trim): each iteration's ranks are marked
+    # persisted at once and computed exactly once by the first action
+    # over the final plan — the per-iteration eager materialization jobs
+    # bought nothing (lineage is still truncated at first compute)
     ranks = deg.select(
         F.col("s").alias("node"),
         "degree",
         F.lit(PR_SCALE).cast("long").alias("rank_int"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = (
             edges.join(
@@ -376,7 +392,9 @@ def pagerank_centrality(
                 ).alias("rank_int"),
             )
             # truncate lineage each round (NOTES.md: iterative plans
-            # re-scan uncheckpointed upstreams per action)
-            .localCheckpoint(eager=True)
+            # re-scan uncheckpointed upstreams per action); lazy — the
+            # persist mark makes the one real action compute each round
+            # exactly once
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("doc_id"), "degree", "rank_int")

@@ -131,18 +131,37 @@ class IncrementalComponentsIndex:
 
     # --- maintenance ----------------------------------------------------
 
-    def apply_batch(self, feed: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(
+        self,
+        feed: DataFrame,
+        batch_id: int | None = None,
+        batch_ids: DataFrame | None = None,
+        batch_buckets: list[int] | None = None,
+    ) -> None:
         """The foreachBatch body. ``feed`` rows: (doc_id, nbr) per the
         module contract. Replaces the announced documents' edges, then
-        re-runs min-label propagation on the touched components only."""
+        re-runs min-label propagation on the touched components only.
+
+        ``batch_ids`` / ``batch_buckets`` let a composed pipeline that
+        already derived the batch's announced-id frame (and its bucket
+        ids under the SAME modulus) hand them over instead of paying the
+        derivation again: every pipeline's feed is announcements(all
+        batch ids) ∪ edges(ids ⊆ batch ids), so the feed's distinct
+        doc_id set IS the pipeline's batch-id set. Checkpoints below are
+        LAZY (r15 job-count discipline): each is fully materialized by
+        the first collect/staging job that consumes it, which always
+        runs BEFORE any bucket swap its lineage reads (the store's
+        write-invalidates-lazy-frames contract)."""
         store = self.store
         feed = feed.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("nbr").cast("long").alias("nbr"),
-        ).localCheckpoint(eager=True)
-        batch_ids = feed.select("doc_id").distinct().localCheckpoint(
-            eager=True
-        )
+        ).localCheckpoint(eager=False)
+        if batch_ids is None:
+            # materialized (with feed) by the batch_buckets collect below
+            batch_ids = feed.select("doc_id").distinct().localCheckpoint(
+                eager=False
+            )
         new_edges = feed.filter(
             F.col("nbr").isNotNull() & (F.col("nbr") != F.col("doc_id"))
         ).select(F.col("doc_id").alias("node"), "nbr")
@@ -156,10 +175,11 @@ class IncrementalComponentsIndex:
                 )
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
-        batch_buckets = store.touched_buckets(batch_ids, "doc_id")
+        if batch_buckets is None:
+            batch_buckets = store.touched_buckets(batch_ids, "doc_id")
         # node-side rows of the batch docs = the mirror manifest
         old_node_side = store.read(
             self.ADJ, ADJ_SCHEMA, buckets=batch_buckets
@@ -175,7 +195,8 @@ class IncrementalComponentsIndex:
                 F.col("batch_id") == int(batch_id)
             )
             touched_nodes = touched_nodes.unionByName(prior.select("doc_id"))
-        touched_nodes = touched_nodes.distinct().localCheckpoint(eager=True)
+        # lazy: materialized by the node_buckets collect just below
+        touched_nodes = touched_nodes.distinct().localCheckpoint(eager=False)
 
         # affected components: stored labels of every touched node (the
         # stale manifest covers every node the old edges could link)
@@ -183,9 +204,10 @@ class IncrementalComponentsIndex:
         old_labels = store.read(
             self.LABELS, LABELS_SCHEMA, buckets=node_buckets
         ).join(touched_nodes, "doc_id", "left_semi")
+        # lazy: materialized by the cluster_buckets collect just below
         affected_clusters = (
             old_labels.select("cluster_id").distinct().localCheckpoint(
-                eager=True
+                eager=False
             )
         )
         cluster_buckets = store.touched_buckets(
@@ -194,10 +216,13 @@ class IncrementalComponentsIndex:
         old_members = store.read(
             self.MEMBERS, MEMBERS_SCHEMA, buckets=cluster_buckets
         ).join(affected_clusters, "cluster_id", "left_semi")
+        # lazy: materialized by the journal staging write (or, for an
+        # unjournaled call, the scope_buckets collect) — both run before
+        # any swap of the MEMBERS files this lineage reads
         scope = (
             touched_nodes.unionByName(old_members.select("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # journal the scope BEFORE any swap (one single-bucket atomic
         # write): from here on, any torn state replays to convergence
@@ -239,22 +264,50 @@ class IncrementalComponentsIndex:
         # rounds cover diameter ~2^(k-1): 10 rounds reach ~500-diameter
         # components for the cost two extra plain rounds used to buy,
         # and the fallback only fires for genuinely pathological graphs.
+        # lazy checkpoint: connected_components' convergence count has
+        # already materialized every internal checkpoint in comp's
+        # lineage (no raw state-file reads remain), so the first consumer
+        # below can safely materialize it after the ADJ swaps; the
+        # checkpoint still keeps the fallback-path join from recomputing
+        # per consumer
         comp = connected_components(
             sub_edges, src="node", dst="nbr", max_iter=10,
             warn_on_fallback=False,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         new_labels = comp.select(
             F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
         )
 
         # --- writes, in crash order ------------------------------------
         # adj 1/2: the MIRROR sweep (rows pointing AT batch docs) —
-        # node-side rows are its manifest and must still be readable
-        # ONE bucket-id collect over the union instead of two separate
-        # collect jobs (r14 job trim; same set by construction)
-        mirror_buckets = store.touched_buckets(
-            old_nbrs.unionByName(endpoints), "doc_id"
+        # node-side rows are its manifest and must still be readable.
+        # ONE tagged collect derives BOTH pre-swap adj bucket sets (the
+        # mirror sweep's and the node side's insert buckets) — both are
+        # needed before the first ADJ swap anyway, and folding them
+        # halves the probe jobs (r15 job trim; same sets by
+        # construction: mirror = buckets(old_nbrs ∪ endpoints), node
+        # side = batch_buckets ∪ buckets(new_sym.node), and new_sym is
+        # symmetric so its node column covers both endpoint directions)
+        tagged = (
+            old_nbrs.unionByName(endpoints)
+            .select(
+                store.bucket_of(F.col("doc_id")).alias("b"),
+                F.lit(1).alias("mir"),
+                F.lit(0).alias("sym"),
+            )
+            .unionByName(
+                new_sym.select(
+                    store.bucket_of(F.col("node")).alias("b"),
+                    F.lit(0).alias("mir"),
+                    F.lit(1).alias("sym"),
+                )
+            )
+            .groupBy("b")
+            .agg(F.max("mir").alias("mir"), F.max("sym").alias("sym"))
+            .collect()
         )
+        mirror_buckets = sorted(r["b"] for r in tagged if r["mir"])
+        new_sym_buckets = {r["b"] for r in tagged if r["sym"]}
         if mirror_buckets:
             store.delete_then_insert(
                 self.ADJ,
@@ -266,10 +319,7 @@ class IncrementalComponentsIndex:
                 touched=mirror_buckets,
             )
         # adj 2/2: node side replaced, new symmetric rows inserted
-        adj_buckets = sorted(
-            set(batch_buckets)
-            | set(store.touched_buckets(new_sym, "node"))
-        )
+        adj_buckets = sorted(set(batch_buckets) | new_sym_buckets)
         if adj_buckets:
             store.delete_then_insert(
                 self.ADJ,

@@ -321,12 +321,15 @@ class IncrementalContaminationScreen:
                 "eval_docs once before applying batches"
             )
         store = self.store
+        # lazy checkpoints (r15 job-count discipline): batch and
+        # batch_ids are materialized by the doc_buckets collect, before
+        # any swap
         batch = last_wins(docs, [id_col]).select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         batch_ids = batch.select("doc_id").distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
         doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         # contract: eval ids are not corpus ids — a doc on both sides
@@ -347,10 +350,12 @@ class IncrementalContaminationScreen:
                 "the eval set is static and disjoint from the corpus"
             )
 
+        # lazy: materialized (with touched_sh) by the sh_buckets
+        # collect, before any swap of the POST/MAN files read later
         new_g = (
             _grams(batch, self.n)
             .select(F.col("doc_id").alias("corpus_id"), "shingle")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # lazy: consumed exactly once, inside touched_sh's checkpoint
         # job below (pre-swap), so a separate materialization job would
@@ -364,7 +369,7 @@ class IncrementalContaminationScreen:
             old_man.select("shingle")
             .unionByName(new_g.select("shingle"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sh_buckets = store.touched_buckets(touched_sh, "shingle")
 
@@ -399,11 +404,13 @@ class IncrementalContaminationScreen:
             .select("shingle")
             .localCheckpoint(eager=True)
         )
+        # lazy: materialized by the cross_buckets collect just below,
+        # while the HOT files its hot_old_t side reads are still pre-swap
         crossings = (
             hot_after_t.exceptAll(hot_old_t)
             .unionByName(hot_old_t.exceptAll(hot_after_t))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         # --- re-derive scope (journaled before any swap) ----------------
@@ -441,8 +448,12 @@ class IncrementalContaminationScreen:
                     F.col("doc_id").alias("eval_id")
                 )
             )
-        d_c = d_c.distinct().localCheckpoint(eager=True)
-        e_c = e_c.distinct().localCheckpoint(eager=True)
+        # journaled (stream) path: lazy — the journal staging write
+        # materializes both before any swap of the POST/EVG files their
+        # lineage reads. Direct calls (no batch_id => no journal write)
+        # must force them NOW: both are consumed again after the swaps.
+        d_c = d_c.distinct().localCheckpoint(eager=batch_id is None)
+        e_c = e_c.distinct().localCheckpoint(eager=batch_id is None)
         if batch_id is not None:
             store.write(
                 self.JOURNAL,

@@ -313,22 +313,31 @@ class IncrementalCurationIndex:
             ),
             ["doc_id"],
         )
-        # materialize the deduped batch ONCE: decide()'s five gate
+        # checkpoint the deduped batch ONCE: decide()'s five gate
         # layers are five plan branches over it, and without the
         # checkpoint each branch re-pays the last_wins shuffle (and the
-        # feed scan) — 5x the batch cost per trigger at scale
+        # feed scan) — 5x the batch cost per trigger at scale. Lazy
+        # (r15 job-count discipline): live and rows materialize inside
+        # the DECISIONS staging job (their lineage reads only the feed
+        # batch and the pinned LM tables, neither swapped here), and
+        # batch_ids by the one doc_buckets collect below.
         live = (
             batch.filter(F.length(F.trim(F.col("text"))) > 0)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        rows = self.decide(live).localCheckpoint(eager=True)
+        rows = self.decide(live).localCheckpoint(eager=False)
         # batch_ids from the RAW batch: the key set is dedup-invariant,
         # and deriving it from the deduped frame would run the agg twice
         batch_ids = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE touched-bucket collect serves both MERGEs (r15): both
+        # tables bucket on doc_id and both delete exactly the batch ids,
+        # so the touched set is the batch ids' buckets for each (insert
+        # rows are a subset of the batch ids).
+        doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         store.delete_then_insert(
             self.DECISIONS,
             delete_keys=batch_ids,
@@ -336,6 +345,7 @@ class IncrementalCurationIndex:
             schema=DECISIONS_SCHEMA,
             bucket_col="doc_id",
             delete_on="doc_id",
+            touched=doc_buckets,
         )
         # the retained corpus text (r12 item 5 — what makes retrain()
         # self-contained): same buckets as decisions, same delete
@@ -348,6 +358,7 @@ class IncrementalCurationIndex:
             schema=TEXTS_SCHEMA,
             bucket_col="doc_id",
             delete_on="doc_id",
+            touched=doc_buckets,
         )
 
     # --- lifecycle (VERDICT r12 item 5: the IVF recluster discipline) ---

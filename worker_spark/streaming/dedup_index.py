@@ -140,10 +140,13 @@ class IncrementalDedupIndex:
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
+        # lazy checkpoints (r15 job-count discipline): new_fps is
+        # materialized by the touched-band-bucket collect, batch_ids by
+        # the doc_buckets collect — both before either table's swap
         new_fps = (
             simhash(last_wins(docs, [id_col]), id_col=id_col, text_col=text_col)
             .select(F.col("id").cast("long").alias("doc_id"), "simhash")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # batch_ids from the RAW batch: the key set is identical before
         # and after last_wins, and deriving it from the deduped frame
@@ -151,7 +154,7 @@ class IncrementalDedupIndex:
         batch_ids = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         doc_buckets = store.touched_buckets(batch_ids, "doc_id")
@@ -245,7 +248,8 @@ class IncrementalDedupIndex:
         qfps = simhash(docs, id_col=id_col, text_col=text_col).select(
             F.col("id").cast("long").alias("doc_id"), "simhash"
         )
-        qbands = _band_rows(qfps).localCheckpoint(eager=True)
+        # lazy: materialized by the probe collect just below
+        qbands = _band_rows(qfps).localCheckpoint(eager=False)
         probe_buckets = store.touched_buckets(qbands, "bk")
         idx = self.bands(buckets=probe_buckets)
         return (

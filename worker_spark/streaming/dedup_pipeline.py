@@ -74,23 +74,46 @@ class StreamingDedupPipeline:
         from worker_spark.streaming.feed import last_wins
 
         # one winner per key BEFORE screening: screening a superseded
-        # draft would emit the loser version's edges (exact.apply_batch
-        # applies the same reduction internally)
-        batch = last_wins(docs, [id_col]).localCheckpoint(eager=True)
-        self.exact.apply_batch(batch, batch_id=batch_id,
-                               id_col=id_col, text_col=text_col)
+        # draft would emit the loser version's edges. The batch, its id
+        # frame and their bucket ids are derived ONCE here and handed to
+        # every sub-structure (r15 job-count discipline: the exact index
+        # no longer re-reduces / re-derives them, and the components
+        # index reuses the same bucket set — all stores share one
+        # modulus, asserted below). Checkpoints are lazy; the one
+        # doc_buckets collect materializes both.
+        batch = last_wins(docs, [id_col]).localCheckpoint(eager=False)
+        batch_ids = (
+            batch.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        assert (
+            self.exact.store.n_buckets == self.components.store.n_buckets
+        ), "pipeline stores must share one bucket modulus to reuse bucket ids"
+        doc_buckets = self.exact.store.touched_buckets(batch_ids, "doc_id")
+        self.exact.apply_batch(
+            batch,
+            batch_id=batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            pre_reduced=True,
+            batch_ids=batch_ids,
+            doc_buckets=doc_buckets,
+        )
         hits = self.exact.screen_batch(
             batch, id_col=id_col, text_col=text_col
         )
-        announcements = batch.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.lit(None).cast("long").alias("nbr"),
+        announcements = batch_ids.select(
+            "doc_id", F.lit(None).cast("long").alias("nbr")
         )
         edges = hits.select(
             F.col("new_id").alias("doc_id"), F.col("corpus_id").alias("nbr")
         )
         self.components.apply_batch(
-            announcements.unionByName(edges), batch_id=batch_id
+            announcements.unionByName(edges),
+            batch_id=batch_id,
+            batch_ids=batch_ids,
+            batch_buckets=doc_buckets,
         )
 
     def fsck(self) -> dict[str, int]:
@@ -215,47 +238,84 @@ class StreamingNearDupPipeline:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from worker_spark.operators.dedup import word_shingles
         from worker_spark.streaming.feed import last_wins
 
         self._ensure_threshold_pinned()
+        # the batch, its id frame and their bucket ids are derived ONCE
+        # and handed to every sub-structure (r15 job-count discipline);
+        # checkpoints are lazy, materialized by the one doc_buckets
+        # collect below — before any swap
         batch = last_wins(docs, [id_col]).select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
-        ).localCheckpoint(eager=True)
-        batch_ids = batch.select("doc_id").distinct()
-        live = batch.filter(F.length(F.trim(F.col("text"))) > 0)
-        # texts first: the verify below must see the batch's own
-        # versions if a later batch screens against them
-        self.docstore.delete_then_insert(
-            self.DOCS,
-            delete_keys=batch_ids,
-            inserts=live,
-            schema=DOCS_SCHEMA,
-            bucket_col="doc_id",
+        ).localCheckpoint(eager=False)
+        batch_ids = batch.select("doc_id").distinct().localCheckpoint(
+            eager=False
         )
-        self.minhash.apply_batch(batch, batch_id=batch_id)
+        assert (
+            self.docstore.n_buckets
+            == self.minhash.store.n_buckets
+            == self.components.store.n_buckets
+        ), "pipeline stores must share one bucket modulus to reuse bucket ids"
+        doc_buckets = self.docstore.touched_buckets(batch_ids, "doc_id")
+        live = batch.filter(F.length(F.trim(F.col("text"))) > 0)
+        # The text MERGE and the band/signature MERGE maintain DISJOINT
+        # state roots, so their jobs overlap on the scheduler (guide
+        # §2.6, the ingest-gate discipline): wall = the slower side.
+        # Each side's internal crash order runs unchanged in its own
+        # thread, and the composed replay contract equals sequential's —
+        # this batch's verify reads batch text from the batch frame
+        # itself (partners are non-batch ids by construction), and a
+        # later batch only screens after this one fully committed, so
+        # no reader can observe the bands-before-texts interleaving; a
+        # torn batch replays both MERGEs idempotently.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ft = pool.submit(
+                self.docstore.delete_then_insert,
+                self.DOCS,
+                delete_keys=batch_ids,
+                inserts=live,
+                schema=DOCS_SCHEMA,
+                bucket_col="doc_id",
+                touched=doc_buckets,
+            )
+            fm = pool.submit(
+                self.minhash.apply_batch,
+                batch,
+                batch_id=batch_id,
+                pre_reduced=True,
+                batch_ids=batch_ids,
+                doc_buckets=doc_buckets,
+            )
+            ft.result()
+            fm.result()
         # screen AFTER apply: the batch's own bands are in state, so
         # within-batch pairs fall out of the same band equi-join. The
         # batch's signatures are read BACK from the sigs state the
-        # apply just wrote (bucket-pruned by the batch ids) instead of
-        # re-running the shingle+minhash pass screen_candidates would
-        # pay — the one compute stage worth sharing between the two
-        # structures a composed batch drives (measured ~25% of the
-        # per-batch wall at demo scale).
+        # apply just wrote (bucket-pruned by the batch ids — the same
+        # bucket set as doc_buckets, same store) instead of re-running
+        # the shingle+minhash pass screen_candidates would pay — the one
+        # compute stage worth sharing between the two structures a
+        # composed batch drives (measured ~25% of the per-batch wall at
+        # demo scale).
         from worker_spark.streaming.minhash_index import (
             SIGS_SCHEMA,
             _band_rows,
         )
 
         mstore = self.minhash.store
-        sig_buckets = mstore.touched_buckets(batch_ids, "doc_id")
         qsigs = mstore.read(
-            self.minhash.SIGS, SIGS_SCHEMA, buckets=sig_buckets
+            self.minhash.SIGS, SIGS_SCHEMA, buckets=doc_buckets
         ).join(batch_ids, "doc_id", "left_semi")
-        qbands = _band_rows(qsigs).localCheckpoint(eager=True)
+        # lazy: materialized by the probe_buckets collect
+        qbands = _band_rows(qsigs).localCheckpoint(eager=False)
         probe_buckets = mstore.touched_buckets(qbands, "bk")
         idx = self.minhash.bands(buckets=probe_buckets)
+        # lazy: cands and partner_ids are both materialized by the
+        # pbuckets collect, before the verify re-reads them
         cands = (
             qbands.alias("a")
             .join(idx.alias("b"), F.col("a.bk") == F.col("b.bk"))
@@ -265,13 +325,13 @@ class StreamingNearDupPipeline:
                 F.col("b.doc_id").alias("id_b"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         partner_ids = (
             cands.select(F.col("id_b").alias("doc_id"))
             .distinct()
             .join(batch_ids, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         pbuckets = self.docstore.touched_buckets(partner_ids, "doc_id")
         partners = self.docstore.read(
@@ -286,7 +346,10 @@ class StreamingNearDupPipeline:
             F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
         )
         self.components.apply_batch(
-            announcements.unionByName(edges), batch_id=batch_id
+            announcements.unionByName(edges),
+            batch_id=batch_id,
+            batch_ids=batch_ids,
+            batch_buckets=doc_buckets,
         )
 
     def fsck(self) -> dict[str, int]:
@@ -340,22 +403,37 @@ class StreamingSubstringPipeline:
         from worker_spark.streaming.feed import last_wins
         from worker_spark.streaming.substring_index import FPS_SCHEMA
 
+        # shared-frame threading + lazy checkpoints (r15 job-count
+        # discipline): one doc_buckets collect materializes batch and
+        # batch_ids, and its bucket set serves the substring apply, the
+        # manifest read-back AND the components relabel (one modulus
+        # across the pipeline's stores, asserted below)
         batch = last_wins(docs, [id_col]).select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         batch_ids = batch.select("doc_id").distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
-        self.substring.apply_batch(batch, batch_id=batch_id)
+        st = self.substring.store
+        assert st.n_buckets == self.components.store.n_buckets, (
+            "pipeline stores must share one bucket modulus to reuse "
+            "bucket ids"
+        )
+        fbuckets = st.touched_buckets(batch_ids, "doc_id")
+        self.substring.apply_batch(
+            batch,
+            batch_id=batch_id,
+            pre_reduced=True,
+            batch_ids=batch_ids,
+            doc_buckets=fbuckets,
+        )
         # screen AFTER apply, from state: the batch's fingerprints come
         # back from the fps manifest (bucket-pruned by the batch ids),
         # within-batch pairs fall out of the same fhash equi-join
-        st = self.substring.store
-        fbuckets = st.touched_buckets(batch_ids, "doc_id")
         qfp = st.read(
             self.substring.FPS, FPS_SCHEMA, buckets=fbuckets
-        ).join(batch_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+        ).join(batch_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
         probe_buckets = st.touched_buckets(qfp, "fhash")
         idx = self.substring.fprows(buckets=probe_buckets)
         hits = (
@@ -372,7 +450,10 @@ class StreamingSubstringPipeline:
             "doc_id", F.lit(None).cast("long").alias("nbr")
         )
         self.components.apply_batch(
-            announcements.unionByName(hits), batch_id=batch_id
+            announcements.unionByName(hits),
+            batch_id=batch_id,
+            batch_ids=batch_ids,
+            batch_buckets=fbuckets,
         )
 
     def fsck(self) -> dict[str, int]:

@@ -90,6 +90,9 @@ class IncrementalExactIndex:
         batch_id: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        pre_reduced: bool = False,
+        batch_ids: DataFrame | None = None,
+        doc_buckets: list[int] | None = None,
     ) -> None:
         """The foreachBatch body: delete-then-insert the batch documents'
         hash rows (an updated document's content hash changes, so its
@@ -101,22 +104,35 @@ class IncrementalExactIndex:
         A batch carrying several versions of one doc_id is reduced to
         one row per key FIRST — last-wins (feed.last_wins); without it
         a document would keep BOTH versions' hash rows and serve as its
-        own duplicate cluster."""
+        own duplicate cluster.
+
+        ``pre_reduced`` declares the caller already ran last_wins on
+        ``docs`` (the composed dedup pipeline does) — the reduction is
+        idempotent, so skipping the second pass changes nothing but the
+        job count. ``batch_ids`` / ``doc_buckets`` likewise hand over
+        the id frame / its bucket ids (same-modulus stores only) a
+        composed caller already derived. Checkpoints are LAZY (r15
+        job-count discipline): each is materialized by the touched-
+        bucket collects below, which run before either table's swap."""
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
+        reduced = docs if pre_reduced else last_wins(docs, [id_col])
         new_fps = _content_hashes(
-            last_wins(docs, [id_col]), id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
-        # batch_ids from the RAW batch: the key set is dedup-invariant,
-        # and deriving it from the deduped frame would run the agg twice
-        batch_ids = (
-            docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+            reduced, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=False)
+        if batch_ids is None:
+            # batch_ids from the RAW batch: the key set is dedup-
+            # invariant, and deriving it from the deduped frame would
+            # run the agg twice
+            batch_ids = (
+                docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
 
-        doc_buckets = store.touched_buckets(batch_ids, "doc_id")
+        if doc_buckets is None:
+            doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         old_fps = store.read(self.FPS, FPS_SCHEMA, buckets=doc_buckets)
         inserts = new_fps.filter(F.col("content_hash").isNotNull())
         old_b = (
@@ -216,7 +232,8 @@ class IncrementalExactIndex:
         qfps = (
             _content_hashes(docs, id_col=id_col, text_col=text_col)
             .filter(F.col("content_hash").isNotNull())
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the probe collect just below
+            .localCheckpoint(eager=False)
         )
         probe_buckets = store.touched_buckets(qfps, "content_hash")
         idx = self.hashes(buckets=probe_buckets)

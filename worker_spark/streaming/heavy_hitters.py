@@ -136,7 +136,9 @@ class StreamingHeavyHitters:
         lose batches until the fresh checkpoint's counter caught up);
         a direct call (batch_id None) applies and keeps the watermark
         where it was (never regresses it)."""
-        summary = self._summary().localCheckpoint(eager=True)
+        # lazy (r15 job-count discipline): materialized by the sentinel
+        # collect just below, before the one swap
+        summary = self._summary().localCheckpoint(eager=False)
         meta = summary.filter(F.col("token") == _SENTINEL).collect()
         watermark = int(meta[0]["batch_id"]) if meta else -1
         prev_total = int(meta[0]["total_offset"]) if meta else 0
@@ -160,7 +162,8 @@ class StreamingHeavyHitters:
             counters.unionByName(counts)
             .groupBy("token")
             .agg(F.sum("est_cnt").alias("est_cnt"))
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the kth collect just below
+            .localCheckpoint(eager=False)
         )
         kth = (
             merged.orderBy(F.desc("est_cnt"), F.asc("token"))

@@ -145,6 +145,9 @@ class IncrementalMinHashIndex:
         batch_id: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        pre_reduced: bool = False,
+        batch_ids: DataFrame | None = None,
+        doc_buckets: list[int] | None = None,
     ) -> None:
         """The foreachBatch body: delete-then-insert the batch
         documents' band rows (an updated document's signature changes,
@@ -153,23 +156,36 @@ class IncrementalMinHashIndex:
         Touched bands buckets = old-signature band keys ∪ new-signature
         band keys — exact and bounded, both derived by column math.
         A batch carrying several versions of one doc_id is reduced to
-        one row per key first — last-wins (feed.last_wins)."""
+        one row per key first — last-wins (feed.last_wins).
+
+        ``pre_reduced`` declares the caller already ran last_wins on
+        ``docs`` (the composed pipelines do, before screening) — the
+        reduction is idempotent, so skipping the second pass changes
+        nothing but the job count. ``batch_ids`` / ``doc_buckets``
+        likewise hand over the id frame / its bucket ids (same-modulus
+        stores only) a composed caller already derived."""
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
-        new_sigs = self._signatures(
-            last_wins(docs, [id_col]), id_col, text_col
-        ).localCheckpoint(eager=True)
-        # batch_ids from the RAW batch: the key set is identical before
-        # and after last_wins, and deriving it from the deduped frame
-        # would run the dedup agg a second time
-        batch_ids = (
-            docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        reduced = docs if pre_reduced else last_wins(docs, [id_col])
+        # lazy: materialized by the touched-band-bucket collect below,
+        # which runs before either table's swap
+        new_sigs = self._signatures(reduced, id_col, text_col).localCheckpoint(
+            eager=False
         )
+        if batch_ids is None:
+            # batch_ids from the RAW batch: the key set is identical
+            # before and after last_wins, and deriving it from the
+            # deduped frame would run the dedup agg a second time.
+            # Lazy: materialized by the doc_buckets collect below.
+            batch_ids = (
+                docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
 
-        doc_buckets = store.touched_buckets(batch_ids, "doc_id")
+        if doc_buckets is None:
+            doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         old_sigs = store.read(self.SIGS, SIGS_SCHEMA, buckets=doc_buckets)
         old_bk = _band_rows(
             old_sigs.join(batch_ids, "doc_id", "left_semi")
@@ -297,8 +313,11 @@ class IncrementalMinHashIndex:
                 F.col("b.doc_id").alias("id_b"),
             )
             .distinct()
-            .localCheckpoint(eager=True)  # feeds the id semi-join AND the
-            # verify join; without this the band self-join runs twice
+            # feeds the id semi-join AND the verify join; without the
+            # checkpoint the band self-join runs twice. Lazy: the verify
+            # chain's shingle-count job materializes it (read side, no
+            # swaps in flight)
+            .localCheckpoint(eager=False)
         )
         cand_ids = (
             cands.select(F.col("id_a").alias(id_col))
@@ -325,7 +344,8 @@ class IncrementalMinHashIndex:
         file-pruning property is assertable on the exact serving
         plan."""
         qsigs = self._signatures(new_docs, id_col, text_col)
-        qbands = _band_rows(qsigs).localCheckpoint(eager=True)
+        # lazy: materialized by the probe collect just below
+        qbands = _band_rows(qsigs).localCheckpoint(eager=False)
         probe_buckets = self.store.touched_buckets(qbands, "bk")
         idx = self.bands(buckets=probe_buckets)
         return (
@@ -365,8 +385,10 @@ class IncrementalMinHashIndex:
         shingle sizes can never double-count an id."""
         cands = self.screen_candidates(
             new_docs, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)  # feeds the partner semi-join AND
-        # the verify join; without this the probe join runs twice
+        ).localCheckpoint(eager=False)  # feeds the partner semi-join AND
+        # the verify join; without the checkpoint the probe join runs
+        # twice. Lazy: the verify chain's shingle-count job materializes
+        # it (read side, no swaps in flight)
         partner_ids = (
             cands.select(F.col("id_b").alias(id_col))
             .distinct()

@@ -202,18 +202,24 @@ class IncrementalMixtureLedger:
                 F.col(text_col).alias("text"),
             ),
             ["doc_id"],
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # lazy checkpoints (r15 job-count discipline): batch and
+        # batch_ids are materialized by the doc_buckets collect; new_mem
+        # and old_mem by the delta computation (or, on a journaled
+        # replay, new_mem by the MEM staging job — its lineage reads no
+        # state files, and old_mem is then never consumed at all, which
+        # the eager checkpoint used to pay a job for anyway)
         batch_ids = batch.select("doc_id").distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
         live = batch.filter(F.length(F.trim(F.col("text"))) > 0)
-        new_mem = self._decide(live).localCheckpoint(eager=True)
+        new_mem = self._decide(live).localCheckpoint(eager=False)
 
         doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         old_mem = (
             store.read(self.MEM, MEM_SCHEMA, buckets=doc_buckets)
             .join(batch_ids, "doc_id", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
             if doc_buckets
             else self.spark.createDataFrame([], MEM_SCHEMA)
         )
@@ -230,9 +236,12 @@ class IncrementalMixtureLedger:
                 # was computed against the TRUE pre-batch mem (which the
                 # tear may since have swapped) — recomputing would be
                 # wrong exactly then, so the journal wins
+                # lazy: the journal staging write materializes it from
+                # the pre-swap journal files (staging runs before the
+                # swap by construction)
                 journaled = prior.select(
                     "stratum", "d_total", "d_sampled"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
         if journaled is None:
             plus = new_mem.groupBy("stratum").agg(
                 F.count(F.lit(1)).alias("t"),
@@ -252,7 +261,13 @@ class IncrementalMixtureLedger:
                 .filter(
                     (F.col("d_total") != 0) | (F.col("d_sampled") != 0)
                 )
-                .localCheckpoint(eager=True)
+                # fenced: lazy — the journal staging write materializes
+                # it before the MEM swap its old_mem lineage reads.
+                # UNFENCED there is no journal write, and the next
+                # consumer (the ledger merge) only runs after the MEM
+                # swap — so the delta must be forced NOW, while the
+                # pre-swap mem files are still live
+                .localCheckpoint(eager=not fenced)
             )
         if fenced:
             store.write(

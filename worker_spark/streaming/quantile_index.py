@@ -155,9 +155,11 @@ class IncrementalQuantileIndex:
             # within-batch re-delivery dedup (rows are immutable, so
             # every copy is identical and any winner is THE row)
             .dropDuplicates(["g", "kid"])
-            .localCheckpoint(eager=True)
+            # lazy (r15 job-count discipline): batch and groups are both
+            # materialized by the gb collect, before the one swap
+            .localCheckpoint(eager=False)
         )
-        groups = batch.select("g").distinct().localCheckpoint(eager=True)
+        groups = batch.select("g").distinct().localCheckpoint(eager=False)
         gb = self.store.touched_buckets(groups, "g")
         if not gb:
             return

@@ -91,11 +91,13 @@ class StreamingReservoir:
             ),
             ["doc_id"],
         )
-        scored = aes_scored(batch).localCheckpoint(eager=True)
+        # lazy (r15 job-count discipline): both are materialized by
+        # the write's touched-bucket collect, before the one swap
+        scored = aes_scored(batch).localCheckpoint(eager=False)
         batch_ids = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         state = self.reservoir().join(batch_ids, "doc_id", "left_anti")
         merged = state.withColumn(
@@ -212,15 +214,17 @@ class StreamingStratifiedReservoir:
             ),
             ["doc_id"],
         )
+        # lazy (r15 job-count discipline): both are materialized by
+        # the write's touched-bucket collect, before the one swap
         scored = (
             aes_scored(batch.select("doc_id", "text"))
             .join(batch.select("doc_id", "stratum"), "doc_id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         batch_ids = (
             docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         state = self.reservoirs().join(batch_ids, "doc_id", "left_anti")
         merged = state.withColumn(

@@ -187,9 +187,12 @@ class IncrementalRetrievalIndex:
         # localCheckpoint: the bucket swaps invalidate lazy frames derived
         # from pre-swap files (BucketedParquetStateStore caution), and
         # tf must also not re-read the streaming batch after the
-        # foreachBatch call returns
-        tf = tf.localCheckpoint(eager=True)
-        batch_ids = batch_ids.localCheckpoint(eager=True)
+        # foreachBatch call returns. Lazy (r15 job-count discipline):
+        # tf is materialized by the touched-term-bucket collect and
+        # batch_ids by the doc_buckets collect — both run before either
+        # table's swap, so the caution's ordering requirement holds
+        tf = tf.localCheckpoint(eager=False)
+        batch_ids = batch_ids.localCheckpoint(eager=False)
         # dl = sum(tf) per doc — derived from the CHECKPOINTED tf, so the
         # batch is tokenized exactly once (was twice: a separate dl agg
         # over a second explode of the raw text); stays lazy, the doclen

@@ -116,6 +116,9 @@ class IncrementalSubstringIndex:
         batch_id: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        pre_reduced: bool = False,
+        batch_ids: DataFrame | None = None,
+        doc_buckets: list[int] | None = None,
     ) -> None:
         """The foreachBatch body: winnow ONLY the batch documents
         (O(batch chars) — the corpus is never re-fingerprinted), then
@@ -125,35 +128,49 @@ class IncrementalSubstringIndex:
 
         A batch carrying several versions of one doc_id reduces to one
         row per key FIRST (last-wins); without it a document would keep
-        both versions' fingerprints and dup-match against itself."""
+        both versions' fingerprints and dup-match against itself.
+
+        ``pre_reduced`` / ``batch_ids`` / ``doc_buckets``: the composed
+        substring pipeline hands over its already-reduced batch, id
+        frame and bucket ids (same-modulus stores only) instead of
+        paying the derivations twice — last-wins is idempotent, so the
+        values are unchanged. Checkpoints are LAZY (r15 job-count
+        discipline), each materialized by the first count/collect that
+        consumes it, before any bucket swap."""
         from worker_spark.streaming.feed import last_wins
 
         store = self.store
+        reduced = docs if pre_reduced else last_wins(docs, [id_col])
         live = _live_docs(
-            last_wins(docs, [id_col]), id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
-        new_fp = SUB.winnow_fingerprints(live).localCheckpoint(eager=True)
-        # batch_ids from the RAW batch: the key set is dedup-invariant
-        batch_ids = (
-            docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+            reduced, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=False)
+        new_fp = SUB.winnow_fingerprints(live).localCheckpoint(eager=False)
+        if batch_ids is None:
+            # batch_ids from the RAW batch: the key set is dedup-invariant
+            batch_ids = (
+                docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
 
-        doc_buckets = store.touched_buckets(batch_ids, "doc_id")
+        if doc_buckets is None:
+            doc_buckets = store.touched_buckets(batch_ids, "doc_id")
         old_fps = store.read(self.FPS, FPS_SCHEMA, buckets=doc_buckets)
         # a batch that only deletes docs the index never saw must be a
         # clean no-op; a doc shorter than the K-gram width has NO
         # fingerprints but DOES own a doclen row, so the no-op check
-        # consults the doclen table, not the (possibly empty) manifest
-        has_old_len = (
+        # consults the doclen table, not the (possibly empty) manifest.
+        # has_live probes first: a normal batch has live docs, which
+        # short-circuits the doclen probe job entirely (r15 job trim —
+        # only delete-only batches pay both probes)
+        has_live = live.limit(1).count() > 0
+        write_doclen = has_live or (
             store.read(self.DOCLEN, DOCLEN_SCHEMA, buckets=doc_buckets)
             .join(batch_ids, "doc_id", "left_semi")
             .limit(1)
             .count()
             > 0
         )
-        has_live = live.limit(1).count() > 0
         old_b = old_fps.join(batch_ids, "doc_id", "left_semi").select(
             store.bucket_of(F.col("fhash")).alias("b")
         )
@@ -187,7 +204,7 @@ class IncrementalSubstringIndex:
         # fingerprints yet still owns a zero-filled report row, so its
         # length row must land even when no hash bucket was touched —
         # but an unknown-delete-only batch touches nothing at all
-        if has_old_len or has_live:
+        if write_doclen:
             store.delete_then_insert(
                 self.DOCLEN,
                 delete_keys=batch_ids,

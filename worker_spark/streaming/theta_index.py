@@ -128,9 +128,11 @@ class IncrementalThetaIndex:
             )
             .filter(F.col("hv").isNotNull())
             .dropDuplicates(["g", "hv"])
-            .localCheckpoint(eager=True)
+            # lazy (r15 job-count discipline): batch and groups are both
+            # materialized by the gb collect, before the one swap
+            .localCheckpoint(eager=False)
         )
-        groups = batch.select("g").distinct().localCheckpoint(eager=True)
+        groups = batch.select("g").distinct().localCheckpoint(eager=False)
         gb = self.store.touched_buckets(groups, "g")
         if not gb:
             return

@@ -262,14 +262,17 @@ class IncrementalVectorIndex:
             assign = assign.withColumn(
                 "code", F.lit(None).cast(T.ArrayType(T.LongType()))
             )
+        # lazy checkpoints (r15 job-count discipline): assign is
+        # materialized by the touched-cell-bucket collect, batch_ids by
+        # the vec_buckets collect — both before either table's swap
         assign = assign.select(
             "vec_id", "cell_id", "embedding", "code"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # batch_ids from the RAW batch: the key set is identical before
         # and after last_wins, and deriving it from the deduped frame
         # would run the dedup agg a second time
         batch_ids = (
-            raw.select("vec_id").distinct().localCheckpoint(eager=True)
+            raw.select("vec_id").distinct().localCheckpoint(eager=False)
         )
 
         # touched cells buckets = old manifest (pruned vecmap read by the
@@ -580,11 +583,12 @@ class IncrementalVectorIndex:
             q_scored.withColumn("_rn", F.row_number().over(wp))
             .filter(F.col("_rn") <= nprobe)
             .select("q_id", F.col("cent_id").alias("cell_id"))
-            # materialize once: touched_buckets collects over this plan
+            # checkpoint once: touched_buckets collects over this plan
             # and the candidate join consumes it again — without the
             # checkpoint the q x K probe scoring runs twice (review
-            # finding; screen_batch set the pattern)
-            .localCheckpoint(eager=True)
+            # finding; screen_batch set the pattern). Lazy: the probe
+            # collect materializes it (read side, no swaps in flight)
+            .localCheckpoint(eager=False)
         )
 
     def ann_topk(
@@ -672,16 +676,24 @@ class IncrementalVectorIndex:
             )
         )
 
-    def _adc_scores(self, q: DataFrame, probes: DataFrame) -> DataFrame:
+    def _adc_scores(
+        self,
+        q: DataFrame,
+        probes: DataFrame,
+        probed_buckets: list[int] | None = None,
+    ) -> DataFrame:
         """(q_id, c_id, adc): asymmetric distances of every probed-cell
-        candidate — the shared scoring of adc_topk and adc_refined_topk."""
+        candidate — the shared scoring of adc_topk and adc_refined_topk.
+        ``probed_buckets`` lets a caller that also prunes by the probes
+        (the refined path's exact re-rank) pay the probe collect once."""
         if not self.has_codebook():
             raise ValueError(
                 f"{self.store.root}: ADC serving needs codebook_vectors "
                 "pinned at index creation"
             )
         store = self.store
-        probed_buckets = store.touched_buckets(probes, "cell_id")
+        if probed_buckets is None:
+            probed_buckets = store.touched_buckets(probes, "cell_id")
         # query-to-codebook sub-distance lookup table (tiny: nq x M x K)
         qsub = _pq_subspaces(
             q.select(F.col("q_id").alias("vec_id"), F.col("q_vec").alias("embedding")),
@@ -745,16 +757,17 @@ class IncrementalVectorIndex:
 
         q = self._query_side(queries)
         probes = self._probes(q, nprobe)
-        adc = self._adc_scores(q, probes)
+        probed_buckets = self.store.touched_buckets(probes, "cell_id")
+        adc = self._adc_scores(q, probes, probed_buckets=probed_buckets)
         wsl = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
         sl = (
             adc.withColumn("_rn", F.row_number().over(wsl))
             .filter(F.col("_rn") <= shortlist)
             .select("q_id", "c_id")
         )
-        cvecs = self.cells(
-            buckets=self.store.touched_buckets(probes, "cell_id")
-        ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        cvecs = self.cells(buckets=probed_buckets).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+        )
         wk = Window.partitionBy("q_id").orderBy(
             F.asc("l2_dist"), F.asc("c_id")
         )

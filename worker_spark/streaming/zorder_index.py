@@ -201,7 +201,9 @@ class IncrementalZOrderIndex:
             "v2",
             "event_type",
             "value",
-        ).localCheckpoint(eager=True)
+            # lazy (r15 job-count discipline): materialized by the
+            # touched collect just below, before the one swap
+        ).localCheckpoint(eager=False)
         cells = placed.select("cell").distinct()
         touched = self.store.touched_buckets(cells, "cell")
         if not touched:
